@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Relational._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is a deterministic, totally-ordered DataFrame whose result
+  * hash-matches the DuckDB oracle in [[SparkEntry.oracleSql]] at any scale
+  * factor. Cross-engine float determinism rules (FIXTURES.md §7 spirit):
+  *   - money-like doubles (≤2 decimals) are cast to DECIMAL before SUM —
+  *     exact integer-scaled arithmetic in both engines, immune to
+  *     aggregation order;
+  *   - averages are `CAST(exact-decimal-sum AS DOUBLE) / COUNT` — one
+  *     deterministic double division instead of order-dependent avg();
+  *   - metric aggregates use scaled-BIGINT arithmetic (see q13);
+  *   - raw double columns pass through untouched (bit-exact both sides);
+  *   - every query ends in a total ORDER BY on non-null keys.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries
+
+  // ---------------------------------------------------------------- batch 1
+  /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A4/A9 aggregation with map-side partial agg; decimal sums for
+    // cross-engine determinism (SURVEY A2, A4, A9).
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).as("sum_disc_price"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F1-F3/P3 filtered projection — predicate + column pruning reach the
+    // parquet scan (PushedFilters in explain).
+    "q02_filter_scan" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1996-01-01").cast(TimestampType)
+          && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 4-table star join: fact-fact shuffle join (AQE-managed) + broadcast
+    // dims (nation is tiny at every SF; customer is left to AQE).
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = broadcast(Tables.nation(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // O2 top-k → TakeOrderedAndProject (per-partition heaps, no global sort).
+    "q04_topk" -> ((s, dir) =>
+      topK(Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        10, col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // A1 distinct key enumeration.
+    "q05_distinct" -> ((s, dir) =>
+      distinctKeys(Tables.customer(s, dir), "c_mktsegment").orderBy("c_mktsegment")),
+
+    // W1/J1 latest-row-per-key: window dedup, recency by id like the
+    // reference's max(id) convention (web-ui/app/db_utils.py:45-47).
+    "q06_latest_per_key" -> ((s, dir) => {
+      latestPerKey(Tables.events(s, dir), Seq("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("day"))
+        .orderBy("user_id")
+    }),
+
+    // J2 key-pair enumeration (cross join of two tiny distinct sets).
+    "q07_crossjoin" -> ((s, dir) => {
+      keyPairs(
+        Tables.region(s, dir).select("r_name"),
+        distinctKeys(Tables.orders(s, dir), "o_orderstatus"))
+        .orderBy("r_name", "o_orderstatus")
+    }),
+
+    // X9 inclusive daily sequence (8 rows per 7-day horizon — the
+    // reference's pd.date_range inclusivity, helpers.py:29).
+    "q08_date_sequence" -> ((s, dir) => {
+      val base = topK(Tables.orders(s, dir), 5, col("o_orderkey").asc)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      dateIndex(base, col("od"), date_add(col("od"), 7), "day")
+        .select("o_orderkey", "day")
+        .orderBy("o_orderkey", "day")
+    }),
+
+    // §2.7 set difference (distinct order days that never appear as ship
+    // days — non-empty because shipping lags ordering).
+    "q09_except" -> ((s, dir) => {
+      Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("day"))
+        .except(Tables.lineitem(s, dir).select(to_date(col("l_shipdate")).as("day")))
+        .orderBy("day")
+    }),
+
+    // F5 membership as a distributed left-semi join.
+    "q10_semijoin" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // Anti join (NOT EXISTS with correlated predicate): orders having no
+    // high-value line item.
+    "q11_antijoin" -> ((s, dir) => {
+      val expensive = Tables.lineitem(s, dir)
+        .filter(col("l_extendedprice") > 50000)
+        .select(col("l_orderkey").as("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(expensive, Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // W2 expanding per-key running aggregate (walk-forward frame shape);
+    // DECIMAL running sum → order-forced, exact in both engines.
+    "q12_running_sum" -> ((s, dir) => {
+      val purchases = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      runningAgg(purchases, Seq("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(18, 6))), "running_value")
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A4-A8 error-metric pack (RMSE/MAE/MAPE/MedAE) against a fixed
+    // baseline prediction, in scaled-BIGINT arithmetic so both engines sum
+    // exact integers (order-independent): v6 = round(value·1e6).
+    "q13_error_metrics" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast(LongType).as("v6"))
+        .withColumn("abs6", abs(col("v6") - 50000000L))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("abs6")).cast(DoubleType) / count(lit(1)) / 1000000.0).as("mae"),
+          (sqrt(sum((col("abs6") * col("abs6")).cast(DecimalType(38, 0))).cast(DoubleType) / count(lit(1))) / 1000000.0).as("rmse"),
+          (sum(floor(col("abs6") * 1000000000.0 / col("v6"))).cast(DoubleType) / count(lit(1)) / 1000000000.0).as("mape"),
+          (expr("percentile(abs6, 0.5)") / 1000000.0).as("medae"))
+        .orderBy("event_type")
+    }),
+
+    // F3/X8 anchored date-lookback window (anchor = max event day, not
+    // wall clock — FIXTURES.md §7 determinism rule).
+    "q14_lookback_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val anchor = e.agg(max(col("day")).as("maxd"))
+      e.crossJoin(broadcast(anchor))
+        .filter(col("day") >= date_sub(col("maxd"), 6))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // The seed-prep pipeline shape (X3-X7 date math, F2 in-list month
+    // filter as a semi-join, scalar max via broadcast cross join) —
+    // put_data_in_postgres.py:30-47 re-expressed distributed.
+    "q15_seedprep_months" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        to_date(col("o_orderdate")).as("od"))
+      val lastMonths = topK(o.select("month").distinct(), 2, col("month").desc)
+      val mx = o.agg(max(col("od")).as("maxd"))
+      semiFilter(o, lastMonths, Seq("month"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_orderkey"), col("month"),
+          datediff(col("maxd"), col("od")).as("days_from_latest"))
+        .orderBy("o_orderkey")
+    }),
+
+    // X10 JSON parse (from_json, the streaming-ingest parse path) +
+    // exact integer aggregation.
+    "q16_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          (sum(col("k")).cast(DoubleType) / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    })
+  )
+
+  /** DuckDB-dialect ANSI SQL oracles, column-name aligned with `queries`. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q05_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q06_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, CAST(ts AS DATE) AS day
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q07_crossjoin" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q08_date_sequence" ->
+      """SELECT o_orderkey,
+        | CAST(UNNEST(generate_series(CAST(o_orderdate AS DATE),
+        |                             CAST(o_orderdate AS DATE) + 7,
+        |                             INTERVAL 1 DAY)) AS DATE) AS day
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+        |ORDER BY o_orderkey, day""".stripMargin,
+
+    "q09_except" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+        |EXCEPT
+        |SELECT CAST(l_shipdate AS DATE) AS day FROM lineitem
+        |ORDER BY day""".stripMargin,
+
+    "q10_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_antijoin" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_running_sum" ->
+      """SELECT user_id, event_id,
+        | SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q13_error_metrics" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS v6,
+        |         ABS(CAST(round(value*1000000) AS BIGINT) - 50000000) AS abs6
+        |  FROM events WHERE value > 0)
+        |SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(abs6) AS DOUBLE)/COUNT(*)/1000000.0 AS mae,
+        | sqrt(CAST(SUM(CAST(abs6*abs6 AS DECIMAL(38,0))) AS DOUBLE)/COUNT(*))/1000000.0 AS rmse,
+        | CAST(SUM(CAST(floor(abs6*1000000000.0/v6) AS BIGINT)) AS DOUBLE)/COUNT(*)/1000000000.0 AS mape,
+        | CAST(quantile_cont(abs6, 0.5) AS DOUBLE)/1000000.0 AS medae
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q14_lookback_window" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |     a AS (SELECT MAX(day) AS maxd FROM e)
+        |SELECT day, event_type, COUNT(*) AS n
+        |FROM e, a WHERE day >= maxd - 6
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    "q15_seedprep_months" ->
+      """WITH o AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |                  CAST(o_orderdate AS DATE) AS od FROM orders),
+        |     m AS (SELECT DISTINCT month FROM o ORDER BY month DESC LIMIT 2),
+        |     mx AS (SELECT MAX(od) AS maxd FROM o)
+        |SELECT o.o_orderkey, o.month, date_diff('day', o.od, mx.maxd) AS days_from_latest
+        |FROM o, mx WHERE o.month IN (SELECT month FROM m)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table layer over the driver's deterministic parquet testdata
+  * (`/root/testdata/sf*` — see TESTDATA.md): TPC-H-ish star schema plus an
+  * `events` stream table, a `documents` text table and an `embeddings`
+  * vector table.
+  *
+  * Mirrors the reference's "catalog": fixed, declared schemas
+  * (services/airflow/dags/db_utils.py:21-47) plus schema-on-read
+  * reflection (db_utils.py:71-75) — here reflection is simply parquet
+  * footer schema discovery, which is also what a 1000-executor cluster
+  * wants (no driver-side catalog bottleneck, columnar at rest, min/max
+  * page stats for predicate pushdown).
+  */
+object Tables {
+
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Generic scan. Filters/projections applied downstream reach the
+    * parquet reader via Catalyst pushdown — verified in plans as
+    * PushedFilters/ReadSchema. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads as Long
+    * (see Engine: nanosAsLong). Convert to microsecond TimestampType —
+    * integer `div`, not `/`, because ns-since-epoch exceeds 2^53 and
+    * double division would lose precision. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

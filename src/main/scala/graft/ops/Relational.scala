@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator surface (SURVEY.md §2) as reusable
+  * `DataFrame => DataFrame` combinators. Everything here is declarative —
+  * Catalyst owns pushdown, pruning, join strategy, and AQE owns runtime
+  * re-planning — so each helper survives a 100×-scale-up unchanged.
+  */
+object Relational {
+
+  /** W1/J1 — newest row per key (reference: greatest-n-per-group self-join,
+    * services/web-ui/app/db_utils.py:39-62, intent "max(id) wins").
+    * Window + row_number instead of the reference's join-against-groupBy:
+    * one shuffle on the partition keys, no join, no second scan.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], recency: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(recency.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** O2 — top-k by ordering (reference: ORDER BY .. DESC LIMIT n,
+    * services/training-service/app/db_utils.py:34-37). Spark plans this as
+    * TakeOrderedAndProject: per-partition heaps + driver merge, no global
+    * sort — the only top-k that works at 100 TB. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** F3/X8 — sliding date-lookback window (reference:
+    * `timezone('UTC', date) >= now - N days`,
+    * services/training-service/app/db_utils.py:26-30). `anchor` is
+    * parameterized instead of wall-clock `now` for determinism
+    * (FIXTURES.md §7). Predicate is a plain comparison → parquet min/max
+    * pushdown + dynamic partition pruning on date-partitioned tables. */
+  def lookbackDays(df: DataFrame, dateCol: Column, anchor: Column, days: Int): DataFrame =
+    df.filter(dateCol >= date_sub(anchor, days - 1) && dateCol <= anchor)
+
+  /** A1 — distinct key enumeration (reference:
+    * services/airflow/dags/db_utils.py:63-68). Partial (map-side)
+    * aggregation means the shuffle carries only distinct values. */
+  def distinctKeys(df: DataFrame, keys: String*): DataFrame =
+    df.select(keys.map(col): _*).distinct()
+
+  /** J2 — key-pair enumeration (reference: store_ids × product_names,
+    * services/airflow/dags/task_operators.py:87-95). Both sides are
+    * distinct key sets (tiny vs the fact table) → crossJoin is safe; at
+    * scale Catalyst broadcasts the smaller side (BroadcastNestedLoopJoin).
+    */
+  def keyPairs(left: DataFrame, right: DataFrame): DataFrame =
+    left.crossJoin(right)
+
+  /** F5 — membership validation as a distributed semi-join rather than the
+    * reference's collect-and-check (ray_train_one_job.py:37-41). */
+  def semiFilter(df: DataFrame, valid: DataFrame, joinKeys: Seq[String]): DataFrame =
+    df.join(valid, joinKeys, "left_semi")
+
+  /** X9 — inclusive daily date-index generation (reference:
+    * pd.date_range(begin, end) — inclusive BOTH ends, 8 rows for a 7-day
+    * horizon, services/forecast-service/app/helpers.py:29-30). */
+  def dateIndex(df: DataFrame, startDate: Column, endDate: Column, asCol: String): DataFrame =
+    df.withColumn(asCol, explode(sequence(startDate, endDate)))
+
+  /** W2 — expanding (anchored walk-forward) running aggregate per key,
+    * the frame shape behind the reference's TimeSeriesSplit CV
+    * (services/training-service/app/train_utils.py:94-114). */
+  def runningAgg(df: DataFrame, keys: Seq[String], order: Column, agg: Column, asCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(asCol, agg.over(w))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator checks on sf0.001 (fast); the DuckDB hash-match gate runs
+  * driver-side at sf0.01 — these specs pin structural invariants the hash
+  * can't see (plan shape, determinism across reruns, schema).
+  */
+class RelationalQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs non-empty on sf0.001 and is deterministic") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf).collect()
+      val b = fn(spark, sf).collect()
+      assert(a.nonEmpty, s"$name returned 0 rows")
+      assert(a.sameElements(b), s"$name not deterministic across reruns")
+    }
+  }
+
+  test("every query has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed but should stay the minority
+    assert(noOracle.size <= SparkEntry.queries.size / 2, s"too many oracle-less queries: $noOracle")
+  }
+
+  test("entry() smoke: flagship join returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q02 filter is pushed to the parquet scan") {
+    val plan = SparkEntry.queries("q02_filter_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"), plan)
+  }
+
+  test("q04 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q04_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q06 latest-per-key keeps exactly one row per user and the max id") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q06_latest_per_key")(spark, sf)
+    val users = got.select("user_id").as[Long].collect()
+    assert(users.distinct.length === users.length)
+    val maxIds = Tables.events(spark, sf).groupBy("user_id")
+      .max("event_id").as[(Long, Long)].collect().toMap
+    got.select("user_id", "event_id").as[(Long, Long)].collect()
+      .foreach { case (u, id) => assert(maxIds(u) === id) }
+  }
+
+  test("q08 inclusive date sequence yields 8 days per order (7-day horizon)") {
+    val counts = SparkEntry.queries("q08_date_sequence")(spark, sf)
+      .groupBy("o_orderkey").count().collect()
+    assert(counts.forall(_.getLong(1) == 8))
+  }
+
+  test("q03 broadcasts the nation dim") {
+    val plan = SparkEntry.queries("q03_join_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
