@@ -27,7 +27,7 @@ object SparkEntry {
     queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries
+    relationalQueries ++ TextQueries.queries ++ VectorQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -38,9 +38,9 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).as("sum_disc_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).cast(DecimalType(38, 4)).as("sum_disc_price"),
           (sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -70,7 +70,7 @@ object SparkEntry {
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).as("revenue"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(24, 4))).cast(DecimalType(38, 4)).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -145,7 +145,8 @@ object SparkEntry {
       val purchases = Tables.events(s, dir).filter(col("event_type") === "purchase")
       runningAgg(purchases, Seq("user_id"), col("event_id"),
         sum(col("value").cast(DecimalType(18, 6))), "running_value")
-        .select("user_id", "event_id", "running_value")
+        .select(col("user_id"), col("event_id"),
+          col("running_value").cast(DecimalType(38, 6)).as("running_value"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -193,7 +194,7 @@ object SparkEntry {
       semiFilter(o, lastMonths, Seq("month"))
         .crossJoin(broadcast(mx))
         .select(col("o_orderkey"), col("month"),
-          datediff(col("maxd"), col("od")).as("days_from_latest"))
+          datediff(col("maxd"), col("od")).cast(LongType).as("days_from_latest"))
         .orderBy("o_orderkey")
     }),
 
@@ -211,12 +212,15 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect ANSI SQL oracles, column-name aligned with `queries`. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql
+
+  private def relationalOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -232,7 +236,7 @@ object SparkEntry {
 
     "q03_join_revenue" ->
       """SELECT n_name,
-        | SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -284,8 +288,8 @@ object SparkEntry {
 
     "q12_running_sum" ->
       """SELECT user_id, event_id,
-        | SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
 
@@ -313,7 +317,7 @@ object SparkEntry {
         |                  CAST(o_orderdate AS DATE) AS od FROM orders),
         |     m AS (SELECT DISTINCT month FROM o ORDER BY month DESC LIMIT 2),
         |     mx AS (SELECT MAX(od) AS maxd FROM o)
-        |SELECT o.o_orderkey, o.month, date_diff('day', o.od, mx.maxd) AS days_from_latest
+        |SELECT o.o_orderkey, o.month, CAST(date_diff('day', o.od, mx.maxd) AS BIGINT) AS days_from_latest
         |FROM o, mx WHERE o.month IN (SELECT month FROM m)
         |ORDER BY o.o_orderkey""".stripMargin,
 

@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Training-data text pipeline: token statistics, quality scoring,
+  * language ID, fingerprinting, exact + MinHash + SimHash + n-gram-Jaccard
+  * deduplication — each over the `documents` table, each with a DuckDB
+  * oracle generated from the same definition (see TextFunctions sql*
+  * mirrors).
+  *
+  * Scale notes: every query is embarrassingly parallel per document except
+  * the pair-forming dedups, which avoid O(n²) by equi-joining on LSH band
+  * buckets (q23) or on low-cardinality group keys (q24) — the standard
+  * shuffle-join shape that survives 100 TB corpora.
+  */
+object TextQueries {
+
+  private val NumSigs = 8
+  private val RowsPerBand = 4 // 2 bands × 4 rows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token-level stats: counts + type-token ratio as scaled ints.
+    "q17_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_types"),
+          stopwordCount(col("toks"), EnStop).cast(LongType).as("n_stop"))
+        .withColumn("ttr_e4", expr("n_types * 10000 div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/avg-token-length/stopword-ratio heuristics,
+    // integer-exact, with a categorical quality flag.
+    "q18_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          totalTokenChars(col("toks")).cast(LongType).as("tok_chars"),
+          stopwordCount(col("toks"), EnStop).cast(LongType).as("n_stop"))
+        .withColumn("avg_tok_len_e2", expr("tok_chars * 100 div n_tokens"))
+        .withColumn("stop_e4", expr("n_stop * 10000 div n_tokens"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 10 && col("stop_e4") >= 200, lit("good"))
+            .otherwise(lit("low")))
+        .drop("tok_chars", "n_stop")
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: stopword-hit argmax heuristic (integer logic only).
+    "q19_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          stopwordCount(col("toks"), EnStop).cast(LongType).as("en_hits"),
+          stopwordCount(col("toks"), EsStop).cast(LongType).as("es_hits"),
+          stopwordCount(col("toks"), DeStop).cast(LongType).as("de_hits"))
+        .withColumn("lang_pred",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+            .when(col("de_hits") > 0, "de")
+            .otherwise("und"))
+        .orderBy("doc_id")
+    }),
+
+    // Bag-of-words fingerprint + cluster size via a window over the
+    // fingerprint (document-identity signature).
+    "q20_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+        .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fp")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup: hash-groupBy on content hash, keep min doc_id as
+    // canonical (one shuffle on the hash — the at-scale exact-dedup shape).
+    "q21_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+        .orderBy("text_hash")
+    }),
+
+    // MinHash signatures + LSH band buckets per document.
+    "q22_minhash_signatures" -> ((s, dir) => {
+      withSignatures(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // MinHash near-dup candidate pairs: explode band buckets, equi-join on
+    // (band, bucket) — never O(n²) — then verify with token-set Jaccard.
+    "q23_minhash_dup_pairs" -> ((s, dir) => {
+      val sigs = withSignatures(Tables.documents(s, dir))
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val toksets = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      cand
+        .join(toksets.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")), Seq("doc_a"))
+        .join(toksets.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+        .withColumn("j_e6", expr("inter * 1000000 div (size(ts_a) + size(ts_b) - inter)"))
+        .filter(col("j_e6") >= 200000)
+        .select("doc_a", "doc_b", "j_e6")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Word-3-gram Jaccard similarity, pairs restricted to (lang, source)
+    // groups (group-key equi-join keeps the pair count linear-ish).
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
+          size(col("a.g")).as("na"), size(col("b.g")).as("nb"))
+        .withColumn("j3_e6", expr("inter * 1000000 div (na + nb - inter)"))
+        .select("doc_a", "doc_b", "j3_e6")
+        .orderBy(col("j3_e6").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+    }),
+
+    // SimHash (16-bit for the oracle-matched variant): per-token hash bit
+    // votes aggregated per document.
+    "q25_simhash" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), tokenHash16(col("tok")).as("v"))
+      val sums = (0 until 16).map(b =>
+        sum(when(shiftright(col("v"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b"))
+      val sim = (0 until 16).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      t.groupBy("doc_id")
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sim.cast(LongType).as("simhash16"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** doc_id + s0..s7 minhash signatures + b0,b1 band buckets. */
+  private def withSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(col("text"), 5)
+    val sigCols = (0 until NumSigs).map(j => minhashSig(sh, j).as(s"s$j"))
+    val base = docs.select((col("doc_id") +: sigCols): _*)
+    base
+      .withColumn("b0", bandBucket((0 until RowsPerBand).map(j => col(s"s$j"))))
+      .withColumn("b1", bandBucket((RowsPerBand until NumSigs).map(j => col(s"s$j"))))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val toks = sqlTokens("text")
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         | CAST(${sqlStopwordCount("toks", EnStop)} AS BIGINT) AS n_stop,
+         | CAST(len(list_distinct(toks))*10000 // len(toks) AS BIGINT) AS ttr_e4
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q18_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toks AS toks FROM documents),
+         |     u AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |                  ${sqlTotalTokenChars("toks")} AS tok_chars,
+         |                  ${sqlStopwordCount("toks", EnStop)} AS n_stop FROM t)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_tokens,
+         | CAST(tok_chars*100 // n_tokens AS BIGINT) AS avg_tok_len_e2,
+         | CAST(n_stop*10000 // n_tokens AS BIGINT) AS stop_e4,
+         | CASE WHEN n_tokens >= 10 AND n_stop*10000 // n_tokens >= 200 THEN 'good' ELSE 'low' END AS quality
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q19_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |     h AS (SELECT doc_id, lang,
+         |       CAST(${sqlStopwordCount("toks", EnStop)} AS BIGINT) AS en_hits,
+         |       CAST(${sqlStopwordCount("toks", EsStop)} AS BIGINT) AS es_hits,
+         |       CAST(${sqlStopwordCount("toks", DeStop)} AS BIGINT) AS de_hits FROM t)
+         |SELECT doc_id, lang, en_hits, es_hits, de_hits,
+         | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+         |      WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+         |      WHEN de_hits > 0 THEN 'de' ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q20_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id, ${sqlFingerprint(toks)} AS fp FROM documents)
+         |SELECT doc_id, fp, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q22_minhash_signatures" -> (sigCte + "\nSELECT * FROM sigs ORDER BY doc_id"),
+
+    "q23_minhash_dup_pairs" ->
+      (sigCte +
+        s""",
+           |bands AS (SELECT doc_id, 0 AS band_id, b0 AS bucket FROM sigs
+           |          UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |ts AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+           |j AS (SELECT doc_a, doc_b,
+           |        len(list_intersect(a.ts, b.ts)) AS inter,
+           |        len(a.ts) AS na, len(b.ts) AS nb
+           |      FROM cand JOIN ts a ON doc_a = a.doc_id JOIN ts b ON doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, CAST(inter*1000000 // (na+nb-inter) AS BIGINT) AS j_e6
+           |FROM j WHERE inter*1000000 // (na+nb-inter) >= 200000
+           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q24_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $toks AS toks FROM documents),
+         |     d AS (SELECT doc_id, lang, source,
+         |             list_distinct(list_transform(range(1, len(toks)-1),
+         |               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS g
+         |           FROM t WHERE len(toks) >= 3),
+         |     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+         |           FROM d a JOIN d b
+         |             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(inter*1000000 // (na+nb-inter) AS BIGINT) AS j3_e6
+         |FROM p ORDER BY j3_e6 DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    "q25_simhash" -> {
+      val v = sqlTokenHash16("tok")
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (v>>$b)&1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val sim = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
+         |     h AS (SELECT doc_id, $v AS v FROM t),
+         |     s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($sim AS BIGINT) AS simhash16 FROM s ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  /** Shared CTE: per-doc minhash signatures + band buckets (mirror of
+    * [[withSignatures]]). */
+  private def sigCte: String = {
+    val sh = sqlShingles("text", 5)
+    val sigSelects = (0 until NumSigs)
+      .map(j => s"  ${sqlMinhashSig("sh", j)} AS s$j").mkString(",\n")
+    val b0 = sqlBandBucket((0 until RowsPerBand).map(j => s"s$j"))
+    val b1 = sqlBandBucket((RowsPerBand until NumSigs).map(j => s"s$j"))
+    s"""WITH shing AS (SELECT doc_id, $sh AS sh FROM documents),
+       |raw AS (SELECT doc_id,
+       |$sigSelects
+       |FROM shing),
+       |sigs AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, $b0 AS b0, $b1 AS b1 FROM raw)""".stripMargin
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Semantic identities for the dedup / similarity primitives that the
+  * DuckDB hash-match can't express: duplicate inputs must collide,
+  * self-similarity must be exactly 1, buckets must be stable. */
+class TextVectorSpec extends AnyFunSuite {
+
+  lazy val spark = Engine.session("textvec-test")
+  import spark.implicits._
+
+  test("exact-dedup hash collides iff text identical") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("id", "text")
+    val groups = df.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().sorted
+    assert(groups.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash signatures identical for identical text, and j_e6 = 1e6 for dup pair") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+                 (2L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val sh = shingles(col("text"), 5)
+    val sigs = df.select(col("doc_id"), minhashSig(sh, 0).as("s0"), minhashSig(sh, 1).as("s1"))
+    val rows = sigs.collect()
+    assert(rows(0).getString(1) == rows(1).getString(1))
+    assert(rows(0).getString(2) == rows(1).getString(2))
+  }
+
+  test("fingerprint is token-order-insensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("id", "text")
+    val fps = df.select(fingerprint(tokens(col("text")))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("simhash16 of identical token multisets matches") {
+    val fn = TextQueries.queries("q25_simhash")
+    val out = fn(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    // all values fit in 16 bits
+    assert(out.agg(max(col("simhash16"))).as[Long].head() < 65536L)
+  }
+
+  test("cosine of a vector with itself is 1.0 after rounding") {
+    val df = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("id", "embedding")
+    val c = df.select(cosineR6(asDouble(col("embedding")), asDouble(col("embedding"))))
+      .as[Double].head()
+    assert(c == 1.0)
+  }
+
+  test("lsh bucket is deterministic and within range") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), 8))
+    val a = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+    assert(a.values.forall(x => x >= 0 && x < 256))
+  }
+
+  test("langid heuristic prefers the language whose stopwords dominate") {
+    val df = Seq((1L, "el la de que los una es y"), (2L, "the a of to in and is"))
+      .toDF("doc_id", "text")
+    val toks = tokens(col("text"))
+    val out = df.select(col("doc_id"),
+        stopwordCount(toks, EnStop).as("en"), stopwordCount(toks, EsStop).as("es"))
+      .withColumn("pred", when(col("en") >= col("es") && col("en") > 0, "en")
+        .when(col("es") > 0, "es").otherwise("und"))
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "es" && out(2L) == "en")
+  }
+}
