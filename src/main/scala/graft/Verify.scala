@@ -13,9 +13,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // Contract: a single parquet FILE at outDir/<name>.parquet. Spark
+      // writes a directory of part files; coalesce(1) → one part, which we
+      // move to the exact contract path and drop the scratch dir.
+      try {
+        val scratch = s"$outDir/.__$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for $name"))
+        val dest = Paths.get(s"$outDir/$name.parquet")
+        Files.deleteIfExists(dest)
+        Files.move(part.toPath, dest)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -3,7 +3,7 @@
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify) and the
+Reads each <verifyOutDir>/<name>.parquet file (written by graft.Verify) and the
 oracle_sql.json dump, runs each oracle in DuckDB over the same testdata
 parquet tables, sorts columns by name, and compares values exactly.
 Dev-only tooling (driver-side python libs); not part of the Scala library.
@@ -47,12 +47,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
+        f = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(f):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        spark_tbl = pq.read_table(files[0]) if len(files) == 1 else pq.ParquetDataset(f"{out_dir}/{name}").read()
+        spark_tbl = pq.read_table(f)
         try:
             duck_tbl = con.execute(oracle[name]).arrow()
         except Exception as e:
