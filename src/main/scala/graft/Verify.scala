@@ -1,9 +1,76 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Contract hardening (round-2, after CORRECTNESS_r01 came back empty):
+  *  - oracle_sql.json is written FIRST, before any query runs, so a
+  *    timeout/crash mid-queries still leaves the driver a parseable oracle
+  *    map (it then reports per-query "no spark output" instead of {}).
+  *  - every query's dest file is deleted up front, so a failed query can
+  *    never PASS against a stale parquet from a previous run (ADVICE r1).
+  *  - a zero-partition result (legitimately empty) is re-written as
+  *    df.limit(0).repartition(1) so an empty parquet with the right schema
+  *    exists instead of a missing part file (ADVICE r1).
+  *  - recursive deletes use java.nio (no commons-io dependency; ADVICE r1).
+  */
 object Verify {
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def writeOracleJson(outDir: String): Unit = {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  /** Run one query and land a single parquet FILE at outDir/<name>.parquet.
+    * Spark writes a directory of part files; coalesce(1) → one part, moved
+    * to the exact contract path. */
+  def dumpOne(spark: SparkSession, sfDir: String, outDir: String, name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+    val dest = Paths.get(s"$outDir/$name.parquet")
+    val scratch = Paths.get(s"$outDir/.__$name")
+    Files.deleteIfExists(dest)
+    deleteRecursive(scratch)
+    try {
+      val df = fn(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      def findPart() = Option(scratch.toFile.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val part = findPart().getOrElse {
+        // zero-partition plan → no part file; write an explicit empty file
+        df.limit(0).repartition(1).write.mode("overwrite").parquet(scratch.toString)
+        findPart().getOrElse(sys.error(s"no part file for $name"))
+      }
+      Files.move(part.toPath, dest)
+      deleteRecursive(scratch)
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      deleteRecursive(scratch)
+      false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,39 +79,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // Contract: a single parquet FILE at outDir/<name>.parquet. Spark
-      // writes a directory of part files; coalesce(1) → one part, which we
-      // move to the exact contract path and drop the scratch dir.
-      try {
-        val scratch = s"$outDir/.__$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file for $name"))
-        val dest = Paths.get(s"$outDir/$name.parquet")
-        Files.deleteIfExists(dest)
-        Files.move(part.toPath, dest)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    writeOracleJson(outDir)
+    var ok, fail = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (dumpOne(spark, sfDir, outDir, name, fn)) ok += 1 else fail += 1
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[verify] done: $ok ok, $fail failed -> $outDir")
     spark.stop()
   }
 }

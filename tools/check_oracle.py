@@ -8,7 +8,7 @@ oracle_sql.json dump, runs each oracle in DuckDB over the same testdata
 parquet tables, sorts columns by name, and compares values exactly.
 Dev-only tooling (driver-side python libs); not part of the Scala library.
 """
-import sys, json, glob, os, math, decimal, datetime
+import sys, json, os, math, decimal, datetime
 
 import duckdb
 import pyarrow.parquet as pq
