@@ -121,8 +121,13 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Word-3-gram Jaccard similarity, pairs restricted to (lang, source)
-    // groups (group-key equi-join keeps the pair count linear-ish).
+    // Word-3-gram Jaccard similarity. Round 1 joined all pairs within each
+    // (lang, source) group — O(n²) per group, a scale-killer on skewed
+    // corpora. Now candidates come from a MinHash-band equi-join over the
+    // 3-gram sets (4 bands × 1 chunk-signature from one md5 per gram;
+    // P[candidate] = 1-(1-j)^4, good recall down to j≈0.2): join key
+    // (lang, source, band, bucket), then exact Jaccard verify on
+    // candidates only — linear-ish at any corpus size.
     "q24_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("toks", tokens(col("text")))
@@ -131,12 +136,24 @@ object TextQueries {
           array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
-      d.as("a").join(d.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.g"), col("b.g"))).as("inter"),
-          size(col("a.g")).as("na"), size(col("b.g")).as("nb"))
+      val bb = d.select(col("doc_id"), col("lang"), col("source"),
+          hashArray(col("g"), "").as("hg"))
+        .select((Seq(col("doc_id"), col("lang"), col("source")) ++
+          (0 until 4).map(j => minChunk(col("hg"), j).as(s"s$j"))): _*)
+      val bands = bb.select(col("doc_id"), col("lang"), col("source"),
+        posexplode(array((0 until 4).map(j => col(s"s$j")): _*)).as(Seq("band_id", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+            && col("x.band_id") === col("y.band_id") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ga"), col("gb"))).as("inter"),
+          size(col("ga")).as("na"), size(col("gb")).as("nb"))
         .withColumn("j3_e6", expr("inter * 1000000 div (na + nb - inter)"))
         .select("doc_a", "doc_b", "j3_e6")
         .orderBy(col("j3_e6").desc, col("doc_a"), col("doc_b"))
@@ -160,12 +177,22 @@ object TextQueries {
     })
   )
 
-  /** doc_id + s0..s7 minhash signatures + b0,b1 band buckets. */
+  /** doc_id + s0..s7 minhash signatures + b0,b1 band buckets.
+    *
+    * Hash budget: 2 salted md5 per shingle (each sliced into four 8-hex
+    * chunk-signatures) instead of round 1's 8 md5 per shingle. The hash
+    * arrays are materialized as their own projection so Catalyst's
+    * CollapseProject keeps each md5 evaluated once (non-cheap expressions
+    * referenced >1× are not inlined). */
   private def withSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"), 5)
-    val sigCols = (0 until NumSigs).map(j => minhashSig(sh, j).as(s"s$j"))
-    val base = docs.select((col("doc_id") +: sigCols): _*)
-    base
+    val hashed = docs
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .select(col("doc_id"),
+        hashArray(col("sh"), "").as("h0"), hashArray(col("sh"), "1:").as("h1"))
+    val sigCols =
+      (0 until RowsPerBand).map(j => minChunk(col("h0"), j).as(s"s$j")) ++
+      (0 until RowsPerBand).map(j => minChunk(col("h1"), j).as(s"s${j + RowsPerBand}"))
+    hashed.select((col("doc_id") +: sigCols): _*)
       .withColumn("b0", bandBucket((0 until RowsPerBand).map(j => col(s"s$j"))))
       .withColumn("b1", bandBucket((RowsPerBand until NumSigs).map(j => col(s"s$j"))))
   }
@@ -241,10 +268,23 @@ object TextQueries {
          |             list_distinct(list_transform(range(1, len(toks)-1),
          |               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS g
          |           FROM t WHERE len(toks) >= 3),
-         |     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     hg AS (SELECT doc_id, lang, source, ${sqlHashArray("g", "")} AS hg FROM d),
+         |     bb AS (SELECT doc_id, lang, source,
+         |              ${sqlMinChunk("hg", 0)} AS s0, ${sqlMinChunk("hg", 1)} AS s1,
+         |              ${sqlMinChunk("hg", 2)} AS s2, ${sqlMinChunk("hg", 3)} AS s3
+         |            FROM hg),
+         |     bands AS (SELECT doc_id, lang, source, 0 AS band_id, s0 AS bucket FROM bb
+         |               UNION ALL SELECT doc_id, lang, source, 1, s1 FROM bb
+         |               UNION ALL SELECT doc_id, lang, source, 2, s2 FROM bb
+         |               UNION ALL SELECT doc_id, lang, source, 3, s3 FROM bb),
+         |     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |              FROM bands x JOIN bands y
+         |                ON x.lang = y.lang AND x.source = y.source
+         |               AND x.band_id = y.band_id AND x.bucket = y.bucket
+         |               AND x.doc_id < y.doc_id),
+         |     p AS (SELECT doc_a, doc_b,
          |             len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
-         |           FROM d a JOIN d b
-         |             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |           FROM cand JOIN d a ON doc_a = a.doc_id JOIN d b ON doc_b = b.doc_id)
          |SELECT doc_a, doc_b, CAST(inter*1000000 // (na+nb-inter) AS BIGINT) AS j3_e6
          |FROM p ORDER BY j3_e6 DESC, doc_a, doc_b LIMIT 100""".stripMargin,
 
@@ -265,14 +305,17 @@ object TextQueries {
     * [[withSignatures]]). */
   private def sigCte: String = {
     val sh = sqlShingles("text", 5)
-    val sigSelects = (0 until NumSigs)
-      .map(j => s"  ${sqlMinhashSig("sh", j)} AS s$j").mkString(",\n")
+    val sigSelects = (
+      (0 until RowsPerBand).map(j => s"  ${sqlMinChunk("h0", j)} AS s$j") ++
+      (0 until RowsPerBand).map(j => s"  ${sqlMinChunk("h1", j)} AS s${j + RowsPerBand}")
+    ).mkString(",\n")
     val b0 = sqlBandBucket((0 until RowsPerBand).map(j => s"s$j"))
     val b1 = sqlBandBucket((RowsPerBand until NumSigs).map(j => s"s$j"))
     s"""WITH shing AS (SELECT doc_id, $sh AS sh FROM documents),
+       |hx AS (SELECT doc_id, ${sqlHashArray("sh", "")} AS h0, ${sqlHashArray("sh", "1:")} AS h1 FROM shing),
        |raw AS (SELECT doc_id,
        |$sigSelects
-       |FROM shing),
+       |FROM hx),
        |sigs AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, $b0 AS b0, $b1 AS b1 FROM raw)""".stripMargin
   }
 }

@@ -6,17 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column):
-  * brute-force cosine top-k as the exactness baseline, group-restricted
-  * near-dup pairing, and a sign-random-projection LSH-bucketed variant as
-  * the 100-TB scale path (bucket equi-join instead of a cross join).
+  * brute-force cosine top-k as the exactness baseline, LSH-banded
+  * near-dup pairing, and a sign-random-projection bucketed ANN — the
+  * 100-TB scale path (bucket equi-joins instead of all-pairs joins).
   *
   * Cosines are rounded to 6 decimals before ranking so both engines rank
   * identical values (per-element IEEE ops match; only final-ulp
-  * accumulation noise differs).
+  * accumulation noise differs). LSH bucket bits use scaled-BIGINT
+  * projections — exact in any engine, no float-order risk on sign tests.
   */
 object VectorQueries {
 
-  private val LshPlanes = 8
+  /** Embedding dimensionality of the testdata (constant across SFs); the
+    * hyperplane sign literals are sized to it at plan-build time. */
+  private val Dims = 64
+  private val AnnPlanes = 0 until 8   // q28: one 8-bit bucket (256 buckets)
+  private val Band0 = 0 until 4       // q27: 2 bands × 4 planes (16 buckets)
+  private val Band1 = 4 until 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -35,27 +41,39 @@ object VectorQueries {
         .limit(5)
     }),
 
-    // Near-duplicate candidate pairs restricted to same-label groups
-    // (group equi-join, not O(n²)); top-10 most similar.
+    // Near-duplicate pairs. Round 1 joined all pairs within each label —
+    // O(n²) per label, 36 s at sf0.1 and a scale-killer. Now candidates
+    // come from a 2-band SRP-LSH equi-join on (label, band, bucket), then
+    // cosine-verify candidates only; top-10 most similar.
     "q27_embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosineR6(col("a.v"), col("b.v")).as("cos_r"))
+        .withColumn("b0", lshBucket(col("v"), Band0, Dims))
+        .withColumn("b1", lshBucket(col("v"), Band1, Dims))
+      val bands = e.select(col("vec_id"), col("label"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.label") === col("y.label") && col("x.band_id") === col("y.band_id")
+            && col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val vecs = e.select(col("vec_id"), col("v"))
+      cand
+        .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cosineR6(col("va"), col("vb")).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
         .limit(10)
     }),
 
     // LSH-bucketed ANN (scale path): deterministic sign-random-projection
-    // buckets; search only the query's bucket. Rows-only check (bucket
-    // recall is engine-defined; brute-force q26 is the oracle-matched
-    // baseline).
+    // buckets from plan-time hyperplane literals; search only the query's
+    // bucket. Oracle-matched since round 2 (bucket bits are exact
+    // scaled-int arithmetic both engines reproduce).
     "q28_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), LshPlanes))
+        .withColumn("bucket", lshBucket(col("v"), AnnPlanes, Dims))
       val q = e.filter(col("vec_id") === 0)
         .select(col("v").as("qe"), col("bucket").as("qbucket"))
       e.filter(col("vec_id") =!= 0)
@@ -69,7 +87,6 @@ object VectorQueries {
 
   def oracleSql: Map[String, String] = {
     val cosR6 = sqlCosineR6("ve", "qe")
-    val cosAb = sqlCosineR6("va", "vb")
     Map(
       "q26_ann_bruteforce" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
@@ -78,12 +95,27 @@ object VectorQueries {
            |FROM e, q ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
 
       "q27_embedding_neardup" ->
-        s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |       ${sqlCosineR6("a.v", "b.v")} AS cos_r
-           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-           |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 10""".stripMargin
-      // q28_ann_lsh: rows-only (engine-defined bucketing)
+        s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |     b AS (SELECT vec_id, label, v,
+           |             ${sqlLshBucket("v", Band0, Dims)} AS b0,
+           |             ${sqlLshBucket("v", Band1, Dims)} AS b1 FROM e),
+           |     bands AS (SELECT vec_id, label, 0 AS band_id, b0 AS bucket FROM b
+           |               UNION ALL SELECT vec_id, label, 1, b1 FROM b),
+           |     cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |              FROM bands x JOIN bands y
+           |                ON x.label = y.label AND x.band_id = y.band_id
+           |               AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT vec_a, vec_b, ${sqlCosineR6("a.v", "b.v")} AS cos_r
+           |FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id
+           |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+
+      "q28_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |     b AS (SELECT vec_id, v, ${sqlLshBucket("v", AnnPlanes, Dims)} AS bucket FROM e),
+           |     q AS (SELECT v AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+           |SELECT vec_id, bucket, ${sqlCosineR6("v", "qe")} AS cos_r
+           |FROM b, q WHERE vec_id != 0 AND bucket = qbucket
+           |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin
     )
   }
 }

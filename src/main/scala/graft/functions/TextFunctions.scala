@@ -32,13 +32,25 @@ object TextFunctions {
   def sqlShingles(c: String, k: Int): String =
     s"list_transform(range(1, greatest(length($c)-${k - 1},1)+1), i -> substr($c, CAST(i AS INT), $k))"
 
-  /** MinHash signature j over a shingle array: lexicographic min of
-    * md5(j ++ ":" ++ shingle). A hex string min is a valid uniform minhash
-    * (binary collation in both engines) and needs no 64-bit int parsing. */
-  def minhashSig(shingleArr: Column, j: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$j:"), s))))
-  def sqlMinhashSig(shinglesSql: String, j: Int): String =
-    s"list_min(list_transform($shinglesSql, x -> md5('$j:'||x)))"
+  /** md5 each element of a string array (optionally salted). One md5 call
+    * per element; downstream signatures slice the 32-hex result into four
+    * independent 8-hex chunks — 4 MinHash signatures per md5 instead of
+    * one md5 per signature (the round-1 bench's dominant cost). */
+  def hashArray(arr: Column, salt: String): Column =
+    if (salt.isEmpty) transform(arr, s => md5(s))
+    else transform(arr, s => md5(concat(lit(salt), s)))
+  def sqlHashArray(arrSql: String, salt: String): String =
+    if (salt.isEmpty) s"list_transform($arrSql, x -> md5(x))"
+    else s"list_transform($arrSql, x -> md5('$salt'||x))"
+
+  /** MinHash signature from chunk j∈0..3 of pre-hashed 32-hex strings:
+    * lexicographic min of the 8-hex substring. A fixed-width lowercase hex
+    * min is a valid uniform minhash (binary collation in both engines) and
+    * needs no 64-bit int parsing. */
+  def minChunk(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, h => substring(h, 1 + 8 * j, 8)))
+  def sqlMinChunk(hashesSql: String, j: Int): String =
+    s"list_min(list_transform($hashesSql, h -> substr(h, ${1 + 8 * j}, 8)))"
 
   /** LSH band bucket = hash of the concatenated signature rows. */
   def bandBucket(sigs: Seq[Column]): Column = md5(concat(sigs: _*))

@@ -40,22 +40,40 @@ object VectorFunctions {
   def sqlCosineR6(a: String, b: String): String =
     s"round(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)}) / sqrt(${sqlDot(b, b)}), 6)"
 
-  /** Deterministic LSH hyperplane sign for plane `p`, dimension `i`:
-    * ±1 from one md5 hex digit — reproducible in any engine, no RNG. */
-  def planeSign(p: Int, i: Column): Column = {
-    val digit = substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 1)
-    when(conv(digit, 16, 10).cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Sign-random-projection LSH bucket id over `nPlanes` deterministic
-    * hyperplanes: bit p = [dot(v, plane_p) > 0]. */
-  def lshBucket(v: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
+  /** Deterministic ±1 hyperplane signs for plane `p`, computed ONCE at
+    * plan-build time (md5 parity of "plane{p}:{i}") — the per-row md5
+    * storm of round 1 (nPlanes × dims md5 calls per vector) becomes a
+    * plain dot product against an array literal. */
+  def planeSigns(p: Int, dims: Int): Seq[Int] =
+    (0 until dims).map { i =>
+      if (Integer.parseInt(md5Hex(s"plane$p:$i").substring(0, 1), 16) % 2 == 0) 1 else -1
+    }
+
+  /** Sign-random-projection LSH bucket over the given plane range:
+    * bit k = [proj(v, plane_(range(k))) > 0]. The projection is computed in
+    * scaled-BIGINT arithmetic (round(x·1e6)·sign summed as longs) so it is
+    * exact and summation-order-independent — bit-identical in any engine,
+    * no float accumulation-order risk on the sign test. */
+  def lshBucket(v: Column, planes: Range, dims: Int): Column = {
+    val bits = planes.zipWithIndex.map { case (p, k) =>
+      val signs = typedLit(planeSigns(p, dims))
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeSign(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+        zip_with(v, signs, (x, s) => round(x * 1000000).cast("long") * s),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << k)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
+
+  /** DuckDB mirror of [[lshBucket]]: same sign literals, same scaled-int
+    * projection. */
+  def sqlLshBucket(v: String, planes: Range, dims: Int): String =
+    planes.zipWithIndex.map { case (p, k) =>
+      val signs = planeSigns(p, dims).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,${dims + 1}), i -> CAST(round(list_extract($v,i)*1000000) AS BIGINT) * list_extract($signs,i))) > 0 THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -25,8 +25,8 @@ class TextVectorSpec extends AnyFunSuite {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
                  (2L, "the quick brown fox jumps over the lazy dog today"))
       .toDF("doc_id", "text")
-    val sh = shingles(col("text"), 5)
-    val sigs = df.select(col("doc_id"), minhashSig(sh, 0).as("s0"), minhashSig(sh, 1).as("s1"))
+    val hashed = df.select(col("doc_id"), hashArray(shingles(col("text"), 5), "").as("h"))
+    val sigs = hashed.select(col("doc_id"), minChunk(col("h"), 0).as("s0"), minChunk(col("h"), 1).as("s1"))
     val rows = sigs.collect()
     assert(rows(0).getString(1) == rows(1).getString(1))
     assert(rows(0).getString(2) == rows(1).getString(2))
@@ -56,7 +56,7 @@ class TextVectorSpec extends AnyFunSuite {
   test("lsh bucket is deterministic and within range") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), 8))
+      .withColumn("bucket", lshBucket(col("v"), 0 until 8, 64))
     val a = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val b = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(a == b)
