@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ml.Forecaster
+import graft.ml.Forecaster.{CvMetric, Forecast, Obs}
+import graft.ops.Relational.latestPerKey
+import graft.store.Store
+
+/** The reference's weekly train+forecast pipeline (SURVEY §3.2, U2-U4,
+  * W2, A4-A8) as declared queries over the `events` table: per-key daily
+  * series → anchored 5-fold walk-forward CV → closed-form OLS fit →
+  * inclusive 7-day forecast → write/dedup/read-back slice.
+  *
+  * The whole reference DAG (distinct keys → Ray fan-out → HTTP forecast
+  * → to_sql append) collapses into groupByKey.flatMapGroups + a parquet
+  * append — the Spark-native shape that scales from 5 keys to 10M.
+  */
+object MlQueries {
+
+  /** Per-key daily series: distributed hash-aggregate first (the heavy
+    * part), so flatMapGroups only ever sees one tiny series per key. */
+  private def dailySeries(s: SparkSession, dir: String): Dataset[Obs] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(col("value") > 0)
+      .groupBy(col("event_type").as("key"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1000).cast(LongType)).as("y3"))
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(Window.partitionBy("key"))).cast(IntegerType))
+      .select("key", "day", "x", "y3")
+      .as[Obs]
+  }
+
+  private def cvMetricsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dailySeries(s, dir)
+      .groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.cvMetrics(k, it))
+      .toDF()
+  }
+
+  private def forecastDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dailySeries(s, dir)
+      .groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.forecastKey(k, it))
+      .toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // U4/W2/A4-A8 — per-(key, fold) walk-forward CV metric pack.
+    "q30_cv_metrics" -> ((s, dir) =>
+      cvMetricsDf(s, dir).orderBy("key", "fold")),
+
+    // U2/U3/X9 — per-key fit + inclusive 7-day forecast (8 rows/key).
+    "q31_forecast" -> ((s, dir) =>
+      forecastDf(s, dir).orderBy("key", "day")),
+
+    // End-to-end slice (SURVEY §7.2, web-ui/app/db_utils.py:32-73):
+    // the engine WRITES forecasts twice (two model versions) through the
+    // store layer (K5 ensure + K3 append), then reads its own table back
+    // and serves latest-per-key (W1 dedup) with the X13 model name —
+    // the reference's UI read path over engine-written data.
+    "q32_latest_forecasts" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_fc").toString + "/forecast_results"
+      val fc = forecastDf(s, dir)
+      Store.ensureTable(s, tbl, fc.withColumn("model_version", lit(1)).schema)
+      Store.append(fc.withColumn("model_version", lit(1)), tbl)
+      Store.append(fc.withColumn("model_version", lit(2)), tbl)
+      latestPerKey(Store.read(s, tbl), Seq("key", "day"), col("model_version"))
+        .withColumn("model_name", concat_ws("-", lit("graft-forecaster"), col("key")))
+        .select("key", "day", "yhat3", "lo3", "hi3", "model_name", "model_version")
+        .orderBy("key", "day")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared CTE: per-key daily series with day index (mirror of
+    * [[dailySeries]]). */
+  private val seriesCte =
+    """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+      |                      SUM(CAST(round(value*1000) AS BIGINT)) AS y3
+      |               FROM events WHERE value > 0 GROUP BY 1, 2),
+      |base AS (SELECT key, day, y3,
+      |                CAST(date_diff('day', MIN(day) OVER (PARTITION BY key), day) AS INT) AS x
+      |         FROM daily)""".stripMargin
+
+  /** OLS sufficient statistics + slope/intercept, mirroring
+    * [[Forecaster.ols]]'s exact double op sequence. */
+  private def fitCte(src: String, keyCols: String, nCol: String) =
+    s"""s1 AS (SELECT *, CAST($nCol*sxy - sx*sy AS DOUBLE) / CAST($nCol*sxx - sx*sx AS DOUBLE) AS slope
+       |       FROM $src WHERE $nCol >= 2),
+       |s2 AS (SELECT *, (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE)) / CAST($nCol AS DOUBLE) AS icept
+       |       FROM s1)""".stripMargin
+
+  private val forecastSql =
+    s"""$seriesCte,
+       |st AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(y3) AS sy,
+       |              SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy,
+       |              MAX(day) AS maxd, MAX(x) AS maxx
+       |       FROM base GROUP BY key),
+       |${fitCte("st", "key", "n")},
+       |r AS (SELECT b.key,
+       |             SUM((b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE)) AS BIGINT))
+       |               * (b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE)) AS BIGINT))) AS ssr
+       |      FROM base b JOIN s2 ON b.key = s2.key GROUP BY b.key),
+       |ci AS (SELECT s2.key, s2.n, s2.maxd, s2.maxx, s2.slope, s2.icept,
+       |              CAST(round(1.96*sqrt(CAST(ssr AS DOUBLE)/CAST(s2.n AS DOUBLE))) AS BIGINT) AS ci3
+       |       FROM s2 JOIN r ON s2.key = r.key),
+       |fc AS (SELECT key, maxd + CAST(i AS INT) AS day,
+       |              CAST(round(icept + slope*CAST(maxx + i AS DOUBLE)) AS BIGINT) AS yhat3, ci3
+       |       FROM ci CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q30_cv_metrics" ->
+      s"""$seriesCte,
+         |cnt AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
+         |rn AS (SELECT b.key, b.x, b.y3,
+         |              row_number() OVER (PARTITION BY b.key ORDER BY b.x) AS rn,
+         |              c.n, c.n // 6 AS ts
+         |       FROM base b JOIN cnt c ON b.key = c.key),
+         |a AS (SELECT * FROM rn CROSS JOIN (SELECT UNNEST(range(1, 6)) AS f)),
+         |tr AS (SELECT key, f, COUNT(*) AS n_train, SUM(x) AS sx, SUM(y3) AS sy,
+         |              SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy
+         |       FROM a WHERE rn <= n - (6 - f)*ts GROUP BY key, f),
+         |${fitCte("tr", "key, f", "n_train")},
+         |te AS (SELECT a.key, a.f, a.y3,
+         |              ABS(a.y3 - CAST(round(icept + slope*CAST(a.x AS DOUBLE)) AS BIGINT)) AS abs3
+         |       FROM a JOIN s2 ON a.key = s2.key AND a.f = s2.f
+         |       WHERE a.rn > a.n - (6 - a.f)*a.ts AND a.rn <= a.n - (5 - a.f)*a.ts),
+         |m AS (SELECT key, f, COUNT(*) AS n_test, SUM(abs3) AS sabs, SUM(abs3*abs3) AS ssq,
+         |             SUM(CAST(floor(abs3*1000000000.0/y3) AS BIGINT)) AS spct,
+         |             quantile_cont(abs3, 0.5) AS med
+         |      FROM te GROUP BY key, f)
+         |SELECT m.key, CAST(m.f AS INT) AS fold, t.n_train, m.n_test,
+         | CAST(sabs AS DOUBLE)/n_test/1000.0 AS mae,
+         | sqrt(CAST(ssq AS DOUBLE)/n_test)/1000.0 AS rmse,
+         | CAST(spct AS DOUBLE)/n_test/1000000000.0 AS mape,
+         | CAST(med AS DOUBLE)/1000.0 AS medae
+         |FROM m JOIN tr t ON m.key = t.key AND m.f = t.f
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q31_forecast" ->
+      s"""$forecastSql
+         |SELECT key, day, yhat3, yhat3 - ci3 AS lo3, yhat3 + ci3 AS hi3
+         |FROM fc ORDER BY key, day""".stripMargin,
+
+    "q32_latest_forecasts" ->
+      s"""$forecastSql
+         |SELECT key, day, yhat3, yhat3 - ci3 AS lo3, yhat3 + ci3 AS hi3,
+         |       'graft-forecaster-'||key AS model_name, CAST(2 AS INT) AS model_version
+         |FROM fc ORDER BY key, day""".stripMargin
+  )
+}

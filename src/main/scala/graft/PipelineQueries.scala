@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Relational._
+import graft.streaming.StreamIngest
+
+/** Pipeline-surface queries: streaming ingest (§2.1 S2/K2, §2.9), the
+  * CSV seed-prep flow (S1/X1-X7/F2), multimodal binary columns, and the
+  * misc scalar/sort closers (O5, X2, X8).
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2/P1/P2/K2/§2.9 — the reference's daily ingest, end to end INSIDE
+    // the query: events → JSON-lines drop dir (producer envelope, X10
+    // write half) → file-stream parse → checkpointed foreachBatch append
+    // → REPLAY with the same checkpoint (must ingest nothing) → read the
+    // table back and aggregate. Any replay duplication doubles the
+    // counts and fails the oracle, so exactly-once is what's verified.
+    "q29_stream_ingest" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      StreamIngest.toJsonLines(ev).write.mode("overwrite").text(src)
+      def parsed = StreamIngest.jsonLinesStream(s, src, Schemas.eventsEnvelope)
+        .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      StreamIngest.ingestOnce(parsed, tbl, ckpt) // drain
+      StreamIngest.ingestOnce(parsed, tbl, ckpt) // replay: checkpoint => no-op
+      s.read.parquet(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast(LongType)).as("sum_v6"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          min(to_date(col("ts"))).as("min_day"), max(to_date(col("ts"))).as("max_day"))
+        .orderBy("event_type")
+    }),
+
+    // S1/X1/X3/X4/X6/F2 — the put_data_in_postgres.py seed-prep flow
+    // (reference :25-53): the engine writes a CSV fixture the way an
+    // upstream system would (MixedCase headers, pattern-formatted
+    // dates), then schema'd CSV read → lowercase renames → pattern date
+    // parse → month substring → last-2-months in-list filter → date
+    // rebase against the max date.
+    "q33_csv_seedprep" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/src"
+      Tables.orders(s, dir).select(
+          col("o_orderkey").as("OrderKey"),
+          date_format(col("o_orderdate"), "MM/dd/yyyy").as("OrderDate"),
+          col("o_totalprice").as("TotalPrice"),
+          col("o_orderstatus").as("Status"))
+        .write.option("header", "true").mode("overwrite").csv(src)
+      val raw = s.read.option("header", "true")
+        .schema(StructType(Seq(
+          StructField("OrderKey", LongType), StructField("OrderDate", StringType),
+          StructField("TotalPrice", DoubleType), StructField("Status", StringType))))
+        .csv(src)
+      val lc = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      val o = lc.select(col("orderkey"),
+          to_date(col("orderdate"), "MM/dd/yyyy").as("od"),
+          col("totalprice").cast(DecimalType(18, 2)).as("price"), col("status"))
+        .withColumn("month", date_format(col("od"), "yyyy-MM"))
+      val lastMonths = topK(o.select("month").distinct(), 2, col("month").desc)
+      val mx = o.agg(max(col("od")).as("maxd"))
+      semiFilter(o, lastMonths, Seq("month"))
+        .crossJoin(broadcast(mx))
+        .select(col("orderkey"), col("month"), col("status"),
+          datediff(col("maxd"), col("od")).cast(LongType).as("days_from_latest"),
+          col("price"))
+        .orderBy("orderkey")
+    }),
+
+    // Multimodal binary columns: payload as opaque bytes + typed
+    // metadata (byte length, magic prefix, content hash) and the
+    // deterministic fake-decode dimensions — all pure column expressions
+    // over BinaryType, no UDF; see MultimodalFunctions for the
+    // mapPartitions decode-stub variant.
+    "q34_multimodal" -> ((s, dir) => {
+      val bin = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          encode(col("text"), "UTF-8").as("payload"))
+      bin.select(
+          col("doc_id"), col("lang"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 8)).as("magic"),
+          md5(col("text")).as("content_hash"),
+          conv(substring(hex(col("payload")), 1, 2), 16, 10).cast(IntegerType).as("b0"),
+          conv(substring(hex(col("payload")), 3, 2), 16, 10).cast(IntegerType).as("b1"))
+        .withColumn("width", lit(1) + col("b0") % 64)
+        .withColumn("height", lit(1) + col("b1") % 64)
+        .drop("b0", "b1")
+        .orderBy("doc_id")
+    }),
+
+    // O5 tail-k + X8 timezone normalize + X2 to-string cast: activity
+    // over the last 10 distinct event days, timestamps normalized from a
+    // +05:30 local wall clock to UTC.
+    "q35_misc_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val lastDays = topK(e.select("day").distinct(), 10, col("day").desc)
+      e.join(broadcast(lastDays), Seq("day"))
+        .select(col("day"), to_utc_timestamp(col("ts"), "+05:30").as("ts_utc"),
+          col("event_id").cast(StringType).as("id_str"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          date_format(max(col("ts_utc")), "yyyy-MM-dd HH:mm:ss").as("max_ts_utc"),
+          max(col("id_str")).as("max_id_str"))
+        .orderBy("day")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q29_stream_ingest" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        | MIN(CAST(ts AS DATE)) AS min_day, MAX(CAST(ts AS DATE)) AS max_day
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q33_csv_seedprep" ->
+      """WITH o AS (SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS od,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |                  o_orderstatus AS status,
+        |                  strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+        |     m AS (SELECT DISTINCT month FROM o ORDER BY month DESC LIMIT 2),
+        |     mx AS (SELECT MAX(od) AS maxd FROM o)
+        |SELECT orderkey, month, status,
+        |       CAST(date_diff('day', od, maxd) AS BIGINT) AS days_from_latest, price
+        |FROM o, mx WHERE month IN (SELECT month FROM m)
+        |ORDER BY orderkey""".stripMargin,
+
+    "q34_multimodal" -> {
+      def byteVal(p: Int) = {
+        def digit(off: Int, mult: Int) =
+          s"(strpos('0123456789abcdef', substr(lower(hex(payload)),${p + off},1))-1)*$mult"
+        s"(${digit(0, 16)} + ${digit(1, 1)})"
+      }
+      s"""WITH b AS (SELECT doc_id, lang, text, encode(text) AS payload FROM documents)
+         |SELECT doc_id, lang,
+         | CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         | lower(substr(hex(payload), 1, 8)) AS magic,
+         | md5(text) AS content_hash,
+         | CAST(1 + ${byteVal(1)} % 64 AS INT) AS width,
+         | CAST(1 + ${byteVal(3)} % 64 AS INT) AS height
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q35_misc_ops" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, ts,
+        |                  CAST(event_id AS VARCHAR) AS id_str FROM events),
+        |     d AS (SELECT DISTINCT day FROM e ORDER BY day DESC LIMIT 10)
+        |SELECT day, COUNT(*) AS n,
+        | strftime(MAX(ts - INTERVAL 330 MINUTE), '%Y-%m-%d %H:%M:%S') AS max_ts_utc,
+        | MAX(id_str) AS max_id_str
+        |FROM e WHERE day IN (SELECT day FROM d)
+        |GROUP BY day ORDER BY day""".stripMargin
+  )
+}

@@ -27,7 +27,8 @@ object SparkEntry {
     queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relationalQueries ++ TextQueries.queries ++ VectorQueries.queries
+    relationalQueries ++ TextQueries.queries ++ VectorQueries.queries ++
+      PipelineQueries.queries ++ MlQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -213,7 +214,8 @@ object SparkEntry {
 
   /** DuckDB-dialect ANSI SQL oracles, column-name aligned with `queries`. */
   def oracleSql: Map[String, String] =
-    relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql
+    relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ MlQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->

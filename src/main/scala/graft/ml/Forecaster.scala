@@ -1,0 +1,135 @@
+package graft.ml
+
+/** Per-key deterministic trainer + forecaster — the reference's weekly
+  * pipeline (services/training-service/app/train_utils.py:72-151: one
+  * Prophet model per (store, product), 5-fold anchored CV, 7-day
+  * forecast) re-expressed as a per-group closed-form OLS fit that a SQL
+  * oracle can reproduce bit-exactly.
+  *
+  * Determinism contract (FIXTURES.md §7 spirit):
+  *  - the target is a scaled integer (y3 = round(value·1e3) summed as
+  *    BIGINT) so every sufficient statistic (Σx, Σy, Σxy, Σx²) is an
+  *    exact integer, immune to summation order;
+  *  - slope/intercept/predictions are doubles derived from those integers
+  *    with a FIXED operation sequence, mirrored token-for-token in the
+  *    DuckDB oracle — identical IEEE inputs + identical op order =
+  *    identical bits;
+  *  - rounding is half-away-from-zero (both engines' round()).
+  *
+  * Scale: the heavy lifting (daily aggregation) is a distributed
+  * hash-aggregate; flatMapGroups then sees one tiny (days × 1) series per
+  * key — the same fan-out shape as the reference's 1,115 Ray tasks, but
+  * shuffle-partitioned instead of driver-scheduled, so 10M keys work as
+  * well as 5.
+  */
+object Forecaster {
+
+  /** One daily observation of a per-key series. `x` = day index from the
+    * key's first day; `y3` = target scaled by 1e3. */
+  case class Obs(key: String, day: java.sql.Date, x: Int, y3: Long)
+
+  /** Per-fold walk-forward CV metrics (reference train_utils.py:94-122;
+    * metric pack A5-A8). Scaled-int error arithmetic like q13. */
+  case class CvMetric(key: String, fold: Int, n_train: Long, n_test: Long,
+                      mae: Double, rmse: Double, mape: Double, medae: Double)
+
+  /** One forecast row (reference forecast frame ds/yhat/lower/upper —
+    * forecast-service/app/main.py:94-106), values in e3 scale. */
+  case class Forecast(key: String, day: java.sql.Date, yhat3: Long,
+                      lo3: Long, hi3: Long)
+
+  /** round() with half-away-from-zero ties, matching Spark's and DuckDB's
+    * SQL round() (java's Math.round floors ties for negatives). */
+  private def roundAway(d: Double): Long =
+    if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
+
+  /** Closed-form OLS on integer sufficient statistics. Returned doubles
+    * are bit-reproducible from (n, sx, sy, sxx, sxy) in any engine. */
+  final case class Fit(slope: Double, intercept: Double)
+  def ols(n: Long, sx: Long, sy: Long, sxx: Long, sxy: Long): Fit = {
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    Fit(slope, intercept)
+  }
+  def predict3(fit: Fit, x: Int): Long =
+    roundAway(fit.intercept + fit.slope * x.toDouble)
+
+  private def sums(pts: Array[Obs]): (Long, Long, Long, Long, Long) = {
+    var n, sx, sy, sxx, sxy = 0L
+    pts.foreach { p =>
+      n += 1; sx += p.x; sy += p.y3
+      sxx += p.x.toLong * p.x; sxy += p.x.toLong * p.y3
+    }
+    (n, sx, sy, sxx, sxy)
+  }
+
+  /** U4/W2 — anchored walk-forward folds over a date-sorted series
+    * (reference TimeSeriesSplit(n_splits=5), train_utils.py:96-103):
+    * test size = n div 6; fold f trains on rows [0, n-(6-f)·ts) and
+    * tests on the next ts rows — expanding train, successive test. */
+  val NumFolds = 5
+  def foldBounds(n: Int, f: Int): (Int, Int) = {
+    val ts = n / (NumFolds + 1)
+    (n - (NumFolds + 1 - f) * ts, n - (NumFolds - f) * ts)
+  }
+
+  /** U2 (CV half) — per-key walk-forward CV metrics. Call from
+    * `groupByKey(_.key).flatMapGroups`. */
+  def cvMetrics(key: String, series: Iterator[Obs]): Iterator[CvMetric] = {
+    val pts = series.toArray.sortBy(_.x)
+    val n = pts.length
+    (1 to NumFolds).iterator.flatMap { f =>
+      val (trainEnd, testEnd) = foldBounds(n, f)
+      if (trainEnd < 2 || testEnd <= trainEnd) Iterator.empty
+      else {
+        val train = pts.slice(0, trainEnd)
+        val test = pts.slice(trainEnd, testEnd)
+        val (tn, sx, sy, sxx, sxy) = sums(train)
+        val fit = ols(tn, sx, sy, sxx, sxy)
+        val abs3 = test.map(p => math.abs(p.y3 - predict3(fit, p.x))).sorted
+        val m = test.length
+        var sumAbs = 0L; var sumSq = BigInt(0); var sumPct = 0L
+        test.foreach { p =>
+          val a = math.abs(p.y3 - predict3(fit, p.x))
+          sumAbs += a; sumSq += BigInt(a) * BigInt(a)
+          sumPct += math.floor(a * 1000000000.0 / p.y3).toLong
+        }
+        val medae =
+          (if (m % 2 == 1) abs3(m / 2).toDouble
+           else (abs3(m / 2 - 1) + abs3(m / 2)) / 2.0) / 1000.0
+        Iterator.single(CvMetric(key, f, tn, m,
+          mae = sumAbs.toDouble / m / 1000.0,
+          rmse = math.sqrt(sumSq.toDouble / m) / 1000.0,
+          mape = sumPct.toDouble / m / 1000000000.0,
+          medae = medae))
+      }
+    }
+  }
+
+  /** Forecast horizon: the reference's inclusive 7-day window = 8 rows
+    * (pd.date_range inclusivity, helpers.py:29). */
+  val HorizonRows = 8
+
+  /** U2/U3 — per-key final fit + inclusive 7-day-ahead forecast with a
+    * 95% CI from the in-sample residual RMS (±1.96σ, the engine-defined
+    * stand-in for Prophet's interval_width=0.95). */
+  def forecastKey(key: String, series: Iterator[Obs]): Iterator[Forecast] = {
+    val pts = series.toArray.sortBy(_.x)
+    if (pts.length < 2) return Iterator.empty
+    val (n, sx, sy, sxx, sxy) = sums(pts)
+    val fit = ols(n, sx, sy, sxx, sxy)
+    var ssr = BigInt(0)
+    pts.foreach { p =>
+      val r = p.y3 - predict3(fit, p.x)
+      ssr += BigInt(r) * BigInt(r)
+    }
+    val ci3 = roundAway(1.96 * math.sqrt(ssr.toDouble / n.toDouble))
+    val last = pts.last
+    (1 to HorizonRows).iterator.map { i =>
+      val x = last.x + i
+      val day = java.sql.Date.valueOf(last.day.toLocalDate.plusDays(i.toLong))
+      val y = predict3(fit, x)
+      Forecast(key, day, y, y - ci3, y + ci3)
+    }
+  }
+}

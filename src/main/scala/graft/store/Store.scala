@@ -1,0 +1,52 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table/write layer over Parquet — the reference's Postgres DDL + sink
+  * surface (SURVEY §2.1 K3/K4/K5, S4) for an engine whose tables are
+  * directories of columnar files:
+  *
+  *  - ensureTable  ≡ Base.metadata.create_all (airflow/dags/db_utils.py:50-54)
+  *  - append       ≡ df.to_sql(..., if_exists="append") (put_data_in_postgres.py:71)
+  *  - overwrite    ≡ drop_all/create_all + append (put_data_in_postgres.py:61-65)
+  *  - schemaOf     ≡ automap reflection (db_utils.py:71-75) — parquet
+  *                   footer schema, no driver-side catalog bottleneck
+  *
+  * At scale: appends are per-partition parquet file adds (no shuffle, no
+  * global lock); `appendPartitioned` lays data out by a partition column
+  * (the reference's date-keyed sales table) so lookback filters (F3)
+  * become partition pruning instead of full scans.
+  */
+object Store {
+
+  /** K5 — create the table directory with an empty, schema-bearing
+    * parquet file if it does not exist yet (idempotent). */
+  def ensureTable(spark: SparkSession, dir: String, schema: StructType): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(path)) {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .repartition(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** K3 — batch append. */
+  def append(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  /** K4 — idempotent overwrite (drop-and-recreate seed semantics). */
+  def overwrite(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** K3 at scale — append laid out by a partition column; date-range
+    * queries then prune whole directories (dynamic partition pruning). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode("append").partitionBy(partCol).parquet(dir)
+
+  /** S4 — schema-on-read reflection from the parquet footer. */
+  def schemaOf(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingest — the reference's daily pipeline
+  * (services/airflow/dags/spark_streaming.py:45-97) re-expressed as
+  * Structured Streaming over a JSON-lines file source:
+  *
+  *   readStream (Kafka-shaped: one raw JSON string per record)
+  *     → CAST(value AS STRING) → from_json(schema) → select("data.*")
+  *     → foreachBatch parquet append, checkpointed, Trigger.AvailableNow
+  *
+  * The file source stands in for the Kafka topic (same binary-value
+  * envelope, kafka_producer.py:45-62); swapping `format("text")` for
+  * `format("kafka")` is the only cluster-side change. Checkpointing gives
+  * the reference's at-least-once drain-the-topic-once-a-day semantics
+  * (spark_streaming.py:91-94): a replay with the same checkpoint ingests
+  * nothing new, so the sink stays duplicate-free.
+  *
+  * At 100 TB this is the right shape: the source lists only NEW files per
+  * micro-batch, parse+flatten is embarrassingly parallel, and the sink
+  * append is partitioned by the batch's own partitioning (no shuffle).
+  */
+object StreamIngest {
+
+  /** S2/P1/P2 — streaming source + envelope parse. `value` is the raw
+    * JSON message string (the Kafka value after CAST AS STRING). */
+  def jsonLinesStream(spark: SparkSession, srcDir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(srcDir)
+      .selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), schema).as("data"))
+      .select("data.*")
+
+  /** K2 — checkpointed micro-batch append sink, drained with
+    * AvailableNow (the 4.x successor of the reference's trigger(once)).
+    * Blocks until the drain completes. */
+  def ingestOnce(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit = {
+    val q = parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(tableDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** X10 write half — serialize rows to one-JSON-object-per-line strings
+    * (the producer's json.dumps envelope, kafka_producer.py:45-48). */
+  def toJsonLines(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.Forecaster
+import graft.ml.Forecaster.Obs
+import graft.functions.MultimodalFunctions
+import graft.store.Store
+import graft.streaming.StreamIngest
+
+/** Behavioral specs for the round-2 subsystems: streaming replay
+  * semantics, walk-forward CV fold geometry, OLS determinism, the store
+  * write layer, the UI read path, and the multimodal decode stub. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = Engine.session("pipeline-test")
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streaming ingest is replay-safe: same checkpoint drains the source exactly once") {
+    val work = tmp("graft_replay")
+    val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    StreamIngest.toJsonLines(df).write.mode("overwrite").text(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    StreamIngest.ingestOnce(StreamIngest.jsonLinesStream(spark, src, schema), tbl, ckpt)
+    assert(spark.read.parquet(tbl).count() == 3)
+    // replay with the same checkpoint: nothing new to process
+    StreamIngest.ingestOnce(StreamIngest.jsonLinesStream(spark, src, schema), tbl, ckpt)
+    assert(spark.read.parquet(tbl).count() == 3)
+    // a NEW file arrives: only it is ingested on the next drain
+    StreamIngest.toJsonLines(Seq((4L, "d")).toDF("id", "v"))
+      .write.mode("append").text(src)
+    StreamIngest.ingestOnce(StreamIngest.jsonLinesStream(spark, src, schema), tbl, ckpt)
+    assert(spark.read.parquet(tbl).count() == 4)
+  }
+
+  test("walk-forward folds are anchored and expanding (TimeSeriesSplit shape)") {
+    // n=30 -> test size 5; fold f trains on 5f rows, tests the next 5
+    assert((1 to 5).map(Forecaster.foldBounds(30, _)) ==
+      Seq((5, 10), (10, 15), (15, 20), (20, 25), (25, 30)))
+    // n=31 -> ts=5, first train gets the remainder (6 rows)
+    assert(Forecaster.foldBounds(31, 1) == (6, 11))
+  }
+
+  test("OLS closed form recovers a perfect linear series and forecasts it") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val series = (0 until 12).map { i =>
+      Obs("k", java.sql.Date.valueOf(d0.toLocalDate.plusDays(i.toLong)), i, 1000L + 10L * i)
+    }
+    val fc = Forecaster.forecastKey("k", series.iterator).toSeq
+    assert(fc.length == Forecaster.HorizonRows)
+    // perfect fit: zero residual, zero CI width, exact linear continuation
+    assert(fc.head.yhat3 == 1000L + 10L * 12 && fc.head.lo3 == fc.head.yhat3)
+    assert(fc.last.yhat3 == 1000L + 10L * 19)
+    assert(fc.head.day.toLocalDate == d0.toLocalDate.plusDays(12))
+    // CV metrics on a perfect line are all zero
+    val cv = Forecaster.cvMetrics("k", series.iterator).toSeq
+    assert(cv.length == 5 && cv.forall(m => m.mae == 0.0 && m.rmse == 0.0))
+  }
+
+  test("store layer: ensure is idempotent, append accumulates, overwrite resets") {
+    val dir = tmp("graft_store") + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Store.ensureTable(spark, dir, df.schema)
+    Store.ensureTable(spark, dir, df.schema) // second ensure: no-op
+    assert(Store.read(spark, dir).count() == 0)
+    assert(Store.schemaOf(spark, dir).fieldNames.toSeq == Seq("k", "v"))
+    Store.append(df, dir)
+    Store.append(df, dir)
+    assert(Store.read(spark, dir).count() == 4)
+    Store.overwrite(df, dir)
+    assert(Store.read(spark, dir).count() == 2)
+  }
+
+  test("partitioned append prunes partitions on key filters") {
+    val dir = tmp("graft_store_part") + "/sales"
+    val df = Seq(("2024-01-01", 1, 10), ("2024-01-02", 1, 20), ("2024-01-02", 2, 30))
+      .toDF("date", "store", "sales")
+    Store.appendPartitioned(df, dir, "date")
+    val plan = Store.read(spark, dir).filter(col("date") === "2024-01-02")
+      .queryExecution.executedPlan.toString
+    // partition filter, not a data filter: pruned at planning time
+    assert(Store.read(spark, dir).filter(col("date") === "2024-01-02").count() == 2)
+    assert(!plan.contains("PushedFilters: [IsNotNull(date)"), plan)
+  }
+
+  test("latestForecasts serves the newest model version, ascending, n rows") {
+    import graft.api.ForecastApi
+    val d = java.sql.Date.valueOf(_: String)
+    val rows = Seq(
+      (1, "product_A", d("2024-02-01"), 100, 90, 110, "m", 1),
+      (1, "product_A", d("2024-02-01"), 105, 95, 115, "m", 2), // newer version wins
+      (1, "product_A", d("2024-02-02"), 120, 110, 130, "m", 2),
+      (2, "product_A", d("2024-02-01"), 999, 0, 0, "m", 2) // other store filtered out
+    ).toDF("store", "productname", "forecast_date", "forecast_sale",
+      "lower_ci", "upper_ci", "model_name", "model_version")
+    val out = ForecastApi.latestForecasts(rows, 1, "product_A", 7)
+      .select("forecast_date", "forecast_sale").as[(java.sql.Date, Int)].collect().toSeq
+    assert(out == Seq((d("2024-02-01"), 105), (d("2024-02-02"), 120)))
+  }
+
+  test("multimodal decode stub: deterministic dims from bytes, plumbing typed end-to-end") {
+    val ds = Seq((1L, Array[Byte](10, 20, 30)), (2L, Array[Byte](-1, 0))).toDS()
+    val out = MultimodalFunctions.decodeImages(spark, ds).collect().sortBy(_.doc_id)
+    assert(out(0) == MultimodalFunctions.MediaMeta(1L, 3, 11, 21))
+    assert(out(1) == MultimodalFunctions.MediaMeta(2L, 2, 1 + 255 % 64, 1))
+  }
+}
