@@ -130,16 +130,23 @@ object TextQueries {
     // candidates only — linear-ish at any corpus size.
     "q24_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+        // parallelize the hash stage (see withSignatures note on AQE)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
           array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
+      // explode → codegen'd md5 → partial-agg MIN (see withSignatures)
       val bb = d.select(col("doc_id"), col("lang"), col("source"),
-          hashArray(col("g"), "").as("hg"))
-        .select((Seq(col("doc_id"), col("lang"), col("source")) ++
-          (0 until 4).map(j => minChunk(col("hg"), j).as(s"s$j"))): _*)
+          explode(col("g")).as("gram"))
+        .select(col("doc_id"), col("lang"), col("source"), md5(col("gram")).as("h"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(min(substring(col("h"), 1, 8)).as("s0"),
+          min(substring(col("h"), 9, 8)).as("s1"),
+          min(substring(col("h"), 17, 8)).as("s2"),
+          min(substring(col("h"), 25, 8)).as("s3"))
       val bands = bb.select(col("doc_id"), col("lang"), col("source"),
         posexplode(array((0 until 4).map(j => col(s"s$j")): _*)).as(Seq("band_id", "bucket")))
       val cand = bands.as("x").join(bands.as("y"),
@@ -180,19 +187,26 @@ object TextQueries {
   /** doc_id + s0..s7 minhash signatures + b0,b1 band buckets.
     *
     * Hash budget: 2 salted md5 per shingle (each sliced into four 8-hex
-    * chunk-signatures) instead of round 1's 8 md5 per shingle. The hash
-    * arrays are materialized as their own projection so Catalyst's
-    * CollapseProject keeps each md5 evaluated once (non-cheap expressions
-    * referenced >1× are not inlined). */
+    * chunk-signatures) instead of round 1's 8 md5 per shingle.
+    *
+    * Execution shape: explode → codegen'd md5 → hash-aggregate with
+    * map-side partial MIN, NOT array higher-order functions. HOF lambdas
+    * are CodegenFallback (interpreted per element) — on a 1.5M-shingle
+    * corpus that is ~30× slower than the whole-stage-codegen'd explode
+    * pipeline. The up-front repartition uses an explicit partition count
+    * (AQE would coalesce a bytes-tiny shuffle to one partition and
+    * re-serialize this CPU-bound stage; with the count pinned, the
+    * groupBy also reuses the partitioning — no second shuffle). */
   private def withSignatures(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashed = docs.repartition(n, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sg"))
       .select(col("doc_id"),
-        hashArray(col("sh"), "").as("h0"), hashArray(col("sh"), "1:").as("h1"))
-    val sigCols =
-      (0 until RowsPerBand).map(j => minChunk(col("h0"), j).as(s"s$j")) ++
-      (0 until RowsPerBand).map(j => minChunk(col("h1"), j).as(s"s${j + RowsPerBand}"))
-    hashed.select((col("doc_id") +: sigCols): _*)
+        md5(col("sg")).as("h0"), md5(concat(lit("1:"), col("sg"))).as("h1"))
+    val aggs =
+      (0 until RowsPerBand).map(j => min(substring(col("h0"), 1 + 8 * j, 8)).as(s"s$j")) ++
+      (0 until RowsPerBand).map(j => min(substring(col("h1"), 1 + 8 * j, 8)).as(s"s${j + RowsPerBand}"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .withColumn("b0", bandBucket((0 until RowsPerBand).map(j => col(s"s$j"))))
       .withColumn("b1", bandBucket((RowsPerBand until NumSigs).map(j => col(s"s$j"))))
   }
