@@ -23,7 +23,8 @@ object Engine {
   /** Apply engine config to an arbitrary builder (shared by Verify/Bench
     * mains and tests so every session behaves identically). */
   def tune(b: SparkSession.Builder, shufflePartitions: String = DefaultCpus): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -199,14 +199,10 @@ object TextQueries {
     * groupBy also reuses the partitioning — no second shuffle). */
   private def withSignatures(docs: DataFrame): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hashed = docs.repartition(n, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sg"))
-      .select(col("doc_id"),
-        md5(col("sg")).as("h0"), md5(concat(lit("1:"), col("sg"))).as("h1"))
-    val aggs =
-      (0 until RowsPerBand).map(j => min(substring(col("h0"), 1 + 8 * j, 8)).as(s"s$j")) ++
-      (0 until RowsPerBand).map(j => min(substring(col("h1"), 1 + 8 * j, 8)).as(s"s${j + RowsPerBand}"))
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigd = docs.repartition(n, col("doc_id"))
+      .select(col("doc_id"), expr("minhash_sigs(text, 5)").as("sigs"))
+    val sigCols = (0 until NumSigs).map(j => element_at(col("sigs"), j + 1).as(s"s$j"))
+    sigd.select((col("doc_id") +: sigCols): _*)
       .withColumn("b0", bandBucket((0 until RowsPerBand).map(j => col(s"s$j"))))
       .withColumn("b1", bandBucket((RowsPerBand until NumSigs).map(j => col(s"s$j"))))
   }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** The fused MinHashSigs kernel must be value-identical to the
+  * declarative HOF definition that the DuckDB oracle mirrors —
+  * asserted element-wise on real testdata. */
+class MinHashKernelSpec extends AnyFunSuite {
+
+  lazy val spark = Engine.session("minhash-kernel-test")
+
+  test("minhash_sigs(text, 5) equals the declarative shingle/md5/chunk-min definition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // declarative reference: per-shingle md5s, chunk mins via HOFs
+    val hashed = docs
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .select(col("doc_id"),
+        hashArray(col("sh"), "").as("h0"), hashArray(col("sh"), "1:").as("h1"))
+    val ref = hashed.select(
+      col("doc_id"),
+      array((0 until 4).map(j => minChunk(col("h0"), j)) ++
+        (0 until 4).map(j => minChunk(col("h1"), j)): _*).as("sigs"))
+    val fused = docs.select(col("doc_id"), expr("minhash_sigs(text, 5)").as("sigs"))
+    assert(fused.join(ref.withColumnRenamed("sigs", "ref_sigs"), "doc_id")
+      .filter(col("sigs") =!= col("ref_sigs")).count() == 0)
+    assert(fused.count() == docs.count())
+  }
+
+  test("kernel handles degenerate inputs like the declarative form") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))
+      .toDF("doc_id", "text")
+    val hashed = df
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .select(col("doc_id"),
+        hashArray(col("sh"), "").as("h0"), hashArray(col("sh"), "1:").as("h1"))
+    val ref = hashed.select(
+      col("doc_id"),
+      array((0 until 4).map(j => minChunk(col("h0"), j)) ++
+        (0 until 4).map(j => minChunk(col("h1"), j)): _*).as("sigs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val fused = df.select(col("doc_id"), expr("minhash_sigs(text, 5)").as("sigs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fused == ref)
+  }
+}
