@@ -135,9 +135,9 @@ object TextQueries {
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("g"))
+          // native codegen'd kernel == array_distinct(transform(sequence(...),
+          // i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          expr("ngrams(toks, 3)").as("g"))
       // explode → codegen'd md5 → partial-agg MIN (see withSignatures)
       val bb = d.select(col("doc_id"), col("lang"), col("source"),
           explode(col("g")).as("gram"))

@@ -91,6 +91,55 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-gram kernel: distinct space-joined n-grams of a token array,
+  * first-occurrence order — value-identical to
+  * `array_distinct(transform(sequence(1, size-2), i -> concat_ws(' ',
+  * t[i], t[i+1], t[i+2])))` but one codegen'd pass instead of
+  * interpreted per-element lambdas. */
+object NGramKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def ngrams(toks: ArrayData, n: Int): GenericArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** `ngrams(tokenArray, n)` → array<string> of distinct word n-grams. */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngrams needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramKernel.ngrams(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NGramKernel.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 /** Session extensions: registers the engine's native functions.
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -102,6 +151,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(k: Int, IntegerType)) => MinHashSigs(text, k)
         case _ => throw new IllegalArgumentException(
           "usage: minhash_sigs(textCol, k) with a literal int k")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => WordNGrams(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: ngrams(arrayCol, n) with a literal int n")
       }))
   }
 }

@@ -29,6 +29,22 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(fused.count() == docs.count())
   }
 
+  test("ngrams(toks, 3) equals the declarative transform+array_distinct definition") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+    val ref = d.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("ref_g"))
+    val fused = d.select(col("doc_id"), expr("ngrams(toks, 3)").as("g"))
+    assert(fused.join(ref, "doc_id").filter(col("g") =!= col("ref_g")).count() == 0)
+    // degenerate: fewer tokens than n -> empty array
+    import spark.implicits._
+    val tiny = Seq((1L, Seq("a", "b"))).toDF("doc_id", "toks")
+    assert(tiny.select(expr("ngrams(toks, 3)")).as[Seq[String]].head().isEmpty)
+  }
+
   test("kernel handles degenerate inputs like the declarative form") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))
