@@ -98,6 +98,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // O4 — plain unordered LIMIT after a lookback filter (the
+    // training-service's `q.limit(last_n)` shape). Row content is
+    // engine-defined => rows-only check (no oracle entry), like the
+    // reference's own unordered SQL LIMIT.
+    "q36_plain_limit" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val anchor = e.agg(max(col("day")).as("maxd"))
+      plainLimit(
+        e.crossJoin(broadcast(anchor))
+          .filter(col("day") >= date_sub(col("maxd"), 13))
+          .select("event_id", "user_id", "event_type", "day"),
+        50)
+    }),
+
     // O5 tail-k + X8 timezone normalize + X2 to-string cast: activity
     // over the last 10 distinct event days, timestamps normalized from a
     // +05:30 local wall clock to UTC.

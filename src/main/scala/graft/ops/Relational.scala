@@ -64,6 +64,15 @@ object Relational {
   def dateIndex(df: DataFrame, startDate: Column, endDate: Column, asCol: String): DataFrame =
     df.withColumn(asCol, explode(sequence(startDate, endDate)))
 
+  /** O4 — plain LIMIT without an order (reference:
+    * `q.limit(last_n)` after a range filter,
+    * services/training-service/app/db_utils.py:31-33). Row CONTENT is
+    * engine-dependent (Spark takes the first rows of the first
+    * partitions), exactly like the reference's unordered SQL LIMIT —
+    * declared queries using it get a rows-only check, not a hash oracle. */
+  def plainLimit(df: DataFrame, n: Int): DataFrame =
+    df.limit(n)
+
   /** W2 — expanding (anchored walk-forward) running aggregate per key,
     * the frame shape behind the reference's TimeSeriesSplit CV
     * (services/training-service/app/train_utils.py:94-114). */

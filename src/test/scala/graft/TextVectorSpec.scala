@@ -63,6 +63,16 @@ class TextVectorSpec extends AnyFunSuite {
     assert(a.values.forall(x => x >= 0 && x < 256))
   }
 
+  test("near-dup pair queries contain no all-pairs join (the 100-TB guarantee)") {
+    for (q <- Seq("q23_minhash_dup_pairs", "q24_ngram_jaccard", "q27_embedding_neardup")) {
+      val plan = TextQueries.queries.getOrElse(q,
+        VectorQueries.queries(q))(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("langid heuristic prefers the language whose stopwords dominate") {
     val df = Seq((1L, "el la de que los una es y"), (2L, "the a of to in and is"))
       .toDF("doc_id", "text")
