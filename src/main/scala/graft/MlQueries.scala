@@ -135,7 +135,7 @@ object MlQueries {
          |       FROM a JOIN s2 ON a.key = s2.key AND a.f = s2.f
          |       WHERE a.rn > a.n - (6 - a.f)*a.ts AND a.rn <= a.n - (5 - a.f)*a.ts),
          |m AS (SELECT key, f, COUNT(*) AS n_test, SUM(abs3) AS sabs, SUM(abs3*abs3) AS ssq,
-         |             SUM(CAST(floor(abs3*1000000000.0/y3) AS BIGINT)) AS spct,
+         |             SUM((abs3*1000000000) // y3) AS spct,
          |             quantile_cont(abs3, 0.5) AS med
          |      FROM te GROUP BY key, f)
          |SELECT m.key, CAST(m.f AS INT) AS fold, t.n_train, m.n_test,

@@ -165,7 +165,9 @@ object SparkEntry {
           count(lit(1)).as("n"),
           (sum(col("abs6")).cast(DoubleType) / count(lit(1)) / 1000000.0).as("mae"),
           (sqrt(sum((col("abs6") * col("abs6")).cast(DecimalType(38, 0))).cast(DoubleType) / count(lit(1))) / 1000000.0).as("rmse"),
-          (sum(floor(col("abs6") * 1000000000.0 / col("v6"))).cast(DoubleType) / count(lit(1)) / 1000000000.0).as("mape"),
+          // pure BIGINT floor-division (abs6 ≤ 1e9 ⇒ abs6·1e9 fits a long):
+          // exact in both engines, no doubles past 2^53 (r1 verdict #7)
+          (sum(expr("abs6 * 1000000000 div v6")).cast(DoubleType) / count(lit(1)) / 1000000000.0).as("mape"),
           (expr("percentile(abs6, 0.5)") / 1000000.0).as("medae"))
         .orderBy("event_type")
     }),
@@ -303,7 +305,7 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(abs6) AS DOUBLE)/COUNT(*)/1000000.0 AS mae,
         | sqrt(CAST(SUM(CAST(abs6*abs6 AS DECIMAL(38,0))) AS DOUBLE)/COUNT(*))/1000000.0 AS rmse,
-        | CAST(SUM(CAST(floor(abs6*1000000000.0/v6) AS BIGINT)) AS DOUBLE)/COUNT(*)/1000000000.0 AS mape,
+        | CAST(SUM((abs6*1000000000) // v6) AS DOUBLE)/COUNT(*)/1000000000.0 AS mape,
         | CAST(quantile_cont(abs6, 0.5) AS DOUBLE)/1000000.0 AS medae
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -92,7 +92,9 @@ object Forecaster {
         test.foreach { p =>
           val a = math.abs(p.y3 - predict3(fit, p.x))
           sumAbs += a; sumSq += BigInt(a) * BigInt(a)
-          sumPct += math.floor(a * 1000000000.0 / p.y3).toLong
+          // pure integer floor-division: exact, matches the SQL oracle's
+          // BIGINT `//` with no float intermediate
+          sumPct += a * 1000000000L / p.y3
         }
         val medae =
           (if (m % 2 == 1) abs3(m / 2).toDouble

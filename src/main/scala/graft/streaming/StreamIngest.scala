@@ -55,4 +55,17 @@ object StreamIngest {
     * (the producer's json.dumps envelope, kafka_producer.py:45-48). */
   def toJsonLines(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** §2.9 extension — watermarked tumbling-window daily aggregate: the
+    * event-time stateful op the reference never needed (its producer
+    * rewrites event dates to "today") but any real daily pipeline does.
+    * The watermark bounds state: windows older than `lateness` are
+    * finalized and dropped from the store — constant state at any
+    * stream length. */
+  def dailyCounts(parsed: DataFrame, tsCol: String, lateness: String = "1 day"): DataFrame =
+    parsed
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"), col("n"))
 }

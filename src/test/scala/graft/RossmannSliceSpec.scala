@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.ForecastApi
+import graft.ml.Forecaster
+import graft.ml.Forecaster.Obs
+import graft.Schemas.{ForecastResult, SaleRecord}
+import graft.store.Store
+import graft.streaming.StreamIngest
+
+/** SURVEY §7.2's minimum end-to-end slice on the REAL Rossmann schemas:
+  * seed a date-partitioned sales table through the store layer, train and
+  * forecast per (store, productname), write two forecast versions, and
+  * serve `latestForecasts(store, product, 7)` — the reference's entire
+  * web-UI read path (web-ui/app/db_utils.py:32-73) over engine-written
+  * tables. Plus the watermarked streaming daily aggregate (§2.9
+  * extension).
+  */
+class RossmannSliceSpec extends AnyFunSuite {
+
+  lazy val spark = Engine.session("rossmann-slice")
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("end-to-end: seed -> partitioned table -> per-key forecast -> latestForecasts") {
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    // deterministic synthetic seed: 3 stores x 36 days, sales = linear + weekly bump
+    val sales = for {
+      store <- 1 to 3
+      day <- 0 until 36
+    } yield SaleRecord(store, (day % 7) + 1, java.sql.Date.valueOf(d0.plusDays(day.toLong)),
+      sales = 100 * store + 2 * day + (if (day % 7 < 2) 10 else 0),
+      customers = 50, open = 1, promo = day % 2, stateholiday = "0",
+      schoolholiday = "0", productname = "product_A")
+    val salesDir = tmp("rossmann") + "/rossman_sales"
+    // K5 + K3-at-scale: ensure, then date-partitioned append
+    Store.ensureTable(spark, salesDir, sales.toDS().toDF().schema)
+    Store.appendPartitioned(sales.toDS().toDF().withColumn("date", col("date").cast("string")), salesDir, "date")
+    val table = Store.read(spark, salesDir).withColumn("date", col("date").cast("date"))
+    assert(table.count() == 108)
+
+    // per-key daily series (F1 open==1 filter, O1 order) -> train+forecast (U2/U3)
+    val series = table.filter(col("open") === 1)
+      .select(concat_ws("|", col("store"), col("productname")).as("key"),
+        col("date").as("day"),
+        datediff(col("date"), lit(java.sql.Date.valueOf(d0))).as("x").cast("int"),
+        (col("sales") * 1000L).as("y3"))
+      .as[Obs]
+    val forecasts = series.groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.forecastKey(k, it))
+      .toDF()
+    assert(forecasts.count() == 3 * Forecaster.HorizonRows)
+
+    // forecast_results rows, two model versions appended through the store
+    def toResults(version: Int) = forecasts
+      .select(
+        split(col("key"), "\\|").getItem(0).cast("int").as("store"),
+        split(col("key"), "\\|").getItem(1).as("productname"),
+        col("day").as("forecast_date"),
+        (col("yhat3") / 1000).cast("int").as("forecast_sale"),
+        (col("lo3") / 1000).cast("int").as("lower_ci"),
+        (col("hi3") / 1000).cast("int").as("upper_ci"),
+        concat_ws("-", lit("graft-forecaster"),
+          split(col("key"), "\\|").getItem(0), split(col("key"), "\\|").getItem(1)).as("model_name"),
+        lit(version).as("model_version"),
+        current_timestamp().as("created_on"))
+    val fcDir = tmp("rossmann_fc") + "/forecast_results"
+    Store.append(toResults(1), fcDir)
+    Store.append(toResults(2), fcDir)
+
+    // the UI read path: F4 -> W1 latest-version dedup -> O2 last-7 asc
+    val out = ForecastApi.latestForecasts(Store.read(spark, fcDir), 1, "product_A", 7)
+    val rows = out.select("forecast_date", "model_version", "forecast_sale", "model_name")
+      .as[(java.sql.Date, Int, Int, String)].collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_._2 == 2), "newest model version must win")
+    assert(rows.map(_._1.toString).toSeq == rows.map(_._1.toString).sorted.toSeq, "ascending for charting")
+    assert(rows.forall(_._4 == "graft-forecaster-1-product_A"))
+    // store-1 series is exactly linear+bump; forecast continues the trend upward
+    assert(rows.head._3 > 100, s"implausible forecast ${rows.head._3}")
+  }
+
+  test("streaming daily aggregate with watermark matches the batch answer") {
+    val work = tmp("graft_wm")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    StreamIngest.toJsonLines(ev).write.mode("overwrite").text(s"$work/src")
+    val parsed = StreamIngest.jsonLinesStream(spark, s"$work/src", Schemas.eventsEnvelope)
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val q = StreamIngest.dailyCounts(parsed, "ts")
+      .writeStream.format("memory").queryName("daily_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("daily_agg")
+      .select("day", "event_type", "n").as[(java.sql.Date, String, Long)].collect().toSet
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
