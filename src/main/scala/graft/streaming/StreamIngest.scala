@@ -51,6 +51,29 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** K2 upgraded to exactly-once (SURVEY §7.4 risk 3): each micro-batch
+    * lands in its own `batch_id=N` partition directory with OVERWRITE
+    * semantics, so a batch retried after a mid-append crash replaces its
+    * own partial output instead of duplicating it. The reference is
+    * at-least-once (plain JDBC append, spark_streaming.py:79-90); this
+    * is the idempotent form a parquet table makes free. */
+  def ingestOnceExactly(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit = {
+    val q = parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tableDir/batch_id=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read back a table written by [[ingestOnceExactly]] (drops the
+    * partition-discovery batch_id column). */
+  def readExactlyOnceTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop("batch_id")
+
   /** X10 write half — serialize rows to one-JSON-object-per-line strings
     * (the producer's json.dumps envelope, kafka_producer.py:45-48). */
   def toJsonLines(df: DataFrame): DataFrame =

@@ -40,6 +40,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(tbl).count() == 4)
   }
 
+  test("exactly-once sink: a retried batch overwrites its own output, never duplicates") {
+    val work = tmp("graft_exactly")
+    val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamIngest.toJsonLines(df).write.mode("overwrite").text(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    StreamIngest.ingestOnceExactly(StreamIngest.jsonLinesStream(spark, src, schema), tbl, ckpt)
+    assert(StreamIngest.readExactlyOnceTable(spark, tbl).count() == 2)
+    // simulate a batch-0 retry after a crash BEFORE the checkpoint commit:
+    // same batch id re-lands its partition; overwrite keeps it single
+    val batch0 = spark.read.parquet(s"$tbl/batch_id=0")
+    batch0.write.mode("overwrite").parquet(s"$work/replay_batch0")
+    spark.read.parquet(s"$work/replay_batch0").write.mode("overwrite").parquet(s"$tbl/batch_id=0")
+    assert(StreamIngest.readExactlyOnceTable(spark, tbl).count() == 2)
+  }
+
   test("walk-forward folds are anchored and expanding (TimeSeriesSplit shape)") {
     // n=30 -> test size 5; fold f trains on 5f rows, tests the next 5
     assert((1 to 5).map(Forecaster.foldBounds(30, _)) ==
