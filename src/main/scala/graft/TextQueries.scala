@@ -167,6 +167,18 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Rolling-hash (Rabin-Karp-style) content fingerprint: order-
+    // SENSITIVE, complementing q20's order-insensitive bag-of-words
+    // fingerprint. Native codegen'd expression; dup-cluster size via
+    // grouping on the fingerprint (one shuffle on fp — exact-dedup shape).
+    "q37_rolling_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr("rolling_fp(text)").as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+        .orderBy("fp")
+    }),
+
     // SimHash (16-bit for the oracle-matched variant): per-token hash bit
     // votes aggregated per document.
     "q25_simhash" -> ((s, dir) => {
@@ -297,6 +309,16 @@ object TextQueries {
          |           FROM cand JOIN d a ON doc_a = a.doc_id JOIN d b ON doc_b = b.doc_id)
          |SELECT doc_a, doc_b, CAST(inter*1000000 // (na+nb-inter) AS BIGINT) AS j3_e6
          |FROM p ORDER BY j3_e6 DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    "q37_rolling_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(range(1, length(text)+1),
+        |                 i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |               (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+        |           FROM documents)
+        |SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
 
     "q25_simhash" -> {
       val v = sqlTokenHash16("tok")

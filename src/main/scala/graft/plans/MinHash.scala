@@ -140,6 +140,46 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial rolling-hash fingerprint over codepoints:
+  * fp = fold(0, (acc, cp) -> (acc·31 + cp) mod (2^31−1)) — the
+  * Rabin-Karp-style content fingerprint, order-SENSITIVE (complements
+  * the order-insensitive bag-of-words md5 fingerprint). Value-identical
+  * to the HOF form `aggregate(transform(sequence(1, len), i ->
+  * ascii(substr(text, i, 1))), 0, (a, x) -> (a*31 + x) % 2147483647)`
+  * mirrored in DuckDB via list_reduce. */
+object RollingFpKernel {
+  def fp(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** `rolling_fp(text)` → bigint polynomial rolling-hash fingerprint. */
+case class RollingFp(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_fp needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingFpKernel.fp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RollingFpKernel.fp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFp =
+    copy(child = newChild)
+}
+
 /** Session extensions: registers the engine's native functions.
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -160,5 +200,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: ngrams(arrayCol, n) with a literal int n")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
+      (children: Seq[Expression]) => RollingFp(children.head)))
   }
 }

@@ -45,6 +45,21 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(tiny.select(expr("ngrams(toks, 3)")).as[Seq[String]].head().isEmpty)
   }
 
+  test("rolling_fp equals the declarative codepoint-fold definition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val ref = docs.select(col("doc_id"),
+      aggregate(
+        transform(sequence(lit(1), length(col("text"))), i => ascii(col("text").substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L).as("ref_fp"))
+    val fused = docs.select(col("doc_id"), expr("rolling_fp(text)").as("fp"))
+    assert(fused.join(ref, "doc_id").filter(col("fp") =!= col("ref_fp")).count() == 0)
+    // order sensitivity: same bag of chars, different order -> different fp
+    import spark.implicits._
+    val pair = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+      .select(expr("rolling_fp(text)")).as[Long].collect()
+    assert(pair(0) != pair(1))
+  }
+
   test("kernel handles degenerate inputs like the declarative form") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))
