@@ -180,18 +180,15 @@ object TextQueries {
     }),
 
     // SimHash (16-bit for the oracle-matched variant): per-token hash bit
-    // votes aggregated per document.
+    // votes folded per document by the native simhash16 kernel — no
+    // explode, no vote-sum shuffle; the operator is a scan-side
+    // projection (value-identical to the explode + 16×SUM plan the
+    // DuckDB oracle still runs, asserted in MinHashKernelSpec).
     "q25_simhash" -> ((s, dir) => {
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), tokenHash16(col("tok")).as("v"))
-      val sums = (0 until 16).map(b =>
-        sum(when(shiftright(col("v"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b"))
-      val sim = (0 until 16).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      t.groupBy("doc_id")
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), sim.cast(LongType).as("simhash16"))
+      Tables.documents(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), expr("simhash16(toks)").as("simhash16"))
         .orderBy("doc_id")
     })
   )

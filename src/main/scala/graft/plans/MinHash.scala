@@ -140,6 +140,63 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash-16 kernel: per-token 16-bit hash votes folded per document in
+  * one pass — value-identical to the explode + 16-bit-vote-SUM
+  * aggregation (token hash = first 4 hex digits of md5 as int, i.e. the
+  * first two digest bytes big-endian), but with no explode and no
+  * shuffle: the whole operator collapses into a scan-side projection. */
+object SimHashKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private val localMd = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  def simhash16(toks: ArrayData): Long = {
+    val md = localMd.get()
+    val votes = new Array[Int](16)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset(); md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var b = 0
+      while (b < 16) {
+        if (((v >> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `simhash16(tokenArray)` → bigint 16-bit SimHash. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash16 needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash16(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernel.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint over codepoints:
   * fp = fold(0, (acc, cp) -> (acc·31 + cp) mod (2^31−1)) — the
   * Rabin-Karp-style content fingerprint, order-SENSITIVE (complements
@@ -204,5 +261,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
       (children: Seq[Expression]) => RollingFp(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => SimHash16(children.head)))
   }
 }

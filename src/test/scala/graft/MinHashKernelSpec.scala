@@ -60,6 +60,22 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(pair(0) != pair(1))
   }
 
+  test("simhash16 kernel equals the explode + bit-vote aggregation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val t = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), tokenHash16(col("tok")).as("v"))
+    val sums = (0 until 16).map(b =>
+      sum(when(shiftright(col("v"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sim = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val ref = t.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sim.cast("long").as("ref_sh"))
+    val fused2 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr("simhash16(toks)").as("sh"))
+    assert(fused2.join(ref, "doc_id").filter(col("sh") =!= col("ref_sh")).count() == 0)
+  }
+
   test("kernel handles degenerate inputs like the declarative form") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))
