@@ -23,6 +23,7 @@ object VectorQueries {
   private val AnnPlanes = 0 until 8   // q28: one 8-bit bucket (256 buckets)
   private val Band0 = 0 until 4       // q27: 2 bands × 4 planes (16 buckets)
   private val Band1 = 4 until 8
+  private val IvfSeeds = 8            // q38: coarse-quantizer cell count
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -64,6 +65,34 @@ object VectorQueries {
         .select(col("vec_a"), col("vec_b"), cosineR6(col("va"), col("vb")).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
         .limit(10)
+    }),
+
+    // IVF-style ANN (the other scale path): coarse-quantize every vector
+    // to its nearest of K deterministic seed centroids (vec_id 1..K —
+    // engine-defined but oracle-reproducible), then probe only the
+    // query's cell. Assignment is a linear broadcast pass (n×K cosines);
+    // the probe touches ~1/K of the corpus — the inverted-file shape.
+    "q38_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val seeds = e.filter(col("vec_id").between(1, IvfSeeds))
+        .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      val cells = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("seed_id"),
+          cosineR6(col("v"), col("sv")).as("seed_cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("seed_cos").desc, col("seed_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("seed_id").as("cell"))
+      val q = cells.filter(col("vec_id") === 0)
+        .select(col("v").as("qe"), col("cell").as("qcell"))
+      cells.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("cell") === col("qcell"))
+        .select(col("vec_id"), col("cell"), cosineR6(col("v"), col("qe")).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(5)
     }),
 
     // LSH-bucketed ANN (scale path): deterministic sign-random-projection
@@ -115,6 +144,19 @@ object VectorQueries {
            |     q AS (SELECT v AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
            |SELECT vec_id, bucket, ${sqlCosineR6("v", "qe")} AS cos_r
            |FROM b, q WHERE vec_id != 0 AND bucket = qbucket
+           |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+
+      "q38_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |     seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id BETWEEN 1 AND $IvfSeeds),
+           |     asg AS (SELECT vec_id, v, seed_id, ${sqlCosineR6("v", "sv")} AS seed_cos,
+           |               row_number() OVER (PARTITION BY vec_id
+           |                 ORDER BY ${sqlCosineR6("v", "sv")} DESC, seed_id) AS rn
+           |             FROM e CROSS JOIN seeds),
+           |     cells AS (SELECT vec_id, v, seed_id AS cell FROM asg WHERE rn = 1),
+           |     q AS (SELECT v AS qe, cell AS qcell FROM cells WHERE vec_id = 0)
+           |SELECT vec_id, cell, ${sqlCosineR6("v", "qe")} AS cos_r
+           |FROM cells, q WHERE vec_id != 0 AND cell = qcell
            |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin
     )
   }

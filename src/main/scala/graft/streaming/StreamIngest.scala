@@ -79,6 +79,29 @@ object StreamIngest {
   def toJsonLines(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** §2.9 extension — cross-batch stateful dedup by message id via
+    * flatMapGroupsWithState: a key's first occurrence passes, replays
+    * and duplicates are dropped, across micro-batches (the id-keyed
+    * exactly-once form, complementing [[ingestOnceExactly]]'s
+    * batch-keyed form). State is one boolean per id; production streams
+    * bound it with a watermark/timeout TTL once ids stop recurring. */
+  def dedupById(parsed: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .select(col(idCol).cast("long").as("__id"),
+        to_json(struct(parsed.columns.map(col): _*)).as("__payload"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, String](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1).map(_._2) }
+      }
+      .toDF("value")
+  }
+
   /** §2.9 extension — watermarked tumbling-window daily aggregate: the
     * event-time stateful op the reference never needed (its producer
     * rewrites event dates to "today") but any real daily pipeline does.

@@ -84,6 +84,32 @@ class RossmannSliceSpec extends AnyFunSuite {
     assert(rows.head._3 > 100, s"implausible forecast ${rows.head._3}")
   }
 
+  test("stateful dedup drops replayed ids across micro-batches") {
+    val work = tmp("graft_dedup")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    // batch 1: ids 1,2,3 — batch 2 (a later file): ids 2,3,4 (replayed 2,3)
+    StreamIngest.toJsonLines(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+      .write.mode("overwrite").text(s"$work/src")
+    def drain(): Unit = {
+      val deduped = StreamIngest.dedupById(
+        StreamIngest.jsonLinesStream(spark, s"$work/src", schema), "id")
+      val q = deduped.writeStream.format("text")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    StreamIngest.toJsonLines(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+      .write.mode("append").text(s"$work/src")
+    drain()
+    val out = spark.read.schema(schema).json(s"$work/out")
+    assert(out.count() == 4, "each id exactly once across batches")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming daily aggregate with watermark matches the batch answer") {
     val work = tmp("graft_wm")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
