@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational._
+
+/** Property tests (SURVEY §5): operator laws that hold for ANY input,
+  * not just the golden testdata — latestPerKey idempotence and
+  * uniqueness, inclusive date-sequence cardinality, lookback-window
+  * bounds. Generators are ScalaCheck Gens sampled with fixed seeds so
+  * runs are reproducible. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = Engine.session("property-test")
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] =
+    Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0, 5)
+      id <- Gen.choose(0, 50)
+      v <- Gen.choose(0, 1000)
+    } yield (key, id, v))
+
+  test("latestPerKey is idempotent and keeps exactly one row per key, the max id") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("k", "id", "v")
+      val once = latestPerKey(df, Seq("k"), col("id"))
+      val twice = latestPerKey(once, Seq("k"), col("id"))
+      val got = once.select("k", "id").as[(Int, Int)].collect().toMap
+      val expect = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+      assert(got == expect, s"input: $rows")
+      assert(twice.collect().toSet == once.collect().toSet)
+    }
+  }
+
+  test("dateIndex(start, start+n) is inclusive of both ends: n+1 rows") {
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      off <- Gen.choose(0L, 3000L)
+    } yield (n, off)
+    samples(gen, 8).foreach { case (n, dayOffset) =>
+      val d0 = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(dayOffset))
+      val df = Seq(Tuple1(d0)).toDF("d")
+      val idx = dateIndex(df, col("d"), date_add(col("d"), n), "day")
+      assert(idx.count() == n + 1)
+      val days = idx.select("day").as[java.sql.Date].collect().map(_.toLocalDate)
+      assert(days.min == d0.toLocalDate && days.max == d0.toLocalDate.plusDays(n.toLong))
+    }
+  }
+
+  test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      offsets <- Gen.nonEmptyListOf(Gen.choose(0, 59))
+    } yield (n, offsets)
+    samples(gen, 8).foreach { case (n, offsets) =>
+      val anchor = java.time.LocalDate.parse("2024-03-01")
+      val df = offsets.map(o => Tuple1(java.sql.Date.valueOf(anchor.minusDays(o.toLong)))).toDF("d")
+      val kept = lookbackDays(df, col("d"), lit(java.sql.Date.valueOf(anchor)), n)
+        .as[java.sql.Date].collect().map(_.toLocalDate)
+      assert(kept.toSet == offsets.filter(_ < n).map(o => anchor.minusDays(o.toLong)).toSet,
+        s"n=$n offsets=$offsets")
+    }
+  }
+}
