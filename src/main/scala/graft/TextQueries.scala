@@ -74,13 +74,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Bag-of-words fingerprint + cluster size via a window over the
-    // fingerprint (document-identity signature).
+    // Bag-of-words fingerprint + cluster size. Cluster counts via
+    // groupBy + equi-join rather than a count window: identical values,
+    // but a mega-cluster fingerprint becomes an AQE-splittable skew join
+    // instead of one hot window partition (r1 verdict's skew note).
     "q20_fingerprint" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, dir)
+      val f = Tables.documents(s, dir)
         .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
-        .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fp")).cast(LongType))
+      val counts = f.groupBy("fp").agg(count(lit(1)).cast(LongType).as("n_same_fp"))
+      f.join(counts, Seq("fp"))
+        .select("doc_id", "fp", "n_same_fp")
         .orderBy("doc_id")
     }),
 
