@@ -17,6 +17,9 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Global / excludeLintKeys += run / outputStrategy
+// no "[success] Total time" epilogue: the bench JSON line stays the last
+// thing on stdout for line-oriented consumers
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

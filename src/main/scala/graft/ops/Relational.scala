@@ -64,6 +64,18 @@ object Relational {
   def dateIndex(df: DataFrame, startDate: Column, endDate: Column, asCol: String): DataFrame =
     df.withColumn(asCol, explode(sequence(startDate, endDate)))
 
+  /** Skew-safe two-phase aggregation: spread each hot key over `salts`
+    * sub-keys, partially aggregate, then merge — the classic salting
+    * pattern for power-law key distributions where one key would pin a
+    * single reducer. Works for any decomposable aggregate (sum/count/
+    * min/max); the caller supplies both phases. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*).agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+
   /** O4 — plain LIMIT without an order (reference:
     * `q.limit(last_n)` after a range filter,
     * services/training-service/app/db_utils.py:31-33). Row CONTENT is

@@ -43,6 +43,27 @@ object Store {
   def appendPartitioned(df: DataFrame, dir: String, partCol: String): Unit =
     df.write.mode("append").partitionBy(partCol).parquet(dir)
 
+  /** K3 at 100 TB — bucketed, sort-ordered catalog table: joins and
+    * aggregations on the bucket key between co-bucketed tables need NO
+    * shuffle (bucket pruning + co-located join), the cornerstone of
+    * repeated big-fact-to-big-fact joins. Bucketing requires the
+    * catalog (`saveAsTable`), not a bare path. */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a stale warehouse directory from a previous process isn't tracked
+    // by the (fresh) in-memory catalog; clear it or saveAsTable refuses
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** S4 — schema-on-read reflection from the parquet footer. */
   def schemaOf(spark: SparkSession, dir: String): StructType =
     spark.read.parquet(dir).schema

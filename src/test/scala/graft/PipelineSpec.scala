@@ -108,6 +108,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(date)"), plan)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va")
+    val b = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")
+    Store.saveBucketed(a, "bkt_a", "k", 4)
+    Store.saveBucketed(b, "bkt_b", "k", 4)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 2)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("saltedAgg equals plain groupBy aggregation on skewed keys") {
+    val rows = (1 to 5000).map(i => ("hot", i.toLong)) ++ (1 to 50).map(i => (s"k$i", i.toLong))
+    val df = rows.toDF("k", "v")
+    val salted = graft.ops.Relational.saltedAgg(df, Seq("k"), salts = 8,
+      partial = Seq(sum(col("v")).as("ps"), count(lit(1)).as("pc")),
+      merge = Seq(sum(col("ps")).as("total"), sum(col("pc")).as("n")))
+    val plain = df.groupBy("k").agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+    assert(salted.collect().toSet.map((r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      plain.collect().toSet.map((r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("latestForecasts serves the newest model version, ascending, n rows") {
     import graft.api.ForecastApi
     val d = java.sql.Date.valueOf(_: String)
