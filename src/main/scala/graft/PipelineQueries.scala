@@ -98,6 +98,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The spark.sql TEXT entry point over registered views — same
+    // Catalyst plans as the DataFrame API, exercised explicitly:
+    // a two-join rollup of order counts and revenue per market segment
+    // and month.
+    "q39_sql_surface" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT c.c_mktsegment AS segment,
+          |       date_format(o.o_orderdate, 'yyyy-MM') AS month,
+          |       COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)
+    }),
+
     // O4 — plain unordered LIMIT after a lookback filter (the
     // training-service's `q.limit(last_n)` shape). Row content is
     // engine-defined => rows-only check (no oracle entry), like the
@@ -164,6 +180,15 @@ object PipelineQueries {
          | CAST(1 + ${byteVal(3)} % 64 AS INT) AS height
          |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "q39_sql_surface" ->
+      """SELECT c.c_mktsegment AS segment,
+        |       strftime(o.o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q35_misc_ops" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, ts,

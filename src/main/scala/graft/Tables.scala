@@ -37,6 +37,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Register every testdata table as a temp view so the `spark.sql`
+    * entry point works side by side with the DataFrame API (the
+    * reference's users speak SQL through SQLAlchemy; here they can
+    * speak it to Spark directly). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    All.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads as Long
     * (see Engine: nanosAsLong). Convert to microsecond TimestampType —
     * integer `div`, not `/`, because ns-since-epoch exceeds 2^53 and
