@@ -80,11 +80,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     writeOracleJson(outDir)
-    var ok, fail = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (dumpOne(spark, sfDir, outDir, name, fn)) ok += 1 else fail += 1
+    // queries are independent and write disjoint files; run a few
+    // concurrently (Spark schedules concurrent jobs fine) to keep the
+    // driver-side wall clock well inside any harness timeout
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ok = new java.util.concurrent.atomic.AtomicInteger()
+    val fail = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          if (dumpOne(spark, sfDir, outDir, name, fn)) ok.incrementAndGet() else fail.incrementAndGet()
+      })
     }
-    println(s"[verify] done: $ok ok, $fail failed -> $outDir")
+    tasks.foreach(_.get())
+    pool.shutdown()
+    println(s"[verify] done: ${ok.get()} ok, ${fail.get()} failed -> $outDir")
     spark.stop()
   }
 }

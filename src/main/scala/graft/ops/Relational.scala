@@ -45,6 +45,14 @@ object Relational {
   def distinctKeys(df: DataFrame, keys: String*): DataFrame =
     df.select(keys.map(col): _*).distinct()
 
+  /** A1 at 100 TB — HLL cardinality (SURVEY §7.3 value-add): a fixed-
+    * size sketch per partition instead of shuffling every distinct
+    * value; rsd trades memory for error. Exact distinct on a 100-TB
+    * high-cardinality key shuffles the key universe; this ships
+    * kilobytes. */
+  def approxDistinctCount(df: DataFrame, key: String, rsd: Double = 0.02): DataFrame =
+    df.agg(approx_count_distinct(col(key), rsd).as(s"approx_distinct_$key"))
+
   /** J2 — key-pair enumeration (reference: store_ids × product_names,
     * services/airflow/dags/task_operators.py:87-95). Both sides are
     * distinct key sets (tiny vs the fact table) → crossJoin is safe; at

@@ -122,6 +122,14 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("approxDistinctCount lands within the configured error of exact") {
+    val e = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = e.select("user_id").distinct().count().toDouble
+    val approx = graft.ops.Relational.approxDistinctCount(e, "user_id", rsd = 0.02)
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+  }
+
   test("saltedAgg equals plain groupBy aggregation on skewed keys") {
     val rows = (1 to 5000).map(i => ("hot", i.toLong)) ++ (1 to 50).map(i => (s"k$i", i.toLong))
     val df = rows.toDF("k", "v")
