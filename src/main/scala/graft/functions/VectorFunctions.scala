@@ -29,8 +29,20 @@ object VectorFunctions {
     dot(a, b) / sqrt(norm2(a)) / sqrt(norm2(b))
 
   /** Cosine rounded to 6 decimals: rank-stable across engines (per-element
-    * IEEE ops are identical; only final-ulp noise differs). */
-  def cosineR6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+    * IEEE ops are identical; only final-ulp noise differs). Evaluated by
+    * the fused native kernel (graft.plans.CosineR6) — bit-identical to
+    * the declarative round(dot/sqrt/sqrt) form (same left-to-right
+    * accumulation, same HALF_UP rounding; asserted in
+    * MinHashKernelSpec) without interpreted per-element lambdas. */
+  def cosineR6(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.CosineR6(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The declarative HOF form of [[cosineR6]] (kernel equivalence
+    * reference). */
+  def cosineR6Hof(a: Column, b: Column): Column = round(cosine(a, b), 6)
 
   // --- SQL mirrors (DuckDB dialect), same accumulation order -------------
 

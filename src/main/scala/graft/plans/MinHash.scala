@@ -237,6 +237,55 @@ case class RollingFp(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused cosine kernel: dot(a,b)/sqrt(dot(a,a))/sqrt(dot(b,b)) rounded
+  * to 6 decimals, with the SAME left-to-right double accumulation and
+  * the same HALF_UP rounding as the declarative
+  * zip_with/aggregate/round plan mirrored by the DuckDB oracle — so
+  * results are bit-identical, just without interpreted per-element
+  * lambdas (the per-pair cost of every vector query). */
+object CosineKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def cosineR6(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot, na, nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val c = dot / math.sqrt(na) / math.sqrt(nb)
+    if (c.isNaN || c.isInfinite) c
+    else java.math.BigDecimal.valueOf(c).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** `cosine_r6(a, b)` → double cosine similarity rounded to 6 decimals. */
+case class CosineR6(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_r6 needs two array<double> columns, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.cosineR6(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineKernel.cosineR6($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineR6 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extensions: registers the engine's native functions.
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -265,5 +314,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_r6"),
+      new ExpressionInfo(classOf[CosineR6].getName, "cosine_r6"),
+      (children: Seq[Expression]) => CosineR6(children(0), children(1))))
   }
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Scala-visibility bridge: `classic.ExpressionUtils` is `private[sql]`,
+  * so extension libraries that build `Column`s from custom Catalyst
+  * `Expression`s (graft.plans.*) need this one-hop accessor compiled
+  * into the sql package — the standard pattern for Spark extension
+  * libraries that add native expressions. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -45,6 +45,18 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(tiny.select(expr("ngrams(toks, 3)")).as[Seq[String]].head().isEmpty)
   }
 
+  test("cosine_r6 kernel is bit-identical to the declarative round(dot/sqrt/sqrt)") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qe"))
+    val both = e.crossJoin(q)
+      .select(cosineR6(col("v"), col("qe")).as("fused"),
+        cosineR6Hof(col("v"), col("qe")).as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+    assert(both.count() == 500)
+  }
+
   test("rolling_fp equals the declarative codepoint-fold definition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val ref = docs.select(col("doc_id"),
