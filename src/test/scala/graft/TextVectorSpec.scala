@@ -63,6 +63,16 @@ class TextVectorSpec extends AnyFunSuite {
     assert(a.values.forall(x => x >= 0 && x < 256))
   }
 
+  test("hot-path queries run inside WholeStageCodegen (no interpreted fallback stages)") {
+    for (q <- Seq("q22_minhash_signatures", "q25_simhash", "q26_ann_bruteforce")) {
+      val df = TextQueries.queries.getOrElse(q,
+        VectorQueries.queries(q))(spark, "/root/testdata/sf0.001")
+      df.collect() // AQE renders codegen stages only in the FINAL plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$q has no WholeStageCodegen stage:\n$plan")
+    }
+  }
+
   test("near-dup pair queries contain no all-pairs join (the 100-TB guarantee)") {
     for (q <- Seq("q23_minhash_dup_pairs", "q24_ngram_jaccard", "q27_embedding_neardup")) {
       val plan = TextQueries.queries.getOrElse(q,
