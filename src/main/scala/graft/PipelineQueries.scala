@@ -98,6 +98,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // As-of join (the classic missing-from-Spark operator, composed
+    // from union + carry-forward window — ops/Relational.asOfJoin):
+    // each purchase event joined to the same user's latest prior click,
+    // inclusive on time ties, max click_id among exact-tie clicks.
+    "q40_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      asOfJoin(purchases, clicks, Seq("user_id"), col("ts"), col("cts"),
+        col("click_id"), "last_click_id")
+        .select(col("event_id"), col("user_id"), col("last_click_id"))
+        .orderBy("event_id")
+    }),
+
     // The spark.sql TEXT entry point over registered views — same
     // Catalyst plans as the DataFrame API, exercised explicitly:
     // a two-join rollup of order counts and revenue per market segment
@@ -180,6 +196,14 @@ object PipelineQueries {
          | CAST(1 + ${byteVal(3)} % 64 AS INT) AS height
          |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "q40_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT c.event_id FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     "q39_sql_surface" ->
       """SELECT c.c_mktsegment AS segment,

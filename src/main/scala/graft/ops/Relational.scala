@@ -72,6 +72,40 @@ object Relational {
   def dateIndex(df: DataFrame, startDate: Column, endDate: Column, asCol: String): DataFrame =
     df.withColumn(asCol, explode(sequence(startDate, endDate)))
 
+  /** As-of join — the canonical "operator Spark lacks", composed from
+    * existing ops (no custom strategy needed): for every left row, the
+    * single latest right row with rightTime <= leftTime within the same
+    * key. Implementation is the union-and-carry-forward trick: tag and
+    * union both sides, sort per key by (time, side, tiebreak) with
+    * right rows first on time ties (inclusive <=), carry the last
+    * non-null right payload forward with an expanding window, keep left
+    * rows. ONE shuffle + sort on the key — never a per-row range scan,
+    * no O(n·m) pair blowup, skew governed by the key partitioning. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: Column, rightTime: Column,
+               payload: Column, payloadName: String): DataFrame = {
+    val l = left
+      .withColumn("__t", leftTime).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(right.select(payload).schema.head.dataType))
+    val leftCols = l.columns
+    val r = right
+      .withColumn("__t", rightTime).withColumn("__side", lit(0))
+      .withColumn("__p", payload)
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__p")): _*)
+    // align schemas: right side carries nulls for left-only columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(leftCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(leftCols.map(col): _*).unionByName(rAligned)
+      .withColumn(payloadName, last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
+  }
+
   /** Skew-safe two-phase aggregation: spread each hot key over `salts`
     * sub-keys, partially aggregate, then merge — the classic salting
     * pattern for power-law key distributions where one key would pin a

@@ -122,6 +122,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("asOfJoin: latest right row at-or-before each left time, per key") {
+    import graft.ops.Relational.asOfJoin
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, 1, ts("2024-01-01 10:00:00")), // after two clicks -> latest wins
+      (11L, 1, ts("2024-01-01 08:00:00")), // exact tie with click at 08:00 -> inclusive
+      (12L, 2, ts("2024-01-01 09:00:00")), // other key
+      (13L, 3, ts("2024-01-01 09:00:00"))  // no clicks for this key -> null
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (1, ts("2024-01-01 07:00:00"), 100L),
+      (1, ts("2024-01-01 08:00:00"), 101L),
+      (2, ts("2024-01-01 08:30:00"), 200L),
+      (2, ts("2024-01-01 09:30:00"), 201L) // after left time -> excluded
+    ).toDF("user_id", "rt", "click_id")
+    val out = asOfJoin(left, right, Seq("user_id"), col("t"), col("rt"),
+      col("click_id"), "last_click")
+      .select("event_id", "last_click")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> Some(101L), 11L -> Some(101L), 12L -> Some(200L), 13L -> None))
+  }
+
   test("approxDistinctCount lands within the configured error of exact") {
     val e = Tables.events(spark, "/root/testdata/sf0.01")
     val exact = e.select("user_id").distinct().count().toDouble
