@@ -37,19 +37,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // steady-state timing: this host shows bursty multi-second CPU-steal
+    // stalls (stolen jiffies grow in steps); queries whose first run
+    // looks stall-shaped get retries (min reported), under a GLOBAL
+    // budget so total bench wall time stays bounded for the harness.
+    // First-run codegen cost is excluded the same way.
+    var retryBudget = 90.0 // seconds of total extra attempts allowed
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // steady-state timing: this host shows bursty multi-second
-      // CPU-steal stalls (stolen jiffies grow in steps); report the min
-      // of up to 3 attempts while the best time still looks stall-shaped.
-      // First-run codegen cost is excluded the same way.
       var best = timeOnce(name, fn)
       var attempts = 1
-      while (attempts < 4 && best > (if (attempts == 1) 2.0 else 5.0)) {
-        // the host's CPU quota throttles sustained full-load bursts for
-        // tens of seconds; give the window a chance to pass before the
-        // last attempts so one stall doesn't masquerade as query cost
+      while (attempts < 4 && retryBudget > 0 &&
+             best > (if (attempts == 1) 2.0 else 5.0)) {
+        // give a throttle window a chance to pass before later attempts
         if (attempts >= 2) Thread.sleep(10000)
-        best = math.min(best, timeOnce(name, fn))
+        val t = timeOnce(name, fn)
+        retryBudget -= t + (if (attempts >= 2) 10.0 else 0.0)
+        best = math.min(best, t)
         attempts += 1
       }
       name -> best
