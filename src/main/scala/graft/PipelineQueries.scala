@@ -131,9 +131,10 @@ object PipelineQueries {
     }),
 
     // O4 — plain unordered LIMIT after a lookback filter (the
-    // training-service's `q.limit(last_n)` shape). Row content is
-    // engine-defined => rows-only check (no oracle entry), like the
-    // reference's own unordered SQL LIMIT.
+    // training-service's `q.limit(last_n)` shape). Which 50 rows the
+    // limit keeps is engine-defined, but COUNT over them is exactly
+    // min(50, n_filtered) in any engine — so the plan keeps a genuine
+    // GlobalLimit while the query still carries an exact oracle.
     "q36_plain_limit" -> ((s, dir) => {
       val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
       val anchor = e.agg(max(col("day")).as("maxd"))
@@ -142,6 +143,7 @@ object PipelineQueries {
           .filter(col("day") >= date_sub(col("maxd"), 13))
           .select("event_id", "user_id", "event_type", "day"),
         50)
+        .agg(count(lit(1)).as("n_rows"))
     }),
 
     // O5 tail-k + X8 timezone normalize + X2 to-string cast: activity
@@ -213,6 +215,12 @@ object PipelineQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q36_plain_limit" ->
+      """SELECT COUNT(*) AS n_rows FROM (
+        |  SELECT event_id FROM events, (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
+        |  WHERE CAST(ts AS DATE) >= maxd - INTERVAL 13 DAY
+        |  LIMIT 50)""".stripMargin,
 
     "q35_misc_ops" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, ts,

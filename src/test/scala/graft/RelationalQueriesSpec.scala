@@ -13,23 +13,22 @@ class RelationalQueriesSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("every declared query runs non-empty on sf0.001 and is deterministic") {
-    // q36 is the reference's unordered LIMIT (O4): row content is
-    // engine-defined by contract, so only its cardinality is pinned.
-    val rowsOnly = Set("q36_plain_limit")
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
       assert(a.nonEmpty, s"$name returned 0 rows")
-      if (!rowsOnly(name)) {
-        val b = fn(spark, sf).collect()
-        assert(a.sameElements(b), s"$name not deterministic across reruns")
-      }
+      val b = fn(spark, sf).collect()
+      assert(a.sameElements(b), s"$name not deterministic across reruns")
     }
   }
 
-  test("every query has either an oracle or a documented omission") {
+  test("every query has an oracle and every oracle has a query") {
+    // the driver's compare dies on a missing oracle key (r1/r2 both came
+    // back {} with exactly one rows-only query declared) — full coverage
+    // is load-bearing, not style
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries are allowed but should stay the minority
-    assert(noOracle.size <= SparkEntry.queries.size / 2, s"too many oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
   test("entry() smoke: flagship join returns rows") {
