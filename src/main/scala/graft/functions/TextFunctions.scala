@@ -61,9 +61,14 @@ object TextFunctions {
   def tokenHash16(tok: Column): Column =
     conv(substring(md5(tok), 1, 4), 16, 10).cast(IntegerType)
   /** DuckDB lacks conv(); emulate with per-digit hex value arithmetic. */
-  def sqlTokenHash16(tok: String): String = {
+  def sqlTokenHash16(tok: String): String = sqlTokenHash16At(tok, 0)
+
+  /** Same, for chunk c of the digest: hex digits 4c+1..4c+4 (= digest
+    * bytes 2c, 2c+1 big-endian) — the per-chunk token hash of
+    * [[graft.plans.SimHashKernel.simhash64]]. */
+  def sqlTokenHash16At(tok: String, c: Int): String = {
     def digit(p: Int, mult: Int) =
-      s"(strpos('0123456789abcdef', substr(md5($tok),$p,1))-1)*$mult"
+      s"(strpos('0123456789abcdef', substr(md5($tok),${4 * c + p},1))-1)*$mult"
     s"(${digit(1, 4096)} + ${digit(2, 256)} + ${digit(3, 16)} + ${digit(4, 1)})"
   }
 

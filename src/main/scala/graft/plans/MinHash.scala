@@ -174,6 +174,42 @@ object SimHashKernel {
     }
     out
   }
+
+  /** 64-bit SimHash from the first 8 digest bytes of the same per-token
+    * md5: chunk c∈0..3 is bytes (2c, 2c+1) big-endian (= hex digits
+    * 4c+1..4c+4), occupying bits 16c..16c+15 of the result. Chunk 0
+    * therefore equals [[simhash16]]. The 4×16-bit chunk layout is the
+    * banded near-dup index of Manku/Jain/Sarma (WWW'07): hamming ≤ 3
+    * over 64 bits guarantees at least one chunk matches exactly, so a
+    * chunk equi-join finds ALL such pairs without an all-pairs scan. */
+  def simhash64(toks: ArrayData): Long = {
+    val md = localMd.get()
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset(); md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var c = 0
+      while (c < 4) {
+        val v = ((d(2 * c) & 0xff) << 8) | (d(2 * c + 1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          if (((v >> b) & 1) == 1) votes(16 * c + b) += 1 else votes(16 * c + b) -= 1
+          b += 1
+        }
+        c += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 /** `simhash16(tokenArray)` → bigint 16-bit SimHash. */
@@ -194,6 +230,28 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernel.simhash16($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokenArray)` → bigint 64-bit SimHash (4 × 16-bit chunks,
+  * chunk 0 == simhash16). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
@@ -314,6 +372,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_r6"),
       new ExpressionInfo(classOf[CosineR6].getName, "cosine_r6"),
