@@ -182,31 +182,40 @@ object TextQueries {
         .orderBy("fp")
     }),
 
-    // SimHash near-dup PAIRS: 64-bit signature (simhash64 kernel, one
-    // md5 per token), banded into its four 16-bit chunks — the
-    // Manku/Jain/Sarma (WWW'07) hamming-distance index. Pigeonhole:
-    // hamming ≤ 3 over 64 bits ⇒ at least one chunk matches exactly, so
-    // the chunk equi-join finds EVERY qualifying pair — exact output,
-    // never an all-pairs scan. Verify = popcount(xor) per chunk, summed.
+    // SimHash near-dup PAIRS: 128-bit signature (simhash128 kernel, one
+    // md5 per token, 8 × 16-bit chunks), banded into 4 groups of TWO
+    // chunks each (32-bit band key) — the Manku/Jain/Sarma (WWW'07)
+    // hamming-distance index with wide keys. Pigeonhole: hamming ≤ 3 over
+    // 8 chunks dirties ≤ 3 chunks, so ≤ 3 of the 4 two-chunk groups are
+    // dirty and at least one group matches exactly on BOTH chunks — the
+    // group equi-join finds EVERY qualifying pair (exact output). Scale:
+    // the band key space is 2^32 (vs 2^16 in round 3), so expected
+    // same-bucket candidates stay ~n²/2^32 per band — negligible up to
+    // ~10^12 docs; beyond that, add permuted tables with wider prefixes.
+    // Verify = popcount(xor) per chunk, summed; the hamming filter runs
+    // BEFORE distinct so the dedup shuffle only carries qualifying pairs.
     "q42_simhash_dup_pairs" -> ((s, dir) => {
       val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       val d = Tables.documents(s, dir)
         .repartition(n, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), expr("simhash64(toks)").as("sh"))
-      val chunks = d.select((col("doc_id") +: (0 until 4).map(c =>
-        expr(s"(sh >> ${16 * c}) & 65535").as(s"c$c"))): _*)
-      val bands = chunks.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        posexplode(array((0 until 4).map(c => col(s"c$c")): _*)).as(Seq("band_id", "bucket")))
+        .select(col("doc_id"), expr("simhash128(toks)").as("sh"))
+      val chunks = d.select((col("doc_id") +: (0 until 8).map(c =>
+        element_at(col("sh"), c + 1).as(s"c$c"))): _*)
+      val bands = chunks.select(
+        (Seq(col("doc_id")) ++ (0 until 8).map(c => col(s"c$c")) :+
+          posexplode(array((0 until 4).map(g =>
+            col(s"c${2 * g}") * 65536 + col(s"c${2 * g + 1}")): _*))
+            .as(Seq("band_id", "bucket"))): _*)
       bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          ((0 until 4).map(c =>
+          ((0 until 8).map(c =>
             bit_count(col(s"x.c$c").bitwiseXOR(col(s"y.c$c")))).reduce(_ + _))
             .cast(LongType).as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -361,25 +370,28 @@ object TextQueries {
     },
 
     "q42_simhash_dup_pairs" -> {
-      val vs = (0 until 4).map(c => s"${sqlTokenHash16At("tok", c)} AS v$c").mkString(", ")
-      val sums = (for (c <- 0 until 4; b <- 0 until 16) yield
+      val vs = (0 until 8).map(c => s"${sqlTokenHash16At("tok", c)} AS v$c").mkString(", ")
+      val sums = (for (c <- 0 until 8; b <- 0 until 16) yield
         s"SUM(CASE WHEN (v$c>>$b)&1 = 1 THEN 1 ELSE -1 END) AS s${c}_$b").mkString(", ")
-      val chunks = (0 until 4).map(c => "(" + (0 until 16).map(b =>
-        s"(CASE WHEN s${c}_$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ") + s") AS c$c")
-        .mkString(", ")
-      val ham = (0 until 4).map(c => s"bit_count(xor(x.c$c, y.c$c))").mkString(" + ")
+      val chunks = (0 until 8).map(c => "CAST(" + (0 until 16).map(b =>
+        s"(CASE WHEN s${c}_$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ") +
+        s" AS BIGINT) AS c$c").mkString(", ")
+      val cols = (0 until 8).map(c => s"c$c").mkString(", ")
+      val bucketCase = "CASE u.band_id " + (0 until 4).map(g =>
+        s"WHEN $g THEN c${2 * g}*65536 + c${2 * g + 1}").mkString(" ") + " END"
+      val ham = (0 until 8).map(c => s"bit_count(xor(x.c$c, y.c$c))").mkString(" + ")
       s"""WITH t AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
          |     h AS (SELECT doc_id, $vs FROM t),
          |     s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
          |     ch AS (SELECT doc_id, $chunks FROM s),
-         |     bands AS (SELECT doc_id, c0, c1, c2, c3, u.band_id,
-         |       CASE u.band_id WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket
+         |     bands AS (SELECT doc_id, $cols, u.band_id, $bucketCase AS bucket
          |       FROM ch CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band_id) u),
          |     pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |       CAST($ham AS BIGINT) AS hamming
          |       FROM bands x JOIN bands y
-         |       ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |       ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |       WHERE $ham <= 3)
+         |SELECT doc_a, doc_b, hamming FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   )

@@ -44,9 +44,10 @@ object Verify {
 
   /** Run one query and land a single parquet FILE at outDir/<name>.parquet.
     * Spark writes a directory of part files; coalesce(1) → one part, moved
-    * to the exact contract path. */
+    * to the exact contract path. Returns Some(rowCount) on success (counted
+    * from the written file's footer — no query re-run), None on failure. */
   def dumpOne(spark: SparkSession, sfDir: String, outDir: String, name: String,
-              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Long] = {
     val dest = Paths.get(s"$outDir/$name.parquet")
     val scratch = Paths.get(s"$outDir/.__$name")
     Files.deleteIfExists(dest)
@@ -63,11 +64,11 @@ object Verify {
       }
       Files.move(part.toPath, dest)
       deleteRecursive(scratch)
-      true
+      Some(spark.read.parquet(dest.toString).count())
     } catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
       deleteRecursive(scratch)
-      false
+      None
     }
   }
 
@@ -79,22 +80,41 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // timestamp the run boundaries into the dump dir so a downstream
+    // compare that ran before the dump finished is provable after the fact
+    Files.writeString(Paths.get(s"$outDir/verify_started.txt"),
+      java.time.Instant.now().toString + "\n")
     writeOracleJson(outDir)
     // queries are independent and write disjoint files; run a few
     // concurrently (Spark schedules concurrent jobs fine) to keep the
     // driver-side wall clock well inside any harness timeout
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val ok = new java.util.concurrent.atomic.AtomicInteger()
-    val fail = new java.util.concurrent.atomic.AtomicInteger()
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          if (dumpOne(spark, sfDir, outDir, name, fn)) ok.incrementAndGet() else fail.incrementAndGet()
+        override def run(): Unit = results.put(name, dumpOne(spark, sfDir, outDir, name, fn))
       })
     }
     tasks.foreach(_.get())
     pool.shutdown()
-    println(s"[verify] done: ${ok.get()} ok, ${fail.get()} failed -> $outDir")
+    import scala.jdk.CollectionConverters._
+    val sorted = results.asScala.toSeq.sortBy(_._1)
+    val ok = sorted.count(_._2.isDefined)
+    val fail = sorted.size - ok
+    // ONE bare machine-readable JSON line as the last stdout, mirroring
+    // Bench (whose line the driver parses every round), plus a file copy
+    // in the dump dir and repo cwd — three paths to the same handshake.
+    val qs = sorted.map { case (name, r) =>
+      q(name) + ":" + r.map(n => s"""{"ok":true,"rows":$n}""").getOrElse("""{"ok":false}""")
+    }.mkString("{", ",", "}")
+    val json = s"""{"verify":"done","ok":$ok,"failed":$fail,"sf":${q(sfDir)},"queries":$qs}"""
+    Files.writeString(Paths.get(s"$outDir/verify_result.json"), json + "\n")
+    try Files.writeString(Paths.get("verify_out.json"), json + "\n")
+    catch { case _: Throwable => () }
+    Files.writeString(Paths.get(s"$outDir/verify_finished.txt"),
+      java.time.Instant.now().toString + "\n")
+    System.err.println(s"[verify] done: $ok ok, $fail failed -> $outDir")
+    println(json)
     spark.stop()
   }
 }

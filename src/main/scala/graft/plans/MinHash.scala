@@ -210,6 +210,47 @@ object SimHashKernel {
     }
     out
   }
+
+  /** 128-bit SimHash as 8 × 16-bit chunks (array<long>, each 0..65535):
+    * chunk c∈0..7 votes on digest bytes (2c, 2c+1) big-endian — the FULL
+    * md5 of each token, extending [[simhash64]]'s layout (chunk 0 equals
+    * [[simhash16]]; chunks 0..3 equal simhash64's chunks). Returned
+    * pre-chunked because the banded index consumes chunks, never the
+    * packed value. */
+  def simhash128(toks: ArrayData): GenericArrayData = {
+    val md = localMd.get()
+    val votes = new Array[Int](128)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset(); md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var c = 0
+      while (c < 8) {
+        val v = ((d(2 * c) & 0xff) << 8) | (d(2 * c + 1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          if (((v >> b) & 1) == 1) votes(16 * c + b) += 1 else votes(16 * c + b) -= 1
+          b += 1
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](8)
+    var c = 0
+    while (c < 8) {
+      var chunk = 0L
+      var b = 0
+      while (b < 16) {
+        if (votes(16 * c + b) > 0) chunk |= (1L << b)
+        b += 1
+      }
+      out(c) = chunk
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `simhash16(tokenArray)` → bigint 16-bit SimHash. */
@@ -252,6 +293,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernel.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `simhash128(tokenArray)` → array<bigint> of the 8 × 16-bit SimHash
+  * chunks (chunks 0..3 == simhash64's; chunk 0 == simhash16). */
+case class SimHash128(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash128 needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash128(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHashKernel.simhash128($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
     copy(child = newChild)
 }
 
@@ -376,6 +439,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
+      (children: Seq[Expression]) => SimHash128(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_r6"),
       new ExpressionInfo(classOf[CosineR6].getName, "cosine_r6"),

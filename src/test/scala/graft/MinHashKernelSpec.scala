@@ -88,6 +88,24 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(fused2.join(ref, "doc_id").filter(col("sh") =!= col("ref_sh")).count() == 0)
   }
 
+  test("simhash128 chunk layout: 8 x 16-bit chunks, prefix-compatible with simhash64/16") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val all = docs.select(col("doc_id"),
+      expr("simhash128(toks)").as("sh128"),
+      expr("simhash64(toks)").as("sh64"),
+      expr("simhash16(toks)").as("sh16"))
+    // every chunk is a 16-bit value
+    assert(all.filter(exists(col("sh128"),
+      c => c < 0 || c > 65535)).count() == 0)
+    assert(all.filter(size(col("sh128")) =!= 8).count() == 0)
+    // chunk 0 == simhash16; chunks 0..3 reassemble simhash64 (bits 16c..16c+15)
+    assert(all.filter(element_at(col("sh128"), 1) =!= col("sh16")).count() == 0)
+    val packed = (0 until 4).map(c =>
+      shiftleft(element_at(col("sh128"), c + 1), 16 * c)).reduce(_ + _)
+    assert(all.filter(packed =!= col("sh64")).count() == 0)
+  }
+
   test("kernel handles degenerate inputs like the declarative form") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))

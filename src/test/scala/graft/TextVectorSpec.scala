@@ -74,7 +74,8 @@ class TextVectorSpec extends AnyFunSuite {
   }
 
   test("near-dup pair queries contain no all-pairs join (the 100-TB guarantee)") {
-    for (q <- Seq("q23_minhash_dup_pairs", "q24_ngram_jaccard", "q27_embedding_neardup")) {
+    for (q <- Seq("q23_minhash_dup_pairs", "q24_ngram_jaccard", "q27_embedding_neardup",
+                  "q42_simhash_dup_pairs")) {
       val plan = TextQueries.queries.getOrElse(q,
         VectorQueries.queries(q))(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString

@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [reportJsonPath]
 
 Reads each <verifyOutDir>/<name>.parquet file (written by graft.Verify) and the
 oracle_sql.json dump, runs each oracle in DuckDB over the same testdata
 parquet tables, sorts columns by name, and compares values exactly.
-Dev-only tooling (driver-side python libs); not part of the Scala library.
+With a third arg, also writes a machine-readable per-query verdict JSON
+(the committed correctness self-report). Dev-only tooling (driver-side
+python libs); not part of the Scala library.
 """
 import sys, json, os, math, decimal, datetime
 
@@ -45,11 +47,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         f = f"{out_dir}/{name}.parquet"
         if not os.path.exists(f):
             print(f"FAIL {name}: no spark output")
+            report[name] = {"ok": False, "reason": "no spark output"}
             n_fail += 1
             continue
         spark_tbl = pq.read_table(f)
@@ -57,16 +61,21 @@ def main():
             duck_tbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            report[name] = {"ok": False, "reason": f"oracle error: {e}"}
             n_fail += 1
             continue
         scols, srows = rows_of_table(spark_tbl)
         dcols, drows = rows_of_table(duck_tbl)
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+            report[name] = {"ok": False, "reason": "columns differ",
+                            "spark_cols": scols, "duck_cols": dcols}
             n_fail += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            report[name] = {"ok": False, "reason": "rowcount differs",
+                            "spark_rows": len(srows), "duck_rows": len(drows)}
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
@@ -76,11 +85,22 @@ def main():
             print(f"  cols : {scols}")
             print(f"  spark: {a}")
             print(f"  duck : {b}")
+            report[name] = {"ok": False, "reason": "values differ",
+                            "rows_differing": len(bad), "rows_total": len(srows)}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
+            report[name] = {"ok": True, "rows": len(srows),
+                            "schema_match": True, "hash_match": True}
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if len(sys.argv) > 3:
+        summary = {"sf_dir": sf_dir, "verify_dir": out_dir,
+                   "checked_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+                   "pass": n_pass, "fail": n_fail, "queries": report}
+        with open(sys.argv[3], "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     sys.exit(1 if n_fail else 0)
 
 
