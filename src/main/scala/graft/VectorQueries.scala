@@ -21,8 +21,14 @@ object VectorQueries {
     * hyperplane sign literals are sized to it at plan-build time. */
   private val Dims = 64
   private val AnnPlanes = 0 until 8   // q28: one 8-bit bucket (256 buckets)
-  private val Band0 = 0 until 4       // q27: 2 bands × 4 planes (16 buckets)
-  private val Band1 = 4 until 8
+  // q27: 4 bands × 8 planes → 256 buckets per (label, band). Round 3 used
+  // 2 bands × 4 planes = 16 buckets, so within one label each bucket held
+  // ~n/16 vectors and the candidate self-join grew as n²/16 per band — a
+  // pair explosion at 10⁹ vectors. 8-plane bands shrink expected bucket
+  // occupancy 16×; the recall a narrower bucket loses is bought back with
+  // twice the bands (LSH AND-OR amplification: planes AND within a band,
+  // bands OR across).
+  private val NdBands: Seq[Range] = (0 until 4).map(g => (8 * g) until (8 * g + 8))
   private val IvfSeeds = 8            // q38: coarse-quantizer cell count
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -44,15 +50,16 @@ object VectorQueries {
 
     // Near-duplicate pairs. Round 1 joined all pairs within each label —
     // O(n²) per label, 36 s at sf0.1 and a scale-killer. Now candidates
-    // come from a 2-band SRP-LSH equi-join on (label, band, bucket), then
-    // cosine-verify candidates only; top-10 most similar.
+    // come from a 4-band × 8-plane SRP-LSH equi-join on (label, band,
+    // bucket), then cosine-verify candidates only; top-10 most similar.
     "q27_embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-        .withColumn("b0", lshBucket(col("v"), Band0, Dims))
-        .withColumn("b1", lshBucket(col("v"), Band1, Dims))
+        .select((Seq(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")) ++
+          NdBands.zipWithIndex.map { case (r, g) =>
+            lshBucket(asDouble(col("embedding")), r, Dims).as(s"b$g") }): _*)
       val bands = e.select(col("vec_id"), col("label"),
-        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+        posexplode(array(NdBands.indices.map(g => col(s"b$g")): _*))
+          .as(Seq("band_id", "bucket")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.label") === col("y.label") && col("x.band_id") === col("y.band_id")
             && col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -73,18 +80,22 @@ object VectorQueries {
     // query's cell. Assignment is a linear broadcast pass (n×K cosines);
     // the probe touches ~1/K of the corpus — the inverted-file shape.
     "q38_ann_ivf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val seeds = e.filter(col("vec_id").between(1, IvfSeeds))
         .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      // argmax by (seed_cos desc, seed_id asc) as a hash aggregate: max_by
+      // over struct(seed_cos, -seed_id) partial-aggregates map-side (each
+      // vector's K seed rows collapse to one before any shuffle) — the
+      // round-3 row_number window sorted every (vector × K) group instead.
+      // v rides in the max_by payload so no rejoin against the corpus.
       val cells = e.crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("v"), col("seed_id"),
           cosineR6(col("v"), col("sv")).as("seed_cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("seed_cos").desc, col("seed_id"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("seed_id").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("seed_id"), col("v")),
+          struct(col("seed_cos"), negate(col("seed_id")))).as("w"))
+        .select(col("vec_id"), col("w.v").as("v"), col("w.seed_id").as("cell"))
       val q = cells.filter(col("vec_id") === 0)
         .select(col("v").as("qe"), col("cell").as("qcell"))
       cells.filter(col("vec_id") =!= 0)
@@ -126,10 +137,11 @@ object VectorQueries {
       "q27_embedding_neardup" ->
         s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |     b AS (SELECT vec_id, label, v,
-           |             ${sqlLshBucket("v", Band0, Dims)} AS b0,
-           |             ${sqlLshBucket("v", Band1, Dims)} AS b1 FROM e),
-           |     bands AS (SELECT vec_id, label, 0 AS band_id, b0 AS bucket FROM b
-           |               UNION ALL SELECT vec_id, label, 1, b1 FROM b),
+           |             ${NdBands.zipWithIndex.map { case (r, g) =>
+                            s"${sqlLshBucket("v", r, Dims)} AS b$g" }.mkString(",\n             ")} FROM e),
+           |     bands AS (${NdBands.indices.map(g =>
+                            s"SELECT vec_id, label, $g AS band_id, b$g AS bucket FROM b")
+                            .mkString("\n               UNION ALL ")}),
            |     cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
            |              FROM bands x JOIN bands y
            |                ON x.label = y.label AND x.band_id = y.band_id

@@ -69,8 +69,22 @@ object VectorFunctions {
     * bit k = [proj(v, plane_(range(k))) > 0]. The projection is computed in
     * scaled-BIGINT arithmetic (round(x·1e6)·sign summed as longs) so it is
     * exact and summation-order-independent — bit-identical in any engine,
-    * no float accumulation-order risk on the sign test. */
+    * no float accumulation-order risk on the sign test. Evaluated by the
+    * fused native kernel (graft.plans.SrpKernel): one codegen'd pass over
+    * the vector for ALL planes, vs one interpreted zip_with/aggregate
+    * lambda pair PER plane in the declarative form ([[lshBucketHof]] —
+    * equivalence asserted in MinHashKernelSpec). Plane ranges must be
+    * contiguous (all uses are). */
   def lshBucket(v: Column, planes: Range, dims: Int): Column = {
+    require(planes.step == 1, s"srp_bucket needs a contiguous plane range, got $planes")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.SrpBucket(
+      GraftColumnBridge.expression(v), planes.start, planes.length, dims))
+  }
+
+  /** The declarative HOF form of [[lshBucket]] (kernel equivalence
+    * reference; interpreted lambdas — never on a hot path). */
+  def lshBucketHof(v: Column, planes: Range, dims: Int): Column = {
     val bits = planes.zipWithIndex.map { case (p, k) =>
       val signs = typedLit(planeSigns(p, dims))
       val proj = aggregate(
@@ -78,7 +92,7 @@ object VectorFunctions {
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, lit(1 << k)).otherwise(lit(0))
     }
-    bits.reduce(_ + _)
+    bits.map(_.cast("long")).reduce(_ + _)
   }
 
   /** DuckDB mirror of [[lshBucket]]: same sign literals, same scaled-int

@@ -122,8 +122,10 @@ object Relational {
     * `q.limit(last_n)` after a range filter,
     * services/training-service/app/db_utils.py:31-33). Row CONTENT is
     * engine-dependent (Spark takes the first rows of the first
-    * partitions), exactly like the reference's unordered SQL LIMIT —
-    * declared queries using it get a rows-only check, not a hash oracle. */
+    * partitions), exactly like the reference's unordered SQL LIMIT — so a
+    * declared query using it must wrap the limited result in an
+    * order-independent aggregate (e.g. COUNT, as q36 does) to stay
+    * oracle-checkable; the raw rows themselves can't be hash-compared. */
   def plainLimit(df: DataFrame, n: Int): DataFrame =
     df.limit(n)
 

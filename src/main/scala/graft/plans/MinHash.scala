@@ -407,6 +407,93 @@ case class CosineR6(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection bucket kernel: one codegen'd pass computing
+  * all plane projections of a double vector in scaled-BIGINT arithmetic —
+  * value-identical to the declarative zip_with/aggregate form
+  * (VectorFunctions.lshBucketHof) and its DuckDB mirror (sqlLshBucket):
+  *   bit k = [ Σ_i round(v_i·10⁶)·sign(plane_k, i) > 0 ],  bucket = Σ 2^k·bit
+  * Signs are the md5-parity hyperplanes of VectorFunctions.planeSigns,
+  * computed once per (start, n, dims) and cached. Rounding is HALF_UP via
+  * BigDecimal.valueOf — the same path Spark's round() takes for doubles —
+  * so sign tests are exact and engine-independent. */
+object SrpKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Int]]()
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Flattened [plane][dim] ±1 sign matrix for planes start..start+n-1. */
+  private def signs(start: Int, n: Int, dims: Int): Array[Int] =
+    signCache.computeIfAbsent((start, n, dims), _ => {
+      val out = new Array[Int](n * dims)
+      var k = 0
+      while (k < n) {
+        var i = 0
+        while (i < dims) {
+          out(k * dims + i) =
+            if (Integer.parseInt(md5Hex(s"plane${start + k}:$i").substring(0, 1), 16) % 2 == 0) 1
+            else -1
+          i += 1
+        }
+        k += 1
+      }
+      out
+    })
+
+  def bucket(v: ArrayData, start: Int, n: Int, dims: Int): Long = {
+    val sg = signs(start, n, dims)
+    val len = math.min(v.numElements(), dims)
+    // round each element once, reuse across all planes
+    val scaled = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      scaled(i) = java.math.BigDecimal.valueOf(v.getDouble(i) * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < n) {
+      var proj = 0L
+      var j = 0
+      while (j < len) {
+        proj += scaled(j) * sg(k * dims + j)
+        j += 1
+      }
+      if (proj > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+}
+
+/** `srp_bucket(vec, startPlane, nPlanes, dims)` → bigint SRP-LSH bucket. */
+case class SrpBucket(child: Expression, start: Int, n: Int, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"srp_bucket needs array<double>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SrpKernel.bucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], start, n, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SrpKernel.bucket($c, $start, $n, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
 /** Session extensions: registers the engine's native functions.
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -443,6 +530,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash128"),
       new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
       (children: Seq[Expression]) => SimHash128(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(s: Int, IntegerType), Literal(n: Int, IntegerType),
+                 Literal(d: Int, IntegerType)) => SrpBucket(v, s, n, d)
+        case _ => throw new IllegalArgumentException(
+          "usage: srp_bucket(vecCol, startPlane, nPlanes, dims) with literal ints")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_r6"),
       new ExpressionInfo(classOf[CosineR6].getName, "cosine_r6"),

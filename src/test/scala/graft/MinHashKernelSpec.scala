@@ -106,6 +106,19 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(all.filter(packed =!= col("sh64")).count() == 0)
   }
 
+  test("srp_bucket kernel == declarative zip_with/aggregate form on real embeddings") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    for (planes <- Seq(0 until 8, 8 until 16, 24 until 32)) {
+      val mismatches = e.select(
+        lshBucket(col("v"), planes, 64).as("k"),
+        lshBucketHof(col("v"), planes, 64).as("h"))
+        .filter(col("k") =!= col("h")).count()
+      assert(mismatches == 0, s"kernel/HOF divergence for planes $planes")
+    }
+  }
+
   test("kernel handles degenerate inputs like the declarative form") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, ""), (3L, "exactly5"), (4L, "héllo wörld"))

@@ -57,8 +57,8 @@ class TextVectorSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), 0 until 8, 64))
-    val a = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    val b = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = e.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
     assert(a.values.forall(x => x >= 0 && x < 256))
   }
