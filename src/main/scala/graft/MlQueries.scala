@@ -99,6 +99,17 @@ object MlQueries {
        |s2 AS (SELECT *, (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE)) / CAST($nCol AS DOUBLE) AS icept
        |       FROM s1)""".stripMargin
 
+  /** Seasonal stage mirror of [[Forecaster.fitSeasonal]]: per-dow mean of
+    * the INTEGER trend residuals; `$src` must expose slope/icept keyed by
+    * `$keys`, `$rows` the observation rows (key cols + x, y3, day). */
+  private def seasonCte(rows: String, keys: String, extraPred: String) =
+    s"""sd AS (SELECT ${keys.split(",").map(k => s"b.$k").mkString(", ")}, isodow(b.day) AS dw,
+       |              SUM(b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE)) AS BIGINT)) AS ssum,
+       |              COUNT(*) AS scnt
+       |       FROM $rows b JOIN s2 ON ${keys.split(",").map(k => s"b.$k = s2.$k").mkString(" AND ")}$extraPred
+       |       GROUP BY ALL),
+       |sf AS (SELECT *, CAST(ssum AS DOUBLE)/CAST(scnt AS DOUBLE) AS sdow FROM sd)""".stripMargin
+
   private val forecastSql =
     s"""$seriesCte,
        |st AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(y3) AS sy,
@@ -106,22 +117,26 @@ object MlQueries {
        |              MAX(day) AS maxd, MAX(x) AS maxx
        |       FROM base GROUP BY key),
        |${fitCte("st", "key", "n")},
+       |${seasonCte("base", "key", "")},
        |r AS (SELECT b.key,
-       |             SUM((b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE)) AS BIGINT))
-       |               * (b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE)) AS BIGINT))) AS ssr
-       |      FROM base b JOIN s2 ON b.key = s2.key GROUP BY b.key),
+       |             SUM((b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT))
+       |               * (b.y3 - CAST(round(icept + slope*CAST(b.x AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT))) AS ssr
+       |      FROM base b JOIN s2 ON b.key = s2.key
+       |      LEFT JOIN sf ON b.key = sf.key AND isodow(b.day) = sf.dw
+       |      GROUP BY b.key),
        |ci AS (SELECT s2.key, s2.n, s2.maxd, s2.maxx, s2.slope, s2.icept,
        |              CAST(round(1.96*sqrt(CAST(ssr AS DOUBLE)/CAST(s2.n AS DOUBLE))) AS BIGINT) AS ci3
        |       FROM s2 JOIN r ON s2.key = r.key),
-       |fc AS (SELECT key, maxd + CAST(i AS INT) AS day,
-       |              CAST(round(icept + slope*CAST(maxx + i AS DOUBLE)) AS BIGINT) AS yhat3, ci3
-       |       FROM ci CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i))""".stripMargin
+       |fc AS (SELECT c.key, c.maxd + CAST(i AS INT) AS day,
+       |              CAST(round(c.icept + c.slope*CAST(c.maxx + i AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT) AS yhat3, c.ci3
+       |       FROM ci c CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i)
+       |       LEFT JOIN sf ON c.key = sf.key AND isodow(c.maxd + CAST(i AS INT)) = sf.dw)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q30_cv_metrics" ->
       s"""$seriesCte,
          |cnt AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
-         |rn AS (SELECT b.key, b.x, b.y3,
+         |rn AS (SELECT b.key, b.x, b.y3, b.day,
          |              row_number() OVER (PARTITION BY b.key ORDER BY b.x) AS rn,
          |              c.n, c.n // 6 AS ts
          |       FROM base b JOIN cnt c ON b.key = c.key),
@@ -130,9 +145,11 @@ object MlQueries {
          |              SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy
          |       FROM a WHERE rn <= n - (6 - f)*ts GROUP BY key, f),
          |${fitCte("tr", "key, f", "n_train")},
+         |${seasonCte("a", "key,f", "\n       WHERE b.rn <= b.n - (6 - b.f)*b.ts")},
          |te AS (SELECT a.key, a.f, a.y3,
-         |              ABS(a.y3 - CAST(round(icept + slope*CAST(a.x AS DOUBLE)) AS BIGINT)) AS abs3
+         |              ABS(a.y3 - CAST(round(icept + slope*CAST(a.x AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT)) AS abs3
          |       FROM a JOIN s2 ON a.key = s2.key AND a.f = s2.f
+         |       LEFT JOIN sf ON a.key = sf.key AND a.f = sf.f AND isodow(a.day) = sf.dw
          |       WHERE a.rn > a.n - (6 - a.f)*a.ts AND a.rn <= a.n - (5 - a.f)*a.ts),
          |m AS (SELECT key, f, COUNT(*) AS n_test, SUM(abs3) AS sabs, SUM(abs3*abs3) AS ssq,
          |             SUM((abs3*1000000000) // y3) AS spct,

@@ -2,9 +2,10 @@ package graft.ml
 
 /** Per-key deterministic trainer + forecaster — the reference's weekly
   * pipeline (services/training-service/app/train_utils.py:72-151: one
-  * Prophet model per (store, product), 5-fold anchored CV, 7-day
-  * forecast) re-expressed as a per-group closed-form OLS fit that a SQL
-  * oracle can reproduce bit-exactly.
+  * Prophet model per (store, product) with weekly seasonality, 5-fold
+  * anchored CV, 7-day forecast) re-expressed as a per-group closed-form
+  * OLS trend + per-day-of-week seasonal decomposition that a SQL oracle
+  * can reproduce bit-exactly.
   *
   * Determinism contract (FIXTURES.md §7 spirit):
   *  - the target is a scaled integer (y3 = round(value·1e3) summed as
@@ -54,6 +55,40 @@ object Forecaster {
   def predict3(fit: Fit, x: Int): Long =
     roundAway(fit.intercept + fit.slope * x.toDouble)
 
+  /** ISO day-of-week, 1=Monday..7=Sunday — same numbering as DuckDB's
+    * `isodow()`, so the oracle can mirror the seasonal join key. */
+  def dow(day: java.sql.Date): Int = day.toLocalDate.getDayOfWeek.getValue
+
+  /** U2 (full) — trend + weekly seasonality, the reference's Prophet
+    * weekly_seasonality (train_utils.py:24-35) as an exact two-stage
+    * decomposition: (1) the integer-statistics OLS trend above; (2) the
+    * seasonal term per ISO day-of-week = mean of the INTEGER trend
+    * residuals (y3 − rounded trend), as `ssum/scnt` in double. Both
+    * stages are functions of exact integers, so slope/intercept/sdow and
+    * every prediction are bit-reproducible by the SQL oracle. A dow never
+    * seen in training contributes 0.0 (mirrored by the oracle's
+    * COALESCE on a left join). */
+  final case class SeasonalFit(slope: Double, intercept: Double,
+                               sdow: Array[Double]) // index 1..7, 0 unused
+  def fitSeasonal(pts: Array[Obs]): SeasonalFit = {
+    val (n, sx, sy, sxx, sxy) = sums(pts)
+    val fit = ols(n, sx, sy, sxx, sxy)
+    val ssum = new Array[Long](8)
+    val scnt = new Array[Long](8)
+    pts.foreach { p =>
+      val d = dow(p.day)
+      ssum(d) += p.y3 - predict3(fit, p.x)
+      scnt(d) += 1
+    }
+    val sdow = Array.tabulate(8)(d =>
+      if (scnt(d) == 0) 0.0 else ssum(d).toDouble / scnt(d).toDouble)
+    SeasonalFit(fit.slope, fit.intercept, sdow)
+  }
+  /** Prediction op order `(icept + slope*x) + sdow` — token-identical to
+    * the oracle's `round(icept + slope*CAST(x AS DOUBLE) + sdow)`. */
+  def predictSeasonal3(f: SeasonalFit, x: Int, d: Int): Long =
+    roundAway(f.intercept + f.slope * x.toDouble + f.sdow(d))
+
   private def sums(pts: Array[Obs]): (Long, Long, Long, Long, Long) = {
     var n, sx, sy, sxx, sxy = 0L
     pts.foreach { p =>
@@ -84,13 +119,14 @@ object Forecaster {
       else {
         val train = pts.slice(0, trainEnd)
         val test = pts.slice(trainEnd, testEnd)
-        val (tn, sx, sy, sxx, sxy) = sums(train)
-        val fit = ols(tn, sx, sy, sxx, sxy)
-        val abs3 = test.map(p => math.abs(p.y3 - predict3(fit, p.x))).sorted
+        val tn = train.length.toLong
+        val fit = fitSeasonal(train)
+        val abs3 =
+          test.map(p => math.abs(p.y3 - predictSeasonal3(fit, p.x, dow(p.day)))).sorted
         val m = test.length
         var sumAbs = 0L; var sumSq = BigInt(0); var sumPct = 0L
         test.foreach { p =>
-          val a = math.abs(p.y3 - predict3(fit, p.x))
+          val a = math.abs(p.y3 - predictSeasonal3(fit, p.x, dow(p.day)))
           sumAbs += a; sumSq += BigInt(a) * BigInt(a)
           // pure integer floor-division: exact, matches the SQL oracle's
           // BIGINT `//` with no float intermediate
@@ -112,17 +148,18 @@ object Forecaster {
     * (pd.date_range inclusivity, helpers.py:29). */
   val HorizonRows = 8
 
-  /** U2/U3 — per-key final fit + inclusive 7-day-ahead forecast with a
-    * 95% CI from the in-sample residual RMS (±1.96σ, the engine-defined
-    * stand-in for Prophet's interval_width=0.95). */
+  /** U2/U3 — per-key final fit (trend + weekly seasonality) + inclusive
+    * 7-day-ahead forecast with a 95% CI from the in-sample residual RMS
+    * (±1.96σ, the engine-defined stand-in for Prophet's
+    * interval_width=0.95; residuals are post-seasonal). */
   def forecastKey(key: String, series: Iterator[Obs]): Iterator[Forecast] = {
     val pts = series.toArray.sortBy(_.x)
     if (pts.length < 2) return Iterator.empty
-    val (n, sx, sy, sxx, sxy) = sums(pts)
-    val fit = ols(n, sx, sy, sxx, sxy)
+    val n = pts.length.toLong
+    val fit = fitSeasonal(pts)
     var ssr = BigInt(0)
     pts.foreach { p =>
-      val r = p.y3 - predict3(fit, p.x)
+      val r = p.y3 - predictSeasonal3(fit, p.x, dow(p.day))
       ssr += BigInt(r) * BigInt(r)
     }
     val ci3 = roundAway(1.96 * math.sqrt(ssr.toDouble / n.toDouble))
@@ -130,7 +167,7 @@ object Forecaster {
     (1 to HorizonRows).iterator.map { i =>
       val x = last.x + i
       val day = java.sql.Date.valueOf(last.day.toLocalDate.plusDays(i.toLong))
-      val y = predict3(fit, x)
+      val y = predictSeasonal3(fit, x, dow(day))
       Forecast(key, day, y, y - ci3, y + ci3)
     }
   }

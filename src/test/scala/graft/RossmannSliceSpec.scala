@@ -55,6 +55,19 @@ class RossmannSliceSpec extends AnyFunSuite {
       .toDF()
     assert(forecasts.count() == 3 * Forecaster.HorizonRows)
 
+    // weekly seasonality: the seed bumps Mon/Tue (+10); the forecast must
+    // track it. x=36 is a Tuesday (bump), x=37 Wednesday; trend alone
+    // would make the later day LARGER (slope ~ +2/day), so yhat(36) >
+    // yhat(37) only if the dow term is live. x=42 Monday vs x=41 Sunday:
+    // bump + slope ~ +12.
+    val f1 = forecasts.filter(col("key") === "1|product_A")
+      .select(datediff(col("day"), lit(java.sql.Date.valueOf(d0))).cast("int").as("x"),
+        col("yhat3"))
+      .as[(Int, Long)].collect().toMap
+    assert(f1(36) > f1(37), s"Tuesday bump not tracked: ${f1(36)} <= ${f1(37)}")
+    assert(f1(42) - f1(41) > 8000L && f1(42) - f1(41) < 16000L,
+      s"Monday bump off: ${f1(42) - f1(41)}")
+
     // forecast_results rows, two model versions appended through the store
     def toResults(version: Int) = forecasts
       .select(
