@@ -108,6 +108,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(date)"), plan)
   }
 
+  test("q43: partitioned-store lookback prunes to <= 7 day partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sf = "/root/testdata/sf0.001"
+    val df = PipelineQueries.queries("q43_partitioned_lookback")(spark, sf)
+    // pre-AQE physical plan: a plain tree we can introspect for the scan
+    val scans = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val pruned = scans.filter(_.partitionFilters.exists(_.references.exists(_.name == "day")))
+    assert(pruned.nonEmpty, s"expected a day-partition-pruned scan in:\n${df.queryExecution.sparkPlan}")
+    val sel = pruned.head.selectedPartitions.partitionCount
+    val total = Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
+    assert(sel <= 7 && sel < total, s"pruning read $sel of $total day partitions")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")
