@@ -64,6 +64,27 @@ object Store {
       .format("parquet").saveAsTable(table)
   }
 
+  /** S3/K3 over an RDBMS — the reference's store is literally Postgres
+    * over JDBC (spark_streaming.py:79-90 writes, training-service
+    * db_utils.py:23-38 reads); the engine is parquet-native, but these
+    * passthroughs keep that surface for users with an RDBMS. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** JDBC read at scale: without bounds, spark.read.jdbc is ONE executor
+    * holding one connection — the classic single-reader bottleneck. This
+    * overload splits `partitionCol`'s [lower, upper] range into
+    * `numPartitions` concurrent range-predicate readers. */
+  def readJdbc(spark: SparkSession, url: String, table: String, partitionCol: String,
+               lower: Long, upper: Long, numPartitions: Int,
+               props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props)
+
+  def writeJdbc(df: DataFrame, url: String, table: String, mode: String = "append",
+                props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** S4 — schema-on-read reflection from the parquet footer. */
   def schemaOf(spark: SparkSession, dir: String): StructType =
     spark.read.parquet(dir).schema

@@ -26,15 +26,44 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamIngest {
 
-  /** S2/P1/P2 — streaming source + envelope parse. `value` is the raw
-    * JSON message string (the Kafka value after CAST AS STRING). */
-  def jsonLinesStream(spark: SparkSession, srcDir: String, schema: StructType): DataFrame =
-    spark.readStream
-      .format("text")
-      .load(srcDir)
+  /** P1/P2 — the envelope parse shared by every source: CAST the raw
+    * value (binary for Kafka, string for the file source) to STRING,
+    * from_json against the declared schema, flatten
+    * (spark_streaming.py:60-66's select(from_json(...)).select("data.*")). */
+  def parseEnvelope(raw: DataFrame, schema: StructType): DataFrame =
+    raw
       .selectExpr("CAST(value AS STRING) AS value")
       .select(from_json(col("value"), schema).as("data"))
       .select("data.*")
+
+  /** S2/P1/P2 — streaming source + envelope parse. `value` is the raw
+    * JSON message string (the Kafka value after CAST AS STRING). */
+  def jsonLinesStream(spark: SparkSession, srcDir: String, schema: StructType): DataFrame =
+    parseEnvelope(spark.readStream.format("text").load(srcDir), schema)
+
+  /** S2 Kafka-native — the configured reader for the reference's actual
+    * source (spark_streaming.py:45-53: subscribe + bootstrap.servers +
+    * startingOffsets=earliest). Construction only touches the reader's
+    * option map; resolving the `kafka` format happens at `load()`, which
+    * needs the spark-sql-kafka connector jar on the cluster classpath
+    * (not shipped in this build environment — the file source above is
+    * the harness stand-in, same envelope). */
+  def kafkaReader(spark: SparkSession, brokers: String, topic: String,
+                  startingOffsets: String = "earliest"): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+
+  /** S2 Kafka-native, end to end: reader → load → envelope parse — the
+    * exact reference pipeline. Requires the Kafka connector jar at
+    * `load()` time; behind it the parse/flatten/sink path is identical
+    * to the file-source stand-in, so swapping sources changes ONE line
+    * of caller code. */
+  def kafkaStream(spark: SparkSession, brokers: String, topic: String,
+                  schema: StructType, startingOffsets: String = "earliest"): DataFrame =
+    parseEnvelope(kafkaReader(spark, brokers, topic, startingOffsets).load(), schema)
 
   /** K2 — checkpointed micro-batch append sink, drained with
     * AvailableNow (the 4.x successor of the reference's trigger(once)).
