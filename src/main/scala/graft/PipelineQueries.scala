@@ -166,6 +166,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // Multimodal nested-STRUCT table (the missing half of q34's flat
+    // form): media rows as img{bytes,width,height} + meta{lang,caption}
+    // structs in parquet. The query reads img.width/img.height/meta.*
+    // only — nested-schema pruning must drop img.bytes (the heavy
+    // payload) from the scan's ReadSchema, asserted in PipelineSpec:
+    // at 100 TB the bytes ARE the table, and a rollup that reads them
+    // is reading the whole lake to count pixels.
+    "q44_nested_media" -> ((s, dir) => {
+      val tbl = cachedFixture(s"media|$dir") { work =>
+        val payload = encode(col("text"), "UTF-8")
+        Tables.documents(s, dir).select(
+            col("doc_id"),
+            struct(
+              payload.as("bytes"),
+              (lit(1) + conv(substring(hex(payload), 1, 2), 16, 10).cast(IntegerType) % 64).as("width"),
+              (lit(1) + conv(substring(hex(payload), 3, 2), 16, 10).cast(IntegerType) % 64).as("height")).as("img"),
+            struct(col("lang").as("lang"),
+              substring(col("text"), 1, 40).as("caption")).as("meta"))
+          .write.mode("overwrite").parquet(s"$work/media")
+      } + "/media"
+      s.read.parquet(tbl)
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("img.width")).as("sum_w"),
+          sum(col("img.height")).as("sum_h"),
+          sum(length(col("meta.caption"))).as("sum_caption_len"))
+        .orderBy("lang")
+    }),
+
     // K3-at-scale + F3 — the reference's daily-ingest layout
     // (put_data_in_postgres.py:61-71: date-keyed sales appends) as a
     // date-PARTITIONED store table, then a 7-day lookback that prunes
@@ -209,7 +238,28 @@ object PipelineQueries {
     })
   )
 
+  /** DuckDB mirror of q34/q44's byte extraction: DuckDB has no
+    * substring-on-BLOB or conv(), so byte `p` of the payload is read from
+    * the hex string by digit arithmetic (strpos on the hex alphabet). */
+  private def byteVal(p: Int) = {
+    def digit(off: Int, mult: Int) =
+      s"(strpos('0123456789abcdef', substr(lower(hex(payload)),${p + off},1))-1)*$mult"
+    s"(${digit(0, 16)} + ${digit(1, 1)})"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q44_nested_media" ->
+      s"""WITH b AS (SELECT doc_id, lang, text, encode(text) AS payload FROM documents),
+         |     m AS (SELECT lang,
+         |                  1 + ${byteVal(1)} % 64 AS width,
+         |                  1 + ${byteVal(3)} % 64 AS height,
+         |                  length(substr(text, 1, 40)) AS caplen
+         |           FROM b)
+         |SELECT lang, COUNT(*) AS n,
+         | CAST(SUM(width) AS BIGINT) AS sum_w,
+         | CAST(SUM(height) AS BIGINT) AS sum_h,
+         | CAST(SUM(caplen) AS BIGINT) AS sum_caption_len
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q29_stream_ingest" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
@@ -230,11 +280,6 @@ object PipelineQueries {
         |ORDER BY orderkey""".stripMargin,
 
     "q34_multimodal" -> {
-      def byteVal(p: Int) = {
-        def digit(off: Int, mult: Int) =
-          s"(strpos('0123456789abcdef', substr(lower(hex(payload)),${p + off},1))-1)*$mult"
-        s"(${digit(0, 16)} + ${digit(1, 1)})"
-      }
       s"""WITH b AS (SELECT doc_id, lang, text, encode(text) AS payload FROM documents)
          |SELECT doc_id, lang,
          | CAST(octet_length(payload) AS BIGINT) AS n_bytes,

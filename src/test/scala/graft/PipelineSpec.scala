@@ -121,6 +121,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(sel <= 7 && sel < total, s"pruning read $sel of $total day partitions")
   }
 
+  test("q44: nested-schema pruning drops img.bytes from the media scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = PipelineQueries.queries("q44_nested_media")(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val media = scans.filter(_.requiredSchema.fieldNames.contains("img"))
+    assert(media.nonEmpty, s"no media scan in:\n${df.queryExecution.sparkPlan}")
+    val read = media.head.requiredSchema.catalogString
+    assert(read.contains("width") && !read.contains("bytes"),
+      s"img.bytes must be pruned from ReadSchema: $read")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")
