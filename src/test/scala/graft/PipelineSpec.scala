@@ -82,6 +82,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(cv.length == 5 && cv.forall(m => m.mae == 0.0 && m.rmse == 0.0))
   }
 
+  test("seasonal fit: weekly bump recovered; unseen day-of-week falls back to trend") {
+    val d0 = java.time.LocalDate.parse("2024-01-01") // a Monday
+    // 4 full weeks, flat level 100.000 with +5.000 every Wednesday
+    val wk = (0 until 28).map { i =>
+      Obs("k", java.sql.Date.valueOf(d0.plusDays(i.toLong)), i,
+        100000L + (if (i % 7 == 2) 5000L else 0L))
+    }
+    val fit = Forecaster.fitSeasonal(wk.toArray)
+    // Wednesday's seasonal term carries (most of) the bump relative to others
+    assert(fit.sdow(3) - fit.sdow(1) > 3500.0, s"wed=${fit.sdow(3)} mon=${fit.sdow(1)}")
+    // Mon-Fri-only series (two weeks of weekdays): forecast horizon hits
+    // Sat/Sun, whose dow was never trained -> seasonal term exactly 0.0
+    val weekdays = (0 until 14).filter(i => d0.plusDays(i.toLong).getDayOfWeek.getValue <= 5)
+    val wd = weekdays.zipWithIndex.map { case (i, x) =>
+      Obs("k", java.sql.Date.valueOf(d0.plusDays(i.toLong)), i, 100000L + 10L * i)
+    }
+    val f2 = Forecaster.fitSeasonal(wd.map(o => o).toArray)
+    assert(f2.sdow(6) == 0.0 && f2.sdow(7) == 0.0, "unseen dow must contribute nothing")
+    val fc = Forecaster.forecastKey("k", wd.iterator).toSeq
+    assert(fc.size == Forecaster.HorizonRows)
+  }
+
   test("store layer: ensure is idempotent, append accumulates, overwrite resets") {
     val dir = tmp("graft_store") + "/t"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
