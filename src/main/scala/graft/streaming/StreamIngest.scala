@@ -65,6 +65,20 @@ object StreamIngest {
                   schema: StructType, startingOffsets: String = "earliest"): DataFrame =
     parseEnvelope(kafkaReader(spark, brokers, topic, startingOffsets).load(), schema)
 
+  /** K1 Kafka-native — the producer sink half (kafka_producer.py:50-66:
+    * one JSON object per record into a topic): rows serialized through
+    * [[toJsonLines]]'s envelope as the Kafka `value`, writer configured
+    * for the topic. Like [[kafkaReader]], construction only sets the
+    * option map; `start()` resolves the connector jar. The file drop-dir
+    * stand-in (`toJsonLines(df).write.text`) is the same envelope. */
+  def kafkaWriter(df: DataFrame, brokers: String, topic: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    toJsonLines(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
   /** K2 — checkpointed micro-batch append sink, drained with
     * AvailableNow (the 4.x successor of the reference's trigger(once)).
     * Blocks until the drain completes. */

@@ -62,6 +62,14 @@ class JdbcKafkaSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("kafkaWriter builds the producer-sink config; start() pins the jar boundary") {
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_ck").toString
+    val w = StreamIngest.kafkaWriter(stream, "broker1:9092", "forecast_topic", ckpt)
+    val e = intercept[Exception](w.start())
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("parseEnvelope flattens a binary Kafka-shaped value") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     val raw = Seq("""{"id":1,"v":"x"}""").toDF("value")
