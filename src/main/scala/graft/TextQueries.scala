@@ -37,6 +37,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
+    // (space-prefixed letter runs / digit runs / punctuation runs) — the
+    // LLM-corpus "token budget" estimate that whitespace counting (q17)
+    // understates. Identical pattern string on both engines; per-doc
+    // regexp scan, embarrassingly parallel, no shuffle before the sort.
+    "q45_bpe_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(BpePat), lit(0)))
+            .cast(LongType).as("n_bpe"),
+          size(tokens(col("text"))).cast(LongType).as("n_ws"))
+        .withColumn("bpe_per_word_e4", expr("n_bpe * 10000 div n_ws"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: length/avg-token-length/stopword-ratio heuristics,
     // integer-exact, with a categorical quality flag.
     "q18_quality_score" -> ((s, dir) => {
@@ -260,7 +275,21 @@ object TextQueries {
 
   private val toks = sqlTokens("text")
 
+  /** GPT-2-style pre-tokenizer alternation (ASCII form — the corpus is
+    * ASCII): space-prefixed letter / digit / punctuation runs. The SAME
+    * string is handed to Spark's and DuckDB's regex engines; all branches
+    * are disjoint character classes, so leftmost-first semantics agree. */
+  private val BpePat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n]+"
+
   def oracleSql: Map[String, String] = Map(
+    "q45_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+         | CAST(length(regexp_extract_all(text, '$BpePat')) AS BIGINT) AS n_bpe,
+         | CAST(length(${sqlTokens("text")}) AS BIGINT) AS n_ws
+         |FROM documents)
+         |SELECT doc_id, n_bpe, n_ws, n_bpe * 10000 // n_ws AS bpe_per_word_e4
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "q17_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
          |SELECT doc_id,
