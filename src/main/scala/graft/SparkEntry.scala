@@ -201,6 +201,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Range (point-in-interval) join via the bucketization rewrite
+    // (ops/Relational.rangeJoin): lineitem quantities land in irregular
+    // quadratic bands [b², (b+1)²−1]. The tiny band table broadcasts
+    // here; the operator's big-big shape (equi-join on bins, never a
+    // nested loop) is asserted in RelationalQueriesSpec with broadcast
+    // disabled.
+    "q46_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 8).select(
+        col("id").cast(IntegerType).as("band"),
+        (col("id") * col("id")).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) - 1).as("hi"))
+      rangeJoin(Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+          col("l_quantity"), bands, col("lo"), col("hi"), binWidth = 8)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
+        .orderBy("band")
+    }),
+
     // X10 JSON parse (from_json, the streaming-ingest parse path) +
     // exact integer aggregation.
     "q16_json_extract" -> ((s, dir) => {
@@ -220,6 +239,14 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ MlQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
+    "q46_range_join" ->
+      """WITH bands AS (SELECT CAST(b AS INT) AS band, b*b AS lo, (b+1)*(b+1)-1 AS hi
+        |               FROM (SELECT UNNEST(range(0, 8)) AS b))
+        |SELECT band, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,

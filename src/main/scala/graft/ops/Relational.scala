@@ -106,6 +106,26 @@ object Relational {
       .drop("__t", "__side", "__p")
   }
 
+  /** Range (point-in-interval) join — with as-of, the other canonical
+    * operator Spark lacks natively: every left row paired with the right
+    * intervals containing its point. A naive `ON point BETWEEN lo AND hi`
+    * is a BroadcastNestedLoopJoin — O(|L|·|R|) the moment the interval
+    * side outgrows broadcast. This is the standard bucketization rewrite:
+    * each interval explodes to the fixed-width bins it covers, the point
+    * side computes its single bin, both sides meet in an EQUI-join on the
+    * bin (shuffle-partitioned, AQE/skew-governed), and the exact interval
+    * predicate filters bin-mates. A (left, right) pair can only meet in
+    * the left point's own bin, so no dedup is needed. `binWidth` tunes
+    * expansion: ~the median interval width keeps bins-per-interval small
+    * while bounding bin population. */
+  def rangeJoin(left: DataFrame, point: Column, right: DataFrame,
+                lo: Column, hi: Column, binWidth: Long): DataFrame = {
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast("long"), floor(hi / binWidth).cast("long"))))
+    val l = left.withColumn("__bin", floor(point / binWidth).cast("long"))
+    l.join(r, Seq("__bin")).filter(point >= lo && point <= hi).drop("__bin")
+  }
+
   /** Skew-safe two-phase aggregation: spread each hot key over `salts`
     * sub-keys, partially aggregate, then merge — the classic salting
     * pattern for power-law key distributions where one key would pin a

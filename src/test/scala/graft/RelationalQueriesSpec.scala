@@ -64,6 +64,31 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) == 8))
   }
 
+  test("rangeJoin equals the naive theta join and keeps an equi-join plan") {
+    import graft.ops.Relational.rangeJoin
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // boundary-heavy points and intervals: exact ends, bin-straddling,
+    // empty, and out-of-range intervals all covered
+    val pts = Seq(0L, 1L, 7L, 8L, 15L, 16L, 49L, 50L, 63L).toDF("p")
+    val ivs = Seq((0L, 0L, "a"), (1L, 3L, "b"), (2L, 20L, "c"),
+      (15L, 16L, "d"), (60L, 100L, "e"), (200L, 300L, "never")).toDF("lo", "hi", "tag")
+    val got = rangeJoin(pts, col("p"), ivs, col("lo"), col("hi"), 8)
+      .select("p", "tag").as[(Long, String)].collect().sorted.toSeq
+    val want = pts.crossJoin(ivs).filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "tag").as[(Long, String)].collect().sorted.toSeq
+    assert(got == want)
+    // the big-big shape: with broadcast off this must stay an EQUI-join
+    // on the bin key — never a nested-loop/cartesian theta join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = rangeJoin(pts, col("p"), ivs, col("lo"), col("hi"), 8)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q03 broadcasts the nation dim") {
     val plan = SparkEntry.queries("q03_join_revenue")(spark, sf)
       .queryExecution.executedPlan.toString
