@@ -22,7 +22,7 @@ object PipelineQueries {
     * fixture I/O (VERDICT r3 "what's wrong" #6). computeIfAbsent makes
     * concurrent first calls (Verify's thread pool) race-safe. */
   private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def cachedFixture(key: String)(build: String => Unit): String =
+  private[graft] def cachedFixture(key: String)(build: String => Unit): String =
     fixtureCache.computeIfAbsent(key, _ => {
       val work = java.nio.file.Files.createTempDirectory("graft_fx").toString
       build(work)
