@@ -74,6 +74,9 @@ object PipelineQueries {
             date_format(col("o_orderdate"), "MM/dd/yyyy").as("OrderDate"),
             col("o_totalprice").as("TotalPrice"),
             col("o_orderstatus").as("Status"))
+          // a real upstream drops many files; one giant CSV would force a
+          // single-threaded parse (CSV only splits per file with header)
+          .repartition(8)
           .write.option("header", "true").mode("overwrite").csv(s"$work/src")
       } + "/src"
       val raw = s.read.option("header", "true")
