@@ -220,6 +220,23 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // Skew-governed two-phase aggregation (ops/Relational.saltedAgg):
+    // events has only 5 event_type keys — the power-law worst case where
+    // one reducer would otherwise own a whole key's rows. Each hot key
+    // spreads over 8 salted sub-keys, partially aggregates, then merges;
+    // decomposable sums/counts make the two-phase result EXACTLY the
+    // plain groupBy (same DuckDB oracle shape as a direct aggregate).
+    "q47_salted_agg" -> ((s, dir) => {
+      saltedAgg(
+          Tables.events(s, dir)
+            .select(col("event_type"),
+              round(col("value") * 1000000).cast(LongType).as("v6")),
+          Seq("event_type"), salts = 8,
+          partial = Seq(sum(col("v6")).as("ps"), count(lit(1)).as("pc")),
+          merge = Seq(sum(col("ps")).as("sum_v6"), sum(col("pc")).as("n")))
+        .orderBy("event_type")
+    }),
+
     // X10 JSON parse (from_json, the streaming-ingest parse path) +
     // exact integer aggregation.
     "q16_json_extract" -> ((s, dir) => {
@@ -239,6 +256,12 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ MlQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
+    "q47_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q46_range_join" ->
       """WITH bands AS (SELECT CAST(b AS INT) AS band, b*b AS lo, (b+1)*(b+1)-1 AS hi
         |               FROM (SELECT UNNEST(range(0, 8)) AS b))
