@@ -169,6 +169,34 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // §2.9 watermarked tumbling-window aggregate, declared: the same
+    // JSON-lines drop dir as q29 streamed through dailyCounts (1-day
+    // watermark bounds state) in COMPLETE mode; the final AvailableNow
+    // micro-batch lands the full aggregate via foreachBatch overwrite.
+    // The oracle is the BATCH group-by over events — streaming and batch
+    // answers must be identical for the hash to match.
+    "q48_stream_daily_agg" -> ((s, dir) => {
+      val work = cachedFixture(s"wmagg|$dir") { work =>
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        StreamIngest.toJsonLines(ev).write.mode("overwrite").text(s"$work/src")
+        val parsed = StreamIngest.jsonLinesStream(s, s"$work/src", Schemas.eventsEnvelope)
+          .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        val q = StreamIngest.dailyCounts(parsed, "ts")
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$work/agg")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$work/agg").orderBy("day", "event_type")
+    }),
+
     // Multimodal nested-STRUCT table (the missing half of q34's flat
     // form): media rows as img{bytes,width,height} + meta{lang,caption}
     // structs in parquet. The query reads img.width/img.height/meta.*
@@ -315,6 +343,10 @@ object PipelineQueries {
         |  SELECT event_id FROM events, (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
         |  WHERE CAST(ts AS DATE) >= maxd - INTERVAL 13 DAY
         |  LIMIT 50)""".stripMargin,
+
+    "q48_stream_daily_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q43_partitioned_lookback" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
