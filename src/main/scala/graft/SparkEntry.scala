@@ -220,6 +220,17 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // A1-at-scale (ops/Relational.approxDistinctCount): HLL sketch
+    // cardinality — kilobytes shuffled instead of the distinct-key
+    // universe. Declared on the 5-value event_type key, where HLL++'s
+    // sparse representation is EXACT (it only approximates beyond ~
+    // register count), so the oracle is a strict equality with
+    // COUNT(DISTINCT); at the high cardinalities the op exists for,
+    // callers accept the configured rsd instead of an exact answer.
+    "q49_approx_distinct" -> ((s, dir) =>
+      approxDistinctCount(
+        Tables.events(s, dir).select("event_type"), "event_type")),
+
     // Skew-governed two-phase aggregation (ops/Relational.saltedAgg):
     // events has only 5 event_type keys — the power-law worst case where
     // one reducer would otherwise own a whole key's rows. Each hot key
@@ -256,6 +267,10 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ MlQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
+    "q49_approx_distinct" ->
+      """SELECT COUNT(DISTINCT event_type) AS approx_distinct_event_type
+        |FROM events""".stripMargin,
+
     "q47_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
