@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Relational._
+
+/** Feature-engineering surface for training-data pipelines: the
+  * operations a 100-TB curation job runs between raw events/documents and
+  * a training set — sessionization, deterministic splits, subtotal
+  * cubes, per-group quantile binning, set reconciliation, pivoted
+  * per-entity feature rows, and day-over-day deltas.
+  *
+  * Reference intent: the pipeline's pandas feature prep
+  * (services/airflow/dags/task_operators.py:87-120,
+  * services/training-service/app/train_utils.py:64-90) collects rows to
+  * the driver and loops; every operator here is the distributed
+  * re-expression — one declarative plan, shuffles only on the grouping
+  * keys, windows only partitioned by keys (never a global
+  * single-partition sort).
+  */
+object FeatureQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sessionization (ops/Relational.sessionize): 30-min-gap visits per
+    // user, then per-user session stats. Epoch seconds via integer
+    // floor — exact in both engines (ts is ns-precision parquet; a
+    // double epoch would round differently at second boundaries). One
+    // shuffle on user_id serves the two windows AND both groupBys
+    // (key-subset clustering).
+    "q50_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      sessionize(e, Seq("user_id"), col("sec"), col("event_id"), gapSec = 1800L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("ev"), (max(col("sec")) - min(col("sec"))).as("dur"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("ev")).as("n_events"),
+          max(col("ev")).as("max_session_events"),
+          sum(col("dur")).as("total_active_sec"))
+        .orderBy("user_id")
+    }),
+
+    // Deterministic corpus split (ops/Relational.hashSplit): split is a
+    // pure function of doc_id — reproducible across engines and runs,
+    // stable under corpus growth. Narrow stage; the only shuffle is the
+    // audit aggregation below.
+    "q51_hash_split" -> ((s, dir) => {
+      hashSplit(Tables.documents(s, dir), col("doc_id"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // ROLLUP subtotal hierarchy — grouping-sets in one pass (Spark
+    // Expand + single shuffle, partial aggregation per grouping set);
+    // no real NULLs in the group keys, so the subtotal marker can be
+    // COALESCEd to a sentinel identically in both engines.
+    "q52_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Per-group quantile binning: NTILE deciles of document length
+    // WITHIN each language — the window is key-partitioned (parallel,
+    // skew bounded by the largest group), never a global single-
+    // partition sort; (n_chars, doc_id) ordering makes tile assignment
+    // total and engine-identical.
+    "q53_ntile_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast(LongType))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "decile")
+    }),
+
+    // §2.7 set intersection (completes EXCEPT from q09): nations present
+    // on BOTH sides of the business — distinct-semantics INTERSECT,
+    // planned as partial-aggregated semi-join, one shuffle per side on
+    // the compare key.
+    "q54_intersect" -> ((s, dir) => {
+      Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // Pivot to per-entity feature row (wide format for model input).
+    // The value list is declared, not discovered — skips pivot's extra
+    // distinct-collect job, which matters when the fact table is 100 TB;
+    // single hash aggregate, map-side partial.
+    "q55_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)
+        .orderBy("user_id")
+    }),
+
+    // Day-over-day delta features: aggregate FIRST (shuffle carries one
+    // row per (type, day)), then a lag window over the already-tiny
+    // aggregate — the window input is |types|·|days| rows regardless of
+    // fact-table scale.
+    "q56_dod_delta" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("delta", col("n") - coalesce(lag(col("n"), 1).over(w), lit(0L)))
+        .orderBy("event_type", "day")
+    })
+  )
+
+  /** DuckDB oracles — same integer/second/decimal discipline as the
+    * Spark plans; window ORDER BY keys always made total with an id
+    * tiebreak. */
+  def oracleSql: Map[String, String] = Map(
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id, event_id, sec,
+        |        CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g),
+        |per AS (SELECT user_id, session_id, COUNT(*) AS ev, MAX(sec)-MIN(sec) AS dur
+        |        FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(ev) AS BIGINT) AS n_events,
+        |       MAX(ev) AS max_session_events,
+        |       CAST(SUM(dur) AS BIGINT) AS total_active_sec
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q51_hash_split" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q52_rollup" ->
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q53_ntile_per_lang" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT lang, decile, COUNT(*) AS n,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
+    "q54_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q55_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type='error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q56_dod_delta" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |       n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
+        |FROM d ORDER BY event_type, day""".stripMargin
+  )
+}

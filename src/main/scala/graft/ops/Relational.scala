@@ -149,6 +149,40 @@ object Relational {
   def plainLimit(df: DataFrame, n: Int): DataFrame =
     df.limit(n)
 
+  /** Sessionization (gaps-and-islands) — the training-data pipeline's
+    * "group events into visits" primitive: within each key, a new session
+    * starts when the gap to the previous event exceeds `gapSec`. Two
+    * stacked windows on the SAME (key, time, tiebreak) sort — the classic
+    * lag-flag + running-sum rewrite — so the whole operator costs ONE
+    * shuffle + one per-partition sort; downstream per-(key, session)
+    * aggregation reuses the key clustering (ClusteredDistribution is
+    * satisfied by the existing HashPartitioning on a key subset), so no
+    * second shuffle. `timeSec` must be an integer column (floor epoch
+    * seconds): gap arithmetic stays exact and engine-portable. */
+  def sessionize(df: DataFrame, keys: Seq[String], timeSec: Column,
+                 tiebreak: Column, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(timeSec, tiebreak)
+    val prev = lag(timeSec, 1).over(w)
+    df.withColumn("__new_s", when(prev.isNull || timeSec - prev > gapSec, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_s")
+  }
+
+  /** Deterministic train/val/test split — the reproducible alternative to
+    * rand()-sampling for 100-TB corpus curation: the split is a pure
+    * function of the row's key (first hex nibble of md5), so it is stable
+    * across runs, engines, partitionings and re-shuffles, and a document
+    * never migrates between splits when the corpus grows. Narrow
+    * (per-row, no shuffle, codegen'd md5). Default thresholds: hex
+    * '0'-'b' → train (12/16 = 75%), 'c'-'d' → val (12.5%), rest → test. */
+  def hashSplit(df: DataFrame, key: Column,
+                trainHexMax: String = "b", valHexMax: String = "d"): DataFrame = {
+    val h = substring(md5(key.cast("string")), 1, 1)
+    df.withColumn("split",
+      when(h <= trainHexMax, "train").when(h <= valHexMax, "val").otherwise("test"))
+  }
+
   /** W2 — expanding (anchored walk-forward) running aggregate per key,
     * the frame shape behind the reference's TimeSeriesSplit CV
     * (services/training-service/app/train_utils.py:94-114). */

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational._
+
+/** Plan-shape and semantic invariants for the feature-engineering surface
+  * (FeatureQueries, q50-q56) — the properties that decide whether each
+  * operator survives a 100-TB input, which the sf0.01 hash gate can't see.
+  */
+class FeatureQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("test")
+  val sf = "/root/testdata/sf0.001"
+
+  // exchanges are inserted by EnsureRequirements, i.e. only visible in
+  // executedPlan (sparkPlan is pre-preparation); count the hash ones
+  private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("q50 sessionize: ONE hash shuffle serves both windows and both groupBys") {
+    // lag window, running-sum window, per-(user, session) agg and per-user
+    // agg all cluster on user_id — a second hash exchange would mean the
+    // gaps-and-islands rewrite lost its co-partitioning at 100 TB
+    val df = SparkEntry.queries("q50_sessionize")(spark, sf)
+    val n = hashShuffles(df)
+    assert(n == 1, s"expected 1 hash shuffle, got $n:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("sessionize splits on gap > gapSec and never across keys") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 2000L), // gap 1900 > 1800 → new session
+      (2L, 4L, 0L)                                   // other key always restarts
+    ).toDF("user_id", "event_id", "sec")
+    val got = sessionize(rows, Seq("user_id"), $"sec", $"event_id", gapSec = 1800L)
+      .select("user_id", "event_id", "session_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("q51 hashSplit is a pure key function: stable across runs, ~75/12.5/12.5, narrow") {
+    import spark.implicits._
+    val d = hashSplit(Tables.documents(spark, sf), org.apache.spark.sql.functions.col("doc_id"))
+    assert(hashShuffles(d) == 0, "split assignment must not shuffle")
+    val counts = d.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"), counts.toString)
+    // same doc always lands in the same split (pure function of doc_id)
+    val a = d.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = hashSplit(Tables.documents(spark, sf), org.apache.spark.sql.functions.col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("q52 rollup plans as a single-pass Expand (grouping sets), not two aggregates") {
+    val plan = SparkEntry.queries("q52_rollup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("q53 ntile window is key-partitioned — no single-partition global sort") {
+    val df = SparkEntry.queries("q53_ntile_per_lang")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"global window detected:\n$plan")
+    assert(hashShuffles(df) == 1, s"ntile + groupBy should share the lang clustering:\n$plan")
+  }
+
+  test("q55 pivot with a declared value list plans exactly its two agg phases") {
+    // Spark's pivot = count per (user, type), then pivotfirst per user:
+    // two hash exchanges, but the first partial-aggregates map-side so the
+    // shuffle carries ≤ |users|·|types| rows, and the declared value list
+    // means NO eager distinct-discovery job before planning (the killer at
+    // 100 TB — .pivot(col) without values runs a collect first)
+    val df = SparkEntry.queries("q55_pivot")(spark, sf)
+    val n = hashShuffles(df)
+    assert(n == 2, s"expected the 2 pivot agg exchanges, got $n:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q56 lag window runs over the aggregated daily rows, not the fact table") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
+    // first day of each type: delta == n (lag coalesced to 0); deltas
+    // telescope back to the last day's n
+    val rows = got.select("event_type", "n", "delta").as[(String, Long, Long)].collect()
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      assert(rs.head._2 == rs.head._3, s"$t first-day delta should equal n")
+      assert(rs.map(_._3).sum == rs.last._2, s"$t deltas should telescope to last n")
+    }
+  }
+}
