@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Relational._
+import graft.functions.TextFunctions.{tokens, sqlTokens}
 
 /** Feature-engineering surface for training-data pipelines: the
   * operations a 100-TB curation job runs between raw events/documents and
@@ -113,6 +114,54 @@ object FeatureQueries {
         .orderBy("user_id")
     }),
 
+    // Spark's NATIVE session operator (the streaming-capable twin of
+    // q50's gaps-and-islands rewrite): session_window(ts, gap) merges
+    // overlapping [ts, ts+gap) windows per key — a new session starts
+    // when the gap is >= 30 min (end-exclusive windows), vs q50's
+    // strict >. Batch-oracled here; the same expression drops into
+    // readStream + watermark unchanged. Exact µs integer epochs on both
+    // sides — the parquet ns→µs floor is engine-mirrored.
+    "q57_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"), col("n"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // CUBE — all 2^k grouping sets in one Expand pass (completes the
+    // grouping-sets family with q52's ROLLUP): per (status × priority)
+    // plus every marginal and the grand total, one shuffle.
+    "q58_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // Corpus vocabulary statistics: document frequency per (lang, term)
+    // — explode of per-doc DISTINCT tokens, so a term counts once per
+    // document — then top-10 per lang. The count decomposes (map-side
+    // partial agg absorbs hot stopwords before the shuffle) and the
+    // rank window runs over the already-aggregated vocab, partitioned
+    // by lang.
+    "q59_doc_freq" -> ((s, dir) => {
+      val termDocs = Tables.documents(s, dir)
+        .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("term"))
+      val dfreq = termDocs.groupBy("lang", "term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("lang").orderBy(col("df").desc, col("term"))
+      dfreq.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -189,6 +238,38 @@ object FeatureQueries {
         | COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q57_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        |       COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q58_cube" ->
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |       COALESCE(o_orderpriority,'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q59_doc_freq" ->
+      s"""WITH t AS (SELECT lang, UNNEST(list_distinct(${sqlTokens("text")})) AS term
+         |           FROM documents),
+         |d AS (SELECT lang, term, COUNT(*) AS df FROM t GROUP BY lang, term),
+         |r AS (SELECT lang, term, df,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, term) AS rnk
+         |      FROM d)
+         |SELECT lang, term, df, rnk FROM r WHERE rnk <= 10
+         |ORDER BY lang, rnk""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -79,6 +79,47 @@ class FeatureQueriesSpec extends AnyFunSuite {
     assert(n == 2, s"expected the 2 pivot agg exchanges, got $n:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q57 session_window: sessions per user are disjoint, ordered, and gap-separated") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q57_session_window")(spark, sf)
+      .select("user_id", "start_us", "end_us", "n").as[(Long, Long, Long, Long)]
+      .collect()
+    val gapUs = 1800L * 1000000L
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      rs.foreach { case (_, s, e, n) =>
+        assert(e - s >= gapUs && n >= 1, s"user $u: window [$s,$e) shorter than gap")
+      }
+      rs.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // end-exclusive windows: next session starts at or after prev end
+          assert(s2 >= e1, s"user $u: overlapping sessions")
+        case _ => ()
+      }
+    }
+    // total events preserved
+    assert(rows.map(_._4).sum == Tables.events(spark, sf).count())
+  }
+
+  test("q58 cube is a single Expand pass and its grand total matches the table count") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q58_cube")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    val grand = df.filter($"status" === "ALL" && $"priority" === "ALL")
+      .select("n").as[Long].collect()
+    assert(grand.toSeq == Seq(Tables.orders(spark, sf).count()))
+  }
+
+  test("q59 doc-frequency: ≤10 terms per lang, df non-increasing, rank window is post-agg") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q59_doc_freq")(spark, sf)
+      .select("lang", "df", "rnk").as[(String, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length <= 10, s"$lang has ${rs.length} rows")
+      assert(rs.map(_._2).toSeq == rs.map(_._2).sortBy(-_).toSeq, s"$lang df not descending")
+      assert(rs.map(_._3).toSeq == (1L to rs.length).toSeq, s"$lang ranks not dense")
+    }
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
