@@ -162,6 +162,38 @@ object FeatureQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Unpivot/melt — the inverse of q55's widening, long format for
+    // per-(entity, feature) training rows. Narrow Expand projection
+    // (5 output rows per input row, no shuffle beyond the pivot's own);
+    // round-trips q55's wide table back to long.
+    "q60_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)
+      wide.unpivot(Array(col("user_id")), EventTypes.map(col).toArray, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Mergeable quantile sketch (same at-scale contract as q49's HLL):
+    // percentile_approx is a GK summary — fixed memory per group,
+    // map-side partial merge, no sorted shuffle of the value universe.
+    // Below `accuracy` values per group the summary holds every value
+    // and the discrete quantile is EXACT (empirically bit-equal to
+    // DuckDB's quantile_disc), so the oracle is strict equality here;
+    // at 100-TB group sizes callers trade 1/accuracy relative rank
+    // error for the O(accuracy) memory bound.
+    "q61_approx_quantile" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.25), lit(100000)).as("p25"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(100000)).as("p50"),
+          percentile_approx(col("n_chars"), lit(0.75), lit(100000)).as("p75"))
+        .orderBy("lang")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -270,6 +302,29 @@ object FeatureQueries {
          |      FROM d)
          |SELECT lang, term, df, rnk FROM r WHERE rnk <= 10
          |ORDER BY lang, rnk""".stripMargin,
+
+    "q60_unpivot" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |   COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
+        |   COUNT(CASE WHEN event_type='error' THEN 1 END) AS error,
+        |   COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        |   COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        |   COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, 'click' AS event_type, click AS n FROM w
+        |UNION ALL SELECT user_id, 'error', error FROM w
+        |UNION ALL SELECT user_id, 'purchase', purchase FROM w
+        |UNION ALL SELECT user_id, 'signup', signup FROM w
+        |UNION ALL SELECT user_id, 'view', view FROM w
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q61_approx_quantile" ->
+      """SELECT lang,
+        | quantile_disc(n_chars, 0.25) AS p25,
+        | quantile_disc(n_chars, 0.5)  AS p50,
+        | quantile_disc(n_chars, 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

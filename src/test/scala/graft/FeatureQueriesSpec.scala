@@ -120,6 +120,28 @@ class FeatureQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q60 unpivot round-trips q55: melted counts sum back to the event total") {
+    import spark.implicits._
+    val melted = SparkEntry.queries("q60_unpivot")(spark, sf)
+    assert(melted.select("n").as[Long].collect().sum == Tables.events(spark, sf).count())
+    // every user carries exactly the 5 declared feature rows
+    val perUser = melted.groupBy("user_id").count().select("count").as[Long].collect()
+    assert(perUser.forall(_ == 5))
+  }
+
+  test("q61 quantile sketch: quartiles are ordered and are actual data values") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q61_approx_quantile")(spark, sf)
+      .select("lang", "p25", "p50", "p75").as[(String, Long, Long, Long)].collect()
+    val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    rows.foreach { case (lang, p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75, s"$lang quartiles out of order")
+      // discrete quantile: each is an element of the group, not interpolated
+      Seq(p25, p50, p75).foreach(q => assert(byLang(lang).contains(q), s"$lang: $q not a data value"))
+    }
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
