@@ -194,6 +194,41 @@ object FeatureQueries {
         .orderBy("lang")
     }),
 
+    // Trailing 7-day rolling features over a RANGE frame — the
+    // reference's "sales in the last N days" model input
+    // (services/training-service/app/db_utils.py:26-33) as a windowed
+    // aggregate instead of a per-request re-scan. RANGE (value-based)
+    // vs ROWS: days with no events don't silently widen the window.
+    // Aggregate first — the frame slides over |types|·|days| rows, not
+    // the fact table; decimal trailing sums stay exact.
+    "q62_trailing_7d" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("amt"))
+        .withColumn("dayn", datediff(col("day"), lit("2024-01-01").cast(DateType)))
+      val w = Window.partitionBy("event_type").orderBy(col("dayn")).rangeBetween(-6, 0)
+      daily
+        .withColumn("trail7_n", sum(col("n")).over(w))
+        .withColumn("trail7_amt", sum(col("amt")).over(w).cast(DecimalType(38, 6)))
+        .select("event_type", "day", "n", "trail7_n", "trail7_amt")
+        .orderBy("event_type", "day")
+    }),
+
+    // percent_rank / cume_dist — distribution-position features (length
+    // percentile of each doc within its language). Both are exact
+    // integer ratios evaluated in one double division, so cross-engine
+    // deterministic; (n_chars, doc_id) makes the order total (no peer
+    // groups to disagree on). Key-partitioned window, never global.
+    "q63_rank_features" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -325,6 +360,27 @@ object FeatureQueries {
         | quantile_disc(n_chars, 0.5)  AS p50,
         | quantile_disc(n_chars, 0.75) AS p75
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q62_trailing_7d" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS amt
+        |           FROM events GROUP BY 1, 2),
+        |e AS (SELECT *, date_diff('day', DATE '2024-01-01', day) AS dayn FROM d)
+        |SELECT event_type, day, n,
+        | CAST(SUM(n) OVER w AS BIGINT) AS trail7_n,
+        | CAST(SUM(amt) OVER w AS DECIMAL(38,6)) AS trail7_amt
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY dayn
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q63_rank_features" ->
+      """SELECT lang, doc_id, n_chars,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

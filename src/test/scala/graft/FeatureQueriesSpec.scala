@@ -142,6 +142,34 @@ class FeatureQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 RANGE frame sums exactly the trailing 7 calendar days, not 7 rows") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q62_trailing_7d")(spark, sf)
+      .select("event_type", "day", "n", "trail7_n")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDay = rs.map(r => r._2.toLocalDate -> r._3).toMap
+      rs.foreach { case (t, day, _, trail) =>
+        val d = day.toLocalDate
+        val expect = (0 to 6).map(i => byDay.getOrElse(d.minusDays(i), 0L)).sum
+        assert(trail == expect, s"$t $day: trail7_n=$trail expect=$expect")
+      }
+    }
+  }
+
+  test("q63 rank features: pct_rank/cume in (0,1], monotone in n_chars within lang") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q63_rank_features")(spark, sf)
+      .select("lang", "n_chars", "pct_rank", "cume")
+      .as[(String, Long, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 > 0.0 && r._4 <= 1.0))
+      assert(rs.exists(_._4 == 1.0), s"$lang: max cume_dist must be 1.0")
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq, s"$lang pct_rank not monotone")
+    }
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
