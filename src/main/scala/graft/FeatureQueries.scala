@@ -229,6 +229,70 @@ object FeatureQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Duplicate-cluster assignment (ops/Graph.connectedComponents):
+    // q23's MinHash dup PAIRS become edges, clusters are connected
+    // components, comp = min doc_id reachable. The canonical corpus-
+    // curation step the pair queries feed: pairs → clusters →
+    // keep-one-per-cluster.
+    "q64_dup_components" -> ((s, dir) => {
+      val pairs = TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
+      graft.ops.Graph.connectedComponents(
+          Tables.documents(s, dir), "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
+    }),
+
+    // Retention accounting for the dedup pass: keep the min-id doc of
+    // every cluster (comp IS the kept id), drop the rest — the
+    // one-row summary a curation job logs per shard.
+    "q65_dedup_retention" -> ((s, dir) => {
+      val pairs = TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
+      graft.ops.Graph.connectedComponents(
+          Tables.documents(s, dir), "doc_id", pairs, "doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_kept"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+    }),
+
+    // Explicit GROUPING SETS through the SQL surface — the asymmetric
+    // set list ((status),(priority),()) that ROLLUP/CUBE can't express
+    // (marginals only, no cross cells). Same single-pass Expand plan.
+    "q66_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+          |       COALESCE(o_orderpriority,'ALL') AS priority,
+          |       COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // Distributed Pearson correlation with EXACT moment accumulation:
+    // built-in corr() sums doubles in partition order (non-
+    // deterministic at scale); here the five moments are exact decimal
+    // integer sums (order-independent, map-side partial agg), and the
+    // only float math is one final mirrored double expression per
+    // group. Correlates hour-of-day with scaled purchase value.
+    "q67_corr_exact" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(col("event_type"),
+        hour(col("ts")).cast(LongType).as("x"),
+        round(col("value") * 1000000).cast(LongType).as("y"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val m = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).cast(DecimalType(38, 0))).as("syy"))
+      m.select(col("event_type"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+             sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("r"))
+        .orderBy("event_type")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -244,10 +308,37 @@ object FeatureQueries {
     })
   )
 
+  /** q64/q65's oracle recomputes the dup pairs from q23's OWN oracle
+    * (no drift possible), then takes connected components as a
+    * recursive-CTE transitive closure: lbl propagates along edges,
+    * MIN(lbl) per vertex = min id in its component — the same fixpoint
+    * the Spark label propagation converges to. */
+  private def ccCte: String = {
+    val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q23)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)""".stripMargin
+  }
+
   /** DuckDB oracles — same integer/second/decimal discipline as the
     * Spark plans; window ORDER BY keys always made total with an id
     * tiebreak. */
   def oracleSql: Map[String, String] = Map(
+    "q64_dup_components" ->
+      s"""$ccCte
+         |SELECT id AS doc_id, MIN(lbl) AS comp FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q65_dedup_retention" ->
+      s"""$ccCte,
+         |percomp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+         |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_kept,
+         |       COUNT(*) - COUNT(DISTINCT comp) AS n_dropped
+         |FROM percomp""".stripMargin,
     "q50_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |                  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events),
@@ -381,6 +472,29 @@ object FeatureQueries {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q66_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |       COALESCE(o_orderpriority,'ALL') AS priority,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q67_corr_exact" ->
+      """WITH b AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |                  CAST(round(value*1000000) AS BIGINT) AS y FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT)*y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT)*x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT)*y) AS syy
+        |      FROM b GROUP BY event_type)
+        |SELECT event_type, n,
+        | (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        | (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |  sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -170,6 +170,52 @@ class FeatureQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chain collapses to min label, isolates keep their own id") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 5-4, 4-3, 3-2, 2-1 (diameter 4 forces multiple rounds); 9 isolated
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = graft.ops.Graph.connectedComponents(verts, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
+  }
+
+  test("q64 components are consistent with q23's pairs and q65's accounting") {
+    import spark.implicits._
+    val comp = SparkEntry.queries("q64_dup_components")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every doc labeled, label never exceeds the doc id, label is a member
+    assert(comp.size == Tables.documents(spark, sf).count())
+    assert(comp.forall { case (d, c) => c <= d && comp(c) == c })
+    // both endpoints of every dup pair land in the same component
+    val pairs = TextQueries.queries("q23_minhash_dup_pairs")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"pair ($a,$b) split") }
+    val Array((nDocs, nKept, nDropped)) =
+      SparkEntry.queries("q65_dedup_retention")(spark, sf)
+        .as[(Long, Long, Long)].collect()
+    assert(nDocs == comp.size && nKept == comp.values.toSet.size && nDropped == nDocs - nKept)
+  }
+
+  test("q66 grouping sets: marginals only — no cross cells, one Expand pass") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q66_grouping_sets")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    val rows = df.select("status", "priority").as[(String, String)].collect()
+    assert(rows.forall { case (s0, p) => s0 == "ALL" || p == "ALL" },
+      "grouping sets ((status),(priority),()) must never emit a cross cell")
+    assert(rows.count { case (s0, p) => s0 == "ALL" && p == "ALL" } == 1)
+  }
+
+  test("q67 exact-moment correlation is a valid Pearson r") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q67_corr_exact")(spark, sf)
+      .select("event_type", "r").as[(String, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (t, r) =>
+      assert(!r.isNaN && math.abs(r) <= 1.0, s"$t: r=$r out of range") }
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
