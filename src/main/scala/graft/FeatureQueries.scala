@@ -303,6 +303,25 @@ object FeatureQueries {
         .orderBy("event_type")
     }),
 
+    // Edit-distance verification stage: Levenshtein over the LSH
+    // CANDIDATE pairs only (q23's output), never all pairs — the
+    // O(len²)-per-pair cost is bounded by candidate count, which LSH
+    // keeps ~linear in corpus size. Prefix-bounded (80 chars) the way
+    // curation pipelines cap the DP table; both engines implement
+    // textbook Levenshtein, so the oracle is exact.
+    "q68_edit_distance" -> ((s, dir) => {
+      val pairs = TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
+        .select("doc_a", "doc_b")
+      val txt = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"))
+      pairs
+        .join(txt.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
+        .join(txt.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast(LongType).as("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -505,6 +524,16 @@ object FeatureQueries {
         | (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
         |  sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q68_edit_distance" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($q23)),
+         |t AS (SELECT doc_id, substring(text, 1, 80) AS pfx FROM documents)
+         |SELECT doc_a, doc_b,
+         |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+         |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -54,6 +54,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize matches a sequential in-memory reference for any event times") {
+    val gen = for {
+      gap <- Gen.choose(1L, 50L)
+      evs <- Gen.nonEmptyListOf(for {
+        key <- Gen.choose(0, 3)
+        t <- Gen.choose(0L, 500L)
+      } yield (key, t))
+    } yield (gap, evs)
+    samples(gen, 6).foreach { case (gap, evs) =>
+      // unique (key, time) so the (time, id) tiebreak can't mask order bugs
+      val rows = evs.distinct.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val got = sessionize(rows.toDF("k", "id", "t"), Seq("k"), col("t"), col("id"), gap)
+        .select("k", "id", "session_id").as[(Int, Long, Long)].collect()
+        .map { case (k, id, s0) => (k, id) -> s0 }.toMap
+      // reference: walk each key's events in (t, id) order, split on gap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        var sess = 0L
+        var prev = Long.MinValue
+        rs.sortBy(r => (r._3, r._2)).foreach { case (_, id, t) =>
+          if (prev == Long.MinValue || t - prev > gap) sess += 1
+          prev = t
+          assert(got((k, id)) == sess, s"gap=$gap rows=$rows: ($k,$id)")
+        }
+      }
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0L, 39L)
+        b <- Gen.choose(0L, 39L)
+      } yield (a % n, b % n))
+    } yield (n.toLong, edges)
+    samples(gen, 6).foreach { case (n, edges0) =>
+      val edges = edges0.filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expectComp = (0 until n.toInt).map { v =>
+        v.toLong -> (0 until n.toInt).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+      val verts = (0L until n).toDF("id")
+      val edf = (if (edges.isEmpty) Seq((0L, 0L)) else edges).toDF("a", "b")
+      val got = graft.ops.Graph.connectedComponents(verts, "id", edf, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expectComp, s"n=$n edges=$edges")
+    }
+  }
+
   test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
     val gen = for {
       n <- Gen.choose(1, 20)
