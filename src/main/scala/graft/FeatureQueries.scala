@@ -322,6 +322,19 @@ object FeatureQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Recall audit for the approximate ANN path — the measurement loop
+    // any 100-TB ANN deployment runs continuously: recall@k of the
+    // IVF probe (q38) against the exact brute-force top-k (q26),
+    // computed as a semi-join of the two result sets. Both inputs are
+    // deterministic declared queries, so the audit itself is oracled.
+    "q69_ann_recall" -> ((s, dir) => {
+      val exact = VectorQueries.queries("q26_ann_bruteforce")(s, dir).select("vec_id")
+      val approx = VectorQueries.queries("q38_ann_ivf")(s, dir).select("vec_id")
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("k", lit(5L))
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -533,6 +546,14 @@ object FeatureQueries {
          |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
          |FROM pairs JOIN t a ON doc_a = a.doc_id JOIN t b ON doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q69_ann_recall" -> {
+      val q26 = VectorQueries.oracleSql("q26_ann_bruteforce")
+      val q38 = VectorQueries.oracleSql("q38_ann_ivf")
+      s"""SELECT COUNT(*) AS hits, CAST(5 AS BIGINT) AS k
+         |FROM ($q26) e
+         |WHERE e.vec_id IN (SELECT vec_id FROM ($q38) a)""".stripMargin
     },
 
     "q56_dod_delta" ->
