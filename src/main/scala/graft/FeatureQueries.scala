@@ -335,6 +335,42 @@ object FeatureQueries {
         .withColumn("k", lit(5L))
     }),
 
+    // Calendar-coverage audit (data quality): for each event type, how
+    // many days inside its own [min, max] span carry ZERO events.
+    // Distinct days collapse in the first aggregate, so the span math
+    // runs over |types|·|days| rows — one fact-table scan regardless of
+    // scale, and the count arithmetic stays exact-integer (no calendar
+    // explode needed; always |types| output rows even on dense data).
+    "q70_missing_days" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          count(lit(1)).as("observed_days"))
+        .select(col("event_type"),
+          (datediff(col("d1"), col("d0")) + 1).cast(LongType).as("span_days"),
+          col("observed_days"),
+          ((datediff(col("d1"), col("d0")) + 1).cast(LongType) - col("observed_days")).as("missing_days"))
+        .orderBy("event_type")
+    }),
+
+    // One-pass column profile (the audit a pipeline runs before
+    // training): row count, per-column null counts and exact distinct
+    // cardinalities in a single aggregate over one scan. count(col)
+    // counts non-nulls; COUNT(DISTINCT x) expands grouping sets
+    // internally but still one shuffle round — at 100 TB swap exact
+    // distincts for the q49 HLL variant per column.
+    "q71_profile" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("user_id"))).as("null_user_id"),
+        (count(lit(1)) - count(col("props"))).as("null_props"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        countDistinct(to_date(col("ts"))).as("d_days"))
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -555,6 +591,24 @@ object FeatureQueries {
          |FROM ($q26) e
          |WHERE e.vec_id IN (SELECT vec_id FROM ($q38) a)""".stripMargin
     },
+
+    "q70_missing_days" ->
+      """WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |             FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+        |       COUNT(*) AS observed_days,
+        |       CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) - COUNT(*) AS missing_days
+        |FROM obs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q71_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(user_id) AS null_user_id,
+        |       COUNT(*) - COUNT(props) AS null_props,
+        |       COUNT(DISTINCT user_id) AS d_user_id,
+        |       COUNT(DISTINCT event_type) AS d_event_type,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS d_days
+        |FROM events""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
