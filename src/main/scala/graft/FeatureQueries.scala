@@ -371,6 +371,32 @@ object FeatureQueries {
         countDistinct(to_date(col("ts"))).as("d_days"))
     }),
 
+    // Co-bucketed big-big join (store/Store.saveBucketed, K3-at-scale):
+    // both sides bucketed+sorted on user_id at write time, so the join
+    // needs NO exchange — the cornerstone of repeated fact-to-fact
+    // joins at 100 TB, where re-shuffling either side per query is the
+    // dominant cost. The bucketed tables are materialized once per
+    // (JVM, sfDir) like any curated layout; the only hash shuffle left
+    // in the plan is the final small aggregate (asserted in spec).
+    "q72_bucketed_join" -> ((s, dir) => {
+      val tag = (dir.hashCode & 0x7fffffff).toHexString
+      val (evT, usrT) = (s"g_ev_bkt_$tag", s"g_usr_bkt_$tag")
+      PipelineQueries.cachedFixture(s"bkt|$dir") { _ =>
+        store.Store.saveBucketed(
+          Tables.events(s, dir).select(col("user_id"), col("event_type"),
+            round(col("value") * 1000000).cast(LongType).as("v6")),
+          evT, "user_id", 16)
+        store.Store.saveBucketed(
+          Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("total_n")),
+          usrT, "user_id", 16)
+      }
+      s.table(evT).join(s.table(usrT), "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"),
+          sum(col("total_n")).as("sum_user_total"))
+        .orderBy("event_type")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -609,6 +635,14 @@ object FeatureQueries {
         |       COUNT(DISTINCT event_type) AS d_event_type,
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS d_days
         |FROM events""".stripMargin,
+
+    "q72_bucketed_join" ->
+      """WITH b AS (SELECT user_id, COUNT(*) AS total_n FROM events GROUP BY user_id)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
+        |       CAST(SUM(total_n) AS BIGINT) AS sum_user_total
+        |FROM events JOIN b USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -216,6 +216,17 @@ class FeatureQueriesSpec extends AnyFunSuite {
       assert(!r.isNaN && math.abs(r) <= 1.0, s"$t: r=$r out of range") }
   }
 
+  test("q72 co-bucketed join is shuffle-free: only the final aggregate exchanges") {
+    val df = SparkEntry.queries("q72_bucketed_join")(spark, sf)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fresh = SparkEntry.queries("q72_bucketed_join")(spark, sf)
+      val n = hashShuffles(fresh)
+      assert(n == 1, s"join must use bucket co-location, got $n hash shuffles:\n${fresh.queryExecution.executedPlan}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(df.count() == 5)
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
