@@ -26,15 +26,26 @@ object FeatureQueries {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Materialized MinHash dup-pair table (q23's output), built once per
+    * (JVM, sfDir) and shared by every downstream consumer — clustering
+    * (q64/q65) and edit-distance verification (q68) — the way a real
+    * curation pipeline lands the pair list once per corpus snapshot. */
+  private def dupPairsTable(s: SparkSession, dir: String): DataFrame = {
+    val work = PipelineQueries.cachedFixture(s"dup_pairs|$dir") { work =>
+      TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
+        .write.mode("overwrite").parquet(s"$work/pairs")
+    }
+    s.read.parquet(s"$work/pairs")
+  }
+
   /** Materialized duplicate-cluster assignment (doc_id → comp), built
-    * once per (JVM, sfDir): q23's dup pairs → connected components →
+    * once per (JVM, sfDir): dup pairs → connected components →
     * parquet. Shared by q64/q65 the way a real curation job shares one
     * cluster table across consumers. */
   private def componentsTable(s: SparkSession, dir: String): DataFrame = {
     val work = PipelineQueries.cachedFixture(s"cc|$dir") { work =>
-      val pairs = TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
       graft.ops.Graph.connectedComponents(
-          Tables.documents(s, dir), "doc_id", pairs, "doc_a", "doc_b")
+          Tables.documents(s, dir), "doc_id", dupPairsTable(s, dir), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp"))
         .write.mode("overwrite").parquet(s"$work/cc")
     }
@@ -310,8 +321,7 @@ object FeatureQueries {
     // curation pipelines cap the DP table; both engines implement
     // textbook Levenshtein, so the oracle is exact.
     "q68_edit_distance" -> ((s, dir) => {
-      val pairs = TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
-        .select("doc_a", "doc_b")
+      val pairs = dupPairsTable(s, dir).select("doc_a", "doc_b")
       val txt = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"))
       pairs
