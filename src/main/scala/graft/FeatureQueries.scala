@@ -407,6 +407,46 @@ object FeatureQueries {
         .orderBy("event_type")
     }),
 
+    // Array-valued feature rows through the hash gate: per-user sorted
+    // distinct event-type vocabulary as a genuine ARRAY column (feature
+    // stores ship list features; every other query returns scalars).
+    // sort_array(collect_set) is deterministic — set semantics kill
+    // arrival order, the sort fixes enumeration order.
+    "q73_array_features" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // MapType parse + explode: props JSON as map<string,bigint> (keys
+    // NOT declared in a schema — the semi-structured path), exploded to
+    // (key, value) rows and re-aggregated. The DuckDB mirror discovers
+    // keys with json_keys, so neither engine hardcodes the key set.
+    "q74_map_explode" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+          .as(Seq("key", "val")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_v"))
+        .orderBy("key")
+    }),
+
+    // Deterministic hash sampling for profiling (distinct from q51's
+    // split: sampling FOR STATS, tunable rate = j/16 nibbles): the
+    // 1/16 sample is a pure event_id function — rerunnable, engine-
+    // portable, no rand(). The sampled profile is what a 100-TB
+    // pipeline actually inspects; exact profile runs stay scheduled.
+    "q75_hash_sample" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(substring(md5(col("event_id").cast(StringType)), 1, 1) === "0")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast(LongType)).as("sum_v6"))
+        .orderBy("event_type")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -652,6 +692,25 @@ object FeatureQueries {
         |       CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6,
         |       CAST(SUM(total_n) AS BIGINT) AS sum_user_total
         |FROM events JOIN b USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q73_array_features" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q74_map_explode" ->
+      """WITH kv AS (
+        |  SELECT u.key AS key,
+        |         CAST(json_extract_string(props::JSON, '$.' || u.key) AS BIGINT) AS val
+        |  FROM events, UNNEST(json_keys(props::JSON)) AS u(key))
+        |SELECT key, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    "q75_hash_sample" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+        |FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q56_dod_delta" ->
