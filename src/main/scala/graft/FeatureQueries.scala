@@ -43,9 +43,14 @@ object FeatureQueries {
     * parquet. Shared by q64/q65 the way a real curation job shares one
     * cluster table across consumers. */
   private def componentsTable(s: SparkSession, dir: String): DataFrame = {
+    // resolve the pair-table dependency BEFORE entering the cc memo:
+    // cachedFixture is a computeIfAbsent on one ConcurrentHashMap, and
+    // a nested computeIfAbsent from inside a build lambda throws
+    // "Recursive update" whenever the inner key isn't built yet
+    val pairs = dupPairsTable(s, dir)
     val work = PipelineQueries.cachedFixture(s"cc|$dir") { work =>
       graft.ops.Graph.connectedComponents(
-          Tables.documents(s, dir), "doc_id", dupPairsTable(s, dir), "doc_a", "doc_b")
+          Tables.documents(s, dir), "doc_id", pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp"))
         .write.mode("overwrite").parquet(s"$work/cc")
     }
