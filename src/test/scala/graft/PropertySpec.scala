@@ -106,6 +106,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin equals the naive point-in-interval theta join for any bin width") {
+    val gen = for {
+      binW <- Gen.choose(1L, 10L)
+      points <- Gen.nonEmptyListOf(Gen.choose(0L, 100L))
+      ivs <- Gen.nonEmptyListOf(for {
+        lo <- Gen.choose(0L, 100L)
+        w <- Gen.choose(0L, 30L)
+      } yield (lo, lo + w))
+    } yield (binW, points, ivs)
+    samples(gen, 6).foreach { case (binW, points, ivs0) =>
+      val ivs = ivs0.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val left = points.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+      val right = ivs.toDF("iid", "lo", "hi")
+      val got = graft.ops.Relational.rangeJoin(left, col("p"), right, col("lo"), col("hi"), binW)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (pid, p) <- points.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        (iid, lo, hi) <- ivs if p >= lo && p <= hi
+      } yield (pid, iid)).toSet
+      assert(got == expect, s"binW=$binW points=$points ivs=$ivs")
+    }
+  }
+
+  test("asOfJoin picks the latest right row at-or-before each left time, any input") {
+    val gen = for {
+      lefts <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0, 2); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      rights <- Gen.listOf(for {
+        k <- Gen.choose(0, 2); t <- Gen.choose(0L, 50L); v <- Gen.choose(1L, 999L)
+      } yield (k, t, v))
+    } yield (lefts, rights)
+    samples(gen, 6).foreach { case (lefts0, rights) =>
+      val lefts = lefts0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val l = lefts.toDF("lid", "k", "lt")
+      val r = (if (rights.isEmpty) Seq((99, -1L, 1L)) else rights).toDF("k", "rt", "pay")
+      val got = graft.ops.Relational.asOfJoin(l, r, Seq("k"), col("lt"), col("rt"),
+          col("pay"), "asof_pay")
+        .select("lid", "asof_pay").collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      lefts.foreach { case (lid, k, lt) =>
+        // reference: among right rows with rt <= lt in this key, the
+        // (rt, pay)-lexicographic max payload (the operator's tie rule)
+        val cands = (if (rights.isEmpty) Nil else rights)
+          .filter { case (rk, rt, _) => rk == k && rt <= lt }
+        val expect = if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, c._3))._3)
+        assert(got(lid) == expect, s"left=($lid,$k,$lt) rights=$rights")
+      }
+    }
+  }
+
   test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
     val gen = for {
       n <- Gen.choose(1, 20)
