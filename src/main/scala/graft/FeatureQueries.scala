@@ -452,6 +452,28 @@ object FeatureQueries {
         .orderBy("event_type")
     }),
 
+    // Trailing 7-day DISTINCT-user counts — windowed COUNT(DISTINCT) is
+    // unsupported in window frames (Spark AND DuckDB), and the naive
+    // fix is a per-day range self-join. This is the scalable
+    // contribution-explode rewrite: each distinct (type, day, user)
+    // row contributes to the ≤7 trailing window anchors it falls in,
+    // then one countDistinct per (type, anchor) dedups multi-day users
+    // — all equi-shuffles, data volume ≤ 7× the DISTINCT daily pairs
+    // (already aggregated), never |days|× the fact table.
+    "q76_rolling_distinct" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val observedDays = du.select("event_type", "day").distinct()
+      val contrib = du.withColumn("anchor",
+          explode(sequence(col("day"), date_add(col("day"), 6))))
+        .select(col("event_type"), col("anchor").as("day"), col("user_id"))
+      contrib.join(observedDays, Seq("event_type", "day"), "left_semi")
+        .groupBy("event_type", "day")
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -717,6 +739,14 @@ object FeatureQueries {
         |FROM events
         |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM du)
+        |SELECT d.event_type, d.day, COUNT(DISTINCT u.user_id) AS u7
+        |FROM days d JOIN du u
+        |  ON u.event_type = d.event_type AND u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.event_type, d.day ORDER BY d.event_type, d.day""".stripMargin,
 
     "q56_dod_delta" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -227,6 +227,25 @@ class FeatureQueriesSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("q76 rolling distinct matches a direct per-anchor distinct count") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q76_rolling_distinct")(spark, sf)
+      .as[(String, java.sql.Date, Long)].collect()
+    import org.apache.spark.sql.functions.{col, to_date}
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .as[(String, java.sql.Date, Long)].collect()
+    got.foreach { case (t, day, u7) =>
+      val d = day.toLocalDate
+      val expect = raw.filter { case (rt, rd, _) =>
+        rt == t && !rd.toLocalDate.isAfter(d) && rd.toLocalDate.isAfter(d.minusDays(7))
+      }.map(_._3).distinct.length
+      assert(u7 == expect, s"($t,$day): u7=$u7 expect=$expect")
+    }
+    // anchors = exactly the observed (type, day) pairs
+    assert(got.map(r => (r._1, r._2)).toSet == raw.map(r => (r._1, r._2)).toSet)
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
