@@ -20,6 +20,13 @@ object Engine {
 
   val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Warehouse for bucketed/managed tables (Store.saveBucketed, q72):
+    * pinned to a fresh per-JVM temp dir instead of the default
+    * `$PWD/spark-warehouse`, so saveAsTable works no matter which cwd
+    * the harness launches from and never litters the repo. */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+
   /** Apply engine config to an arbitrary builder (shared by Verify/Bench
     * mains and tests so every session behaves identically). */
   def tune(b: SparkSession.Builder, shufflePartitions: String = DefaultCpus): SparkSession.Builder =
@@ -30,6 +37,7 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffledHashJoinFactor", "3")
       .config("spark.ui.enabled", "false")
