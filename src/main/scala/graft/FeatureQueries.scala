@@ -490,19 +490,37 @@ object FeatureQueries {
   )
 
   /** q64/q65's oracle recomputes the dup pairs from q23's OWN oracle
-    * (no drift possible), then takes connected components as a
-    * recursive-CTE transitive closure: lbl propagates along edges,
-    * MIN(lbl) per vertex = min id in its component — the same fixpoint
-    * the Spark label propagation converges to. */
+    * (no drift possible), then takes connected components by the SAME
+    * algorithm the Spark side runs (ops/Graph): min-label propagation
+    * with per-round pointer jumping, unrolled to a fixed round count.
+    * Round 4's recursive-CTE transitive closure enumerated every
+    * (vertex, reachable-label) pair — path explosion took the DuckDB
+    * side minutes at sf0.1 (VERDICT r4 "what's wrong" #4). The unrolled
+    * fixpoint does O(rounds × (n + m)) work: each round keeps exactly one
+    * label per vertex (min of own + arriving over edges), then jumps
+    * comp := min(comp, comp[comp]), so label reach doubles per round —
+    * [[CcRounds]] rounds cover components of diameter up to ~2^rounds,
+    * far beyond any dup-chain the banded candidate generator can emit
+    * at these scales (sf0.1's deepest chain is >20 < 2^12). */
+  private val CcRounds = 12
   private def ccCte: String = {
     val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
-    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q23)),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    // every stage references its predecessor twice — AS MATERIALIZED
+    // stops DuckDB's default CTE inlining from exploding 4^rounds copies
+    val rounds = (0 until CcRounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
+         |  SELECT id, lbl FROM l$k
+         |  UNION ALL
+         |  SELECT e.dst AS id, l.lbl FROM l$k l JOIN e ON e.src = l.id)
+         |  GROUP BY id),
+         |l${k + 1} AS MATERIALIZED (SELECT a.id, LEAST(a.lbl, b.lbl) AS lbl
+         |  FROM p$k a JOIN p$k b ON b.id = a.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q23)),
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)""".stripMargin
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$rounds""".stripMargin
   }
 
   /** DuckDB oracles — same integer/second/decimal discipline as the
@@ -511,12 +529,11 @@ object FeatureQueries {
   def oracleSql: Map[String, String] = Map(
     "q64_dup_components" ->
       s"""$ccCte
-         |SELECT id AS doc_id, MIN(lbl) AS comp FROM reach
-         |GROUP BY id ORDER BY doc_id""".stripMargin,
+         |SELECT id AS doc_id, lbl AS comp FROM l$CcRounds ORDER BY doc_id""".stripMargin,
 
     "q65_dedup_retention" ->
       s"""$ccCte,
-         |percomp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+         |percomp AS (SELECT id, lbl AS comp FROM l$CcRounds)
          |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_kept,
          |       COUNT(*) - COUNT(DISTINCT comp) AS n_dropped
          |FROM percomp""".stripMargin,
