@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ml.Forecaster
+import graft.ml.{Forecaster, ModelRegistry}
 import graft.ml.Forecaster.{CvMetric, Forecast, Obs}
 import graft.ops.Relational.latestPerKey
 import graft.store.Store
@@ -80,8 +80,49 @@ object MlQueries {
         .withColumn("model_name", concat_ws("-", lit("graft-forecaster"), col("key")))
         .select("key", "day", "yhat3", "lo3", "hi3", "model_name", "model_version")
         .orderBy("key", "day")
+    }),
+
+    // Model registry with stage semantics (SURVEY §1.1 ModelMeta;
+    // reference train_utils.py:139-149 register + handlers/mlflow.py:
+    // 24-40 promote/serve): the training job writes each key's model as
+    // name/version rows carrying the pooled integer CV stats, version 1
+    // archived (the superseded weekly model), version 2 staged through
+    // the RMSE quality gate — production iff pooled rmse ≤ 1000, the
+    // reference's guard threshold. The declared query lists the full
+    // registry (version history + stage verdicts); the serving path
+    // (latest production per name, ModelRegistry.servingVersions) is
+    // asserted in RossmannSliceSpec. rmse is derived at read time from
+    // the stored exact integers — one sqrt+divide, bit-equal in DuckDB.
+    "q77_model_registry" -> ((s, dir) => {
+      val tbl = PipelineQueries.cachedFixture(s"models|$dir") { work =>
+        import s.implicits._
+        val t = s"$work/models"
+        val pooled = dailySeries(s, dir)
+          .groupByKey(_.key)
+          .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.cvPooled(k, it))
+          .toDF()
+        def meta(version: Int, stage: Column) = pooled.select(
+          concat_ws("-", lit("graft-forecaster"), col("key")).as("model_name"),
+          lit(version).as("version"), stage.as("stage"),
+          col("n_test"), col("ssq3"), col("train_end"))
+        val v1 = meta(1, lit(ModelRegistry.Archived))
+        val v2 = meta(2,
+          ModelRegistry.gateStage(col("ssq3"), col("n_test"), MaxRmse))
+        Store.ensureTable(s, t, v1.schema)
+        ModelRegistry.register(v1, t)
+        ModelRegistry.register(v2, t)
+      } + "/models"
+      Store.read(s, tbl)
+        .withColumn("rmse",
+          sqrt(col("ssq3").cast(DoubleType) / col("n_test").cast(DoubleType)) / 1000.0)
+        .select("model_name", "version", "stage", "n_test", "ssq3", "rmse", "train_end")
+        .orderBy("model_name", "version")
     })
   )
+
+  /** The reference's model-quality guard threshold
+    * (handlers/mlflow.py:32-40: reject RMSE > 1000). */
+  val MaxRmse = 1000L
 
   // ---------------------------------------------------------------- oracles
 
@@ -136,25 +177,31 @@ object MlQueries {
        |       FROM ci c CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i)
        |       LEFT JOIN sf ON c.key = sf.key AND isodow(c.maxd + CAST(i AS INT)) = sf.dw)""".stripMargin
 
+  /** Shared CTE chain ending in `te` — per-(key, fold) CV test rows with
+    * integer absolute errors (mirror of [[Forecaster.cvMetrics]]'s fold
+    * logic). q30 aggregates it per fold; q77 pools it per key. */
+  private val cvFoldCte =
+    s"""$seriesCte,
+       |cnt AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
+       |rn AS (SELECT b.key, b.x, b.y3, b.day,
+       |              row_number() OVER (PARTITION BY b.key ORDER BY b.x) AS rn,
+       |              c.n, c.n // 6 AS ts
+       |       FROM base b JOIN cnt c ON b.key = c.key),
+       |a AS (SELECT * FROM rn CROSS JOIN (SELECT UNNEST(range(1, 6)) AS f)),
+       |tr AS (SELECT key, f, COUNT(*) AS n_train, SUM(x) AS sx, SUM(y3) AS sy,
+       |              SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy
+       |       FROM a WHERE rn <= n - (6 - f)*ts GROUP BY key, f),
+       |${fitCte("tr", "key, f", "n_train")},
+       |${seasonCte("a", "key,f", "\n       WHERE b.rn <= b.n - (6 - b.f)*b.ts")},
+       |te AS (SELECT a.key, a.f, a.y3,
+       |              ABS(a.y3 - CAST(round(icept + slope*CAST(a.x AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT)) AS abs3
+       |       FROM a JOIN s2 ON a.key = s2.key AND a.f = s2.f
+       |       LEFT JOIN sf ON a.key = sf.key AND a.f = sf.f AND isodow(a.day) = sf.dw
+       |       WHERE a.rn > a.n - (6 - a.f)*a.ts AND a.rn <= a.n - (5 - a.f)*a.ts)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q30_cv_metrics" ->
-      s"""$seriesCte,
-         |cnt AS (SELECT key, COUNT(*) AS n FROM base GROUP BY key),
-         |rn AS (SELECT b.key, b.x, b.y3, b.day,
-         |              row_number() OVER (PARTITION BY b.key ORDER BY b.x) AS rn,
-         |              c.n, c.n // 6 AS ts
-         |       FROM base b JOIN cnt c ON b.key = c.key),
-         |a AS (SELECT * FROM rn CROSS JOIN (SELECT UNNEST(range(1, 6)) AS f)),
-         |tr AS (SELECT key, f, COUNT(*) AS n_train, SUM(x) AS sx, SUM(y3) AS sy,
-         |              SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy
-         |       FROM a WHERE rn <= n - (6 - f)*ts GROUP BY key, f),
-         |${fitCte("tr", "key, f", "n_train")},
-         |${seasonCte("a", "key,f", "\n       WHERE b.rn <= b.n - (6 - b.f)*b.ts")},
-         |te AS (SELECT a.key, a.f, a.y3,
-         |              ABS(a.y3 - CAST(round(icept + slope*CAST(a.x AS DOUBLE) + COALESCE(sf.sdow, 0.0)) AS BIGINT)) AS abs3
-         |       FROM a JOIN s2 ON a.key = s2.key AND a.f = s2.f
-         |       LEFT JOIN sf ON a.key = sf.key AND a.f = sf.f AND isodow(a.day) = sf.dw
-         |       WHERE a.rn > a.n - (6 - a.f)*a.ts AND a.rn <= a.n - (5 - a.f)*a.ts),
+      s"""$cvFoldCte,
          |m AS (SELECT key, f, COUNT(*) AS n_test, SUM(abs3) AS sabs, SUM(abs3*abs3) AS ssq,
          |             SUM((abs3*1000000000) // y3) AS spct,
          |             quantile_cont(abs3, 0.5) AS med
@@ -176,6 +223,29 @@ object MlQueries {
       s"""$forecastSql
          |SELECT key, day, yhat3, yhat3 - ci3 AS lo3, yhat3 + ci3 AS hi3,
          |       'graft-forecaster-'||key AS model_name, CAST(2 AS INT) AS model_version
-         |FROM fc ORDER BY key, day""".stripMargin
+         |FROM fc ORDER BY key, day""".stripMargin,
+
+    // gate mirror: ssq3 <= n_test·(1000·MaxRmse)² — same integers as
+    // ModelRegistry.gatePasses; rmse op order sqrt(ssq/n)/1000 identical
+    "q77_model_registry" -> {
+      val t2 = (MaxRmse * 1000L) * (MaxRmse * 1000L)
+      s"""$cvFoldCte,
+         |pooled AS (SELECT key, COUNT(*) AS n_test,
+         |                  CAST(SUM(abs3*abs3) AS BIGINT) AS ssq3
+         |           FROM te GROUP BY key),
+         |tend AS (SELECT key, MAX(day) AS train_end FROM base GROUP BY key),
+         |mrow AS (SELECT 'graft-forecaster-'||p.key AS model_name,
+         |                p.n_test, p.ssq3, t.train_end,
+         |                sqrt(CAST(p.ssq3 AS DOUBLE)/CAST(p.n_test AS DOUBLE))/1000.0 AS rmse,
+         |                CASE WHEN p.ssq3 <= p.n_test*$t2 THEN 'production'
+         |                     ELSE 'staging' END AS gate_stage
+         |         FROM pooled p JOIN tend t ON p.key = t.key)
+         |SELECT model_name, CAST(1 AS INT) AS version, 'archived' AS stage,
+         |       n_test, ssq3, rmse, train_end FROM mrow
+         |UNION ALL
+         |SELECT model_name, CAST(2 AS INT) AS version, gate_stage AS stage,
+         |       n_test, ssq3, rmse, train_end FROM mrow
+         |ORDER BY model_name, version""".stripMargin
+    }
   )
 }

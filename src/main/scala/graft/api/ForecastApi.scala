@@ -1,8 +1,10 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.ml.Forecaster
+import graft.ml.Forecaster.{Forecast, Obs}
 import graft.ops.Relational.{latestPerKey, topK}
 
 /** Thin query library — the reference's service-facing read paths as
@@ -20,6 +22,36 @@ object ForecastApi {
       forecasts.filter(col("store") === store && col("productname") === product),
       Seq("store", "productname", "forecast_date"), col("model_version"))
     topK(deduped, n, col("forecast_date").desc).orderBy("forecast_date")
+  }
+
+  /** The UI retrain button path (web-ui/app/main.py:98-122 →
+    * training-service/app/main.py:36-51 → ray_train_one_job.py): retrain
+    * ONE key on demand and return its fresh forecast rows. The key
+    * filter is an untyped Column predicate so Catalyst pushes it to the
+    * scan — the cluster reads one key's rows, not the corpus; the fit is
+    * the same deterministic seasonal-OLS the weekly job runs, as a
+    * single flatMapGroups task. Callers append the result as a new
+    * model_version and register it (see ml.ModelRegistry.register) —
+    * both append-only, like every write in the engine. */
+  def retrainOne(series: Dataset[Obs], key: String): Dataset[Forecast] = {
+    val s = series.sparkSession
+    import s.implicits._
+    series.filter(col("key") === key)
+      .groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.forecastKey(k, it))
+  }
+
+  /** Request-driven forecast (forecast-service/app/main.py:83-112): the
+    * next `nDays` days for one key. Inclusive window — nDays+1 rows —
+    * matching the reference's pd.date_range inclusivity (helpers.py:29),
+    * which is also where the fixed 7-day path's 8 rows come from. */
+  def forecastNext(series: Dataset[Obs], key: String, nDays: Int): Dataset[Forecast] = {
+    val s = series.sparkSession
+    import s.implicits._
+    series.filter(col("key") === key)
+      .groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) =>
+        Forecaster.forecastKey(k, it, horizon = nDays + 1))
   }
 
   /** Startup dropdowns (web-ui/app/main.py:38-41): distinct key sets. */

@@ -151,8 +151,12 @@ object Forecaster {
   /** U2/U3 — per-key final fit (trend + weekly seasonality) + inclusive
     * 7-day-ahead forecast with a 95% CI from the in-sample residual RMS
     * (±1.96σ, the engine-defined stand-in for Prophet's
-    * interval_width=0.95; residuals are post-seasonal). */
-  def forecastKey(key: String, series: Iterator[Obs]): Iterator[Forecast] = {
+    * interval_width=0.95; residuals are post-seasonal). `horizon` is the
+    * ROW count (the reference's inclusive n-day window = n+1 rows);
+    * request-driven horizons (forecast-service/app/main.py:83-112) pass
+    * their own via [[graft.api.ForecastApi.forecastNext]]. */
+  def forecastKey(key: String, series: Iterator[Obs],
+                  horizon: Int = HorizonRows): Iterator[Forecast] = {
     val pts = series.toArray.sortBy(_.x)
     if (pts.length < 2) return Iterator.empty
     val n = pts.length.toLong
@@ -164,11 +168,42 @@ object Forecaster {
     }
     val ci3 = roundAway(1.96 * math.sqrt(ssr.toDouble / n.toDouble))
     val last = pts.last
-    (1 to HorizonRows).iterator.map { i =>
+    (1 to horizon).iterator.map { i =>
       val x = last.x + i
       val day = java.sql.Date.valueOf(last.day.toLocalDate.plusDays(i.toLong))
       val y = predictSeasonal3(fit, x, dow(day))
       Forecast(key, day, y, y - ci3, y + ci3)
     }
+  }
+
+  /** Pooled (across folds) integer CV sufficient statistics per key — the
+    * model-selection metric behind the registry quality gate (reference
+    * forecast-service/app/handlers/mlflow.py:32-40's RMSE guard). Pooled
+    * RMSE = sqrt(ssq3/n_test)/1000 is a pure function of two exact
+    * integers, so the gate verdict and the reported rmse are
+    * bit-reproducible by the SQL oracle — unlike a mean of per-fold
+    * double RMSEs, whose summation order is engine-dependent. ssq3 is an
+    * e3²-scaled BIGINT: overflows only past ~3e9 e3-scaled unit errors
+    * per key, far beyond a per-key daily series' reach. `train_end` =
+    * last observed day (the deterministic "trained as of" stamp — wall
+    * clock would break oracle parity). */
+  case class CvPooled(key: String, n_test: Long, ssq3: Long,
+                      train_end: java.sql.Date)
+  def cvPooled(key: String, series: Iterator[Obs]): Iterator[CvPooled] = {
+    val pts = series.toArray.sortBy(_.x)
+    val n = pts.length
+    var m = 0L; var ssq = 0L
+    (1 to NumFolds).foreach { f =>
+      val (trainEnd, testEnd) = foldBounds(n, f)
+      if (trainEnd >= 2 && testEnd > trainEnd) {
+        val fit = fitSeasonal(pts.slice(0, trainEnd))
+        pts.slice(trainEnd, testEnd).foreach { p =>
+          val a = p.y3 - predictSeasonal3(fit, p.x, dow(p.day))
+          m += 1; ssq += a * a
+        }
+      }
+    }
+    if (m == 0) Iterator.empty
+    else Iterator.single(CvPooled(key, m, ssq, pts.last.day))
   }
 }

@@ -97,6 +97,71 @@ class RossmannSliceSpec extends AnyFunSuite {
     assert(rows.head._3 > 100, s"implausible forecast ${rows.head._3}")
   }
 
+  test("retrainOne + forecastNext + registry: the UI retrain button path end-to-end") {
+    import graft.ml.ModelRegistry
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    val sales = for {
+      store <- 1 to 3
+      day <- 0 until 36
+    } yield SaleRecord(store, (day % 7) + 1, java.sql.Date.valueOf(d0.plusDays(day.toLong)),
+      sales = 100 * store + 2 * day + (if (day % 7 < 2) 10 else 0),
+      customers = 50, open = 1, promo = day % 2, stateholiday = "0",
+      schoolholiday = "0", productname = "product_A")
+    val series = sales.toDS().toDF().filter(col("open") === 1)
+      .select(concat_ws("|", col("store"), col("productname")).as("key"),
+        col("date").as("day"),
+        datediff(col("date"), lit(java.sql.Date.valueOf(d0))).as("x").cast("int"),
+        (col("sales") * 1000L).as("y3"))
+      .as[Obs]
+
+    // retrainOne: only the requested key is trained, and the result is
+    // identical to the weekly job's forecast for that key (same fit path)
+    val one = ForecastApi.retrainOne(series, "2|product_A")
+    assert(one.select("key").distinct().as[String].collect().toSeq == Seq("2|product_A"))
+    val weekly = series.groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.forecastKey(k, it))
+      .filter(_.key == "2|product_A")
+    assert(one.collect().sortBy(_.day.toString).toSeq ==
+      weekly.collect().sortBy(_.day.toString).toSeq)
+
+    // forecastNext: inclusive n-day horizon -> n+1 rows, contiguous days
+    // from the day after the last observation, and the fixed-horizon
+    // path is its nDays=7 special case
+    val next = ForecastApi.forecastNext(series, "2|product_A", 14).collect().sortBy(_.day.toString)
+    assert(next.length == 15)
+    assert(next.head.day.toLocalDate == d0.plusDays(36))
+    assert(next.last.day.toLocalDate == d0.plusDays(50))
+    assert(next.take(Forecaster.HorizonRows).toSeq == one.collect().sortBy(_.day.toString).toSeq)
+
+    // registry: v1 archived, retrained v2 through the gate -> serving
+    // resolves latest production per name; a failing model never serves
+    val pooled = series.groupByKey(_.key)
+      .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.cvPooled(k, it))
+      .toDF()
+    assert(pooled.count() == 3)
+    def meta(version: Int, stage: org.apache.spark.sql.Column) = pooled.select(
+      concat_ws("-", lit("m"), col("key")).as("model_name"),
+      lit(version).as("version"), stage.as("stage"),
+      col("n_test"), col("ssq3"), col("train_end"))
+    val tbl = tmp("registry") + "/models"
+    Store.ensureTable(spark, tbl, meta(1, lit(ModelRegistry.Archived)).schema)
+    ModelRegistry.register(meta(1, lit(ModelRegistry.Archived)), tbl)
+    // the linear+bump seed fits almost exactly -> every key passes a loose
+    // gate; then a third version through an impossible gate must NOT serve
+    ModelRegistry.register(meta(2,
+      ModelRegistry.gateStage(col("ssq3"), col("n_test"), maxRmse = 1000L)), tbl)
+    ModelRegistry.register(meta(3,
+      ModelRegistry.gateStage(col("ssq3"), col("n_test"), maxRmse = 0L)), tbl)
+    val serving = ModelRegistry.servingVersions(Store.read(spark, tbl))
+    val got = serving.select("model_name", "version")
+      .as[(String, Int)].collect().toMap
+    assert(got.keySet == Set("m-1|product_A", "m-2|product_A", "m-3|product_A"))
+    assert(got.values.forall(_ == 2), s"latest PRODUCTION version must serve: $got")
+    // the quality gate as a write-path filter: impossible threshold -> empty
+    assert(ModelRegistry.qualityGate(pooled, maxRmse = 0L).count() == 0)
+    assert(ModelRegistry.qualityGate(pooled, maxRmse = 1000L).count() == 3)
+  }
+
   test("stateful dedup drops replayed ids across micro-batches") {
     val work = tmp("graft_dedup")
     val schema = org.apache.spark.sql.types.StructType(Seq(
