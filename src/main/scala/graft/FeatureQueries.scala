@@ -396,7 +396,11 @@ object FeatureQueries {
     "q72_bucketed_join" -> ((s, dir) => {
       val tag = (dir.hashCode & 0x7fffffff).toHexString
       val (evT, usrT) = (s"g_ev_bkt_$tag", s"g_usr_bkt_$tag")
-      PipelineQueries.cachedFixture(s"bkt|$dir") { _ =>
+      // the memo is JVM-wide but saveAsTable registers in the session
+      // catalog: if a new SparkContext came up in this JVM the memo would
+      // otherwise skip the rebuild and s.table() throw — re-check the
+      // catalog, not just the memo (ADVICE r4)
+      def build(): Unit = {
         store.Store.saveBucketed(
           Tables.events(s, dir).select(col("user_id"), col("event_type"),
             round(col("value") * 1000000).cast(LongType).as("v6")),
@@ -405,6 +409,8 @@ object FeatureQueries {
           Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("total_n")),
           usrT, "user_id", 16)
       }
+      PipelineQueries.cachedFixture(s"bkt|$dir")(_ => build())
+      if (!s.catalog.tableExists(evT) || !s.catalog.tableExists(usrT)) build()
       s.table(evT).join(s.table(usrT), "user_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"),

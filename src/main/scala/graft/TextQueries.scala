@@ -48,7 +48,10 @@ object TextQueries {
           size(regexp_extract_all(col("text"), lit(BpePat), lit(0)))
             .cast(LongType).as("n_bpe"),
           size(tokens(col("text"))).cast(LongType).as("n_ws"))
-        .withColumn("bpe_per_word_e4", expr("n_bpe * 10000 div n_ws"))
+        // nullif guard: a doc whose text has no whitespace tokens must
+        // yield NULL, not a div-by-zero (ANSI Spark throws, DuckDB
+        // errors) — mirrored token-for-token in the oracle (ADVICE r4)
+        .withColumn("bpe_per_word_e4", expr("n_bpe * 10000 div nullif(n_ws, 0)"))
         .orderBy("doc_id")
     }),
 
@@ -308,7 +311,7 @@ object TextQueries {
          | CAST(length(regexp_extract_all(text, '$BpePat')) AS BIGINT) AS n_bpe,
          | CAST(length(${sqlTokens("text")}) AS BIGINT) AS n_ws
          |FROM documents)
-         |SELECT doc_id, n_bpe, n_ws, n_bpe * 10000 // n_ws AS bpe_per_word_e4
+         |SELECT doc_id, n_bpe, n_ws, n_bpe * 10000 // nullif(n_ws, 0) AS bpe_per_word_e4
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q17_token_stats" ->

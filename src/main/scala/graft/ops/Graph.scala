@@ -30,6 +30,11 @@ object Graph {
     * round with localCheckpoint (on a cluster: a reliable checkpoint
     * dir); without it the plan tree doubles every round and the 10th
     * iteration replans 2^10 joins.
+    *
+    * `idCol` must be numeric (the certificate sums labels as DECIMAL; a
+    * non-numeric id would cast to null and corrupt the convergence
+    * test) — doc ids are. An empty vertex frame returns immediately
+    * (SUM over zero rows is null, not a certificate).
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
@@ -37,12 +42,15 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
+    require(vertices.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"connectedComponents needs a numeric id column, got ${vertices.schema(idCol).dataType}")
     var labels = vertices.select(col(idCol).as("id"))
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     def certificate(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prev = certificate(labels)
+    if (prev == null) return labels // zero vertices: nothing to propagate
     var i = 0
     var done = false
     while (i < maxIter && !done) {

@@ -246,6 +246,31 @@ class FeatureQueriesSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)).toSet == raw.map(r => (r._1, r._2)).toSet)
   }
 
+  test("q61 rank discipline: percentile_approx at accuracy 1e5 selects DuckDB's nearest-rank element for every n in 1..40") {
+    // q61's oracle asserts strict equality between Spark percentile_approx
+    // and DuckDB quantile_disc. Both are exact below the accuracy bound,
+    // but their DISCRETE-rank definitions must also pick the same element
+    // at boundary ranks (ADVICE r4). DuckDB's rule, probed exhaustively:
+    // sorted element at 1-based rank max(ceil(p*n), 1). Sweep every group
+    // size the boundary could bite at, all three declared quantiles.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    val ps = Seq(0.25, 0.5, 0.75)
+    for (n <- 1 to 40) {
+      // non-uniform gaps so an off-by-one rank is a visible value change
+      val vals = (1 to n).map(i => i.toLong * i)
+      val row = vals.toDF("v").agg(
+        percentile_approx(col("v"), lit(ps(0)), lit(100000)),
+        percentile_approx(col("v"), lit(ps(1)), lit(100000)),
+        percentile_approx(col("v"), lit(ps(2)), lit(100000))).head()
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val duck = vals(math.max(math.ceil(p * n).toInt, 1) - 1)
+        assert(row.getLong(i) == duck,
+          s"n=$n p=$p: spark=${row.getLong(i)} quantile_disc=$duck")
+      }
+    }
+  }
+
   test("q56 lag window runs over the aggregated daily rows, not the fact table") {
     import spark.implicits._
     val got = SparkEntry.queries("q56_dod_delta")(spark, sf)
