@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.{tokens, sqlTokens}
+
+/** Corpus-curation operators a 100-TB LLM-data pipeline runs after the
+  * dedup/quality passes in [[TextQueries]]/[[FeatureQueries]]: repetition
+  * filtering (Gopher-style), canonical-document selection per duplicate
+  * cluster, stratified class rebalancing, TF-IDF term ranking,
+  * benchmark-contamination detection, token-length histograms, and
+  * phrase mining by lift.
+  *
+  * Reference intent: the reference's pandas prep collects rows and loops
+  * on the driver (services/airflow/dags/task_operators.py:87-120); every
+  * operator here is the distributed re-expression. All scores use the
+  * repo-wide scaled-BIGINT discipline (exact in both engines, no float
+  * accumulation order risk).
+  */
+object CurationQueries {
+
+  /** Word 2-grams, NON-distinct (repetition counting needs multiplicity;
+    * the `ngrams` kernel is distinct by design). Mirrored by [[sqlGrams2]]. */
+  private def grams2(toks: org.apache.spark.sql.Column) =
+    expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")
+
+  /** DuckDB lists are 1-indexed; range(1, len) = 1..len-1 → len-1 grams,
+    * same count and order as the Spark transform above. */
+  private def sqlGrams2(toks: String): String =
+    s"list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1])"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G22: Gopher-style repetition filter ────────────────────────────
+    // Most-frequent-2-gram share of all 2-grams (the "repetition" signal
+    // of the Gopher/MassiveText quality rules): a doc whose top bigram
+    // exceeds 20% of its bigrams is flagged. Per-doc explode → two-level
+    // agg; map-side partial combine keeps the shuffle at distinct
+    // (doc, gram) cardinality. Embarrassingly parallel per doc at 100 TB.
+    "q78_repetition_filter" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(grams2(col("toks"))).as("gram"))
+      g.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_n"))
+        .withColumn("top_ratio_e4", expr("top_n * 10000 div n_grams"))
+        .withColumn("repetitive", col("top_ratio_e4") >= 2000)
+        .orderBy("doc_id")
+    }),
+
+    // ── G23: canonical-document selection per duplicate cluster ────────
+    // The step after clustering (q64): keep ONE representative per
+    // near-dup component — longest text wins, doc_id breaks ties — the
+    // policy real curation pipelines apply before writing the deduped
+    // corpus. Reuses the materialized CC assignment (one CC run per
+    // corpus snapshot); the window partitions by component, and dup
+    // components are small by construction (banded LSH candidates), so
+    // no hot partition at scale.
+    "q79_canonical_docs" -> ((s, dir) => {
+      val cc = FeatureQueries.componentsTable(s, dir)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      cc.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("comp")
+        .agg(
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("kept_chars"),
+          count(lit(1)).as("n_members"))
+        .orderBy("comp")
+    }),
+
+    // ── G24: stratified class rebalancing ──────────────────────────────
+    // Balanced downsample: every language keeps exactly m docs, where m
+    // is the smallest class size — selection by md5(doc_id) rank, so the
+    // sample is deterministic, uniform within stratum, and stable under
+    // corpus growth (a doc's hash never changes). The per-lang window is
+    // the honest cost at 100 TB (one shuffle on the stratum key); the
+    // class-count aggregate is tiny and broadcast.
+    "q80_stratified_rebalance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast(StringType)).as("h"))
+      val m = d.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast(LongType))
+        .crossJoin(broadcast(m))
+        .filter(col("rk") <= col("m"))
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // ── G25: TF-IDF top-terms per document ─────────────────────────────
+    // Integer tf-idf rank: score = tf * 1e6 div df (corpus size N is a
+    // constant factor, irrelevant to ranking). Term→df is vocabulary-
+    // sized — tiny next to the corpus — so the df side is broadcast;
+    // the only big shuffles are the two aggregations, both with
+    // map-side partial combine. Top-3 per doc via a doc-partitioned
+    // window with a total tie-break (score, tf, term).
+    "q81_tfidf_topk" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_e6").desc, col("tf").desc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .withColumn("score_e6", expr("tf * 1000000 div df"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score_e6"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // ── G26: benchmark-contamination check ─────────────────────────────
+    // Flag training docs sharing any word-3-gram with a held-out probe
+    // set (here: source 'src0' stands in for the benchmark corpus) — the
+    // n-gram-overlap decontamination step of GPT-3/PaLM data prep. Both
+    // sides reduce to distinct 32-hex gram hashes, so the join carries
+    // hashes, never gram text (the q68/q23 shuffle-bytes lesson); the
+    // probe side is benchmark-sized → broadcast at real scale.
+    "q82_contamination" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(expr("ngrams(toks, 3)")).as("gram"))
+        .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+      val probe = g.filter(col("source") === "src0").select("h").distinct()
+      g.filter(col("source") =!= "src0")
+        .join(broadcast(probe), "h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // ── G27: token-length histogram ────────────────────────────────────
+    // Fixed-width token-count histogram per language (the length-
+    // distribution audit run before choosing packing/truncation params).
+    // Closed bucket formula (width 10, capped at 15) — no data-dependent
+    // bucket discovery job; one partial-agg shuffle at any scale.
+    "q83_token_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+        .withColumn("bucket", expr("least(n_tokens div 10, 15)"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_toks"), max(col("n_tokens")).as("max_toks"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // ── G28: phrase mining by lift ─────────────────────────────────────
+    // Corpus-level collocations: top-20 word bigrams by lift
+    // P(ab)/(P(a)P(b)) = cnt_ab * T / (cnt_a * cnt_b), scaled-BIGINT
+    // (fits int64 up to ~10^7-token corpora; the 100-TB run promotes to
+    // DECIMAL(38,0) — same plan). Unigram counts are vocabulary-sized →
+    // broadcast to the bigram side; final top-20 is TakeOrdered, never a
+    // global sort.
+    "q84_phrase_lift" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+      val uni = t.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt")).as("t_total"))
+      val bi = t.filter(size(col("toks")) >= 2)
+        .select(explode(grams2(col("toks"))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 5)
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+      bi
+        .join(broadcast(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("cnt").as("cnt_b"))), "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("lift_e3", expr("cnt_ab * t_total * 1000 div (cnt_a * cnt_b)"))
+        .select(col("gram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"), col("lift_e3"))
+        .orderBy(col("lift_e3").desc, col("gram").asc)
+        .limit(20)
+    })
+  )
+
+  private val toks = sqlTokens("text")
+
+  def oracleSql: Map[String, String] = Map(
+    "q78_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |     g AS (SELECT doc_id, UNNEST(${sqlGrams2("toks")}) AS gram
+         |           FROM t WHERE len(toks) >= 2),
+         |     c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+         |     r AS (SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_n
+         |           FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(top_n AS BIGINT) AS top_n,
+         |       CAST(top_n * 10000 // n_grams AS BIGINT) AS top_ratio_e4,
+         |       top_n * 10000 // n_grams >= 2000 AS repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q79_canonical_docs" ->
+      s"""${FeatureQueries.ccCte},
+         |cc AS (SELECT id AS doc_id, lbl AS comp FROM l${FeatureQueries.CcRounds}),
+         |j AS (SELECT cc.comp, cc.doc_id, d.n_chars,
+         |        ROW_NUMBER() OVER (PARTITION BY cc.comp
+         |          ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+         |      FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+         |SELECT comp,
+         |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+         |       MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+         |       COUNT(*) AS n_members
+         |FROM j GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q80_stratified_rebalance" ->
+      """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |     m AS (SELECT MIN(n) AS m FROM
+        |             (SELECT COUNT(*) AS n FROM d GROUP BY lang)),
+        |     r AS (SELECT doc_id, lang,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+        |           FROM d)
+        |SELECT lang, doc_id, rk FROM r, m WHERE rk <= m
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q81_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
+         |     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+         |     df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |     j AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |             tf.tf * 1000000 // df.df AS score_e6
+         |           FROM tf JOIN df ON tf.tok = df.tok),
+         |     r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |             ORDER BY score_e6 DESC, tf DESC, tok ASC) AS BIGINT) AS rk FROM j)
+         |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       CAST(score_e6 AS BIGINT) AS score_e6, rk
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q82_contamination" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |     d AS (SELECT doc_id, source,
+         |             list_distinct(list_transform(range(1, len(toks)-1),
+         |               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS g
+         |           FROM t WHERE len(toks) >= 3),
+         |     h AS (SELECT doc_id, source, md5(UNNEST(g)) AS h FROM d),
+         |     probe AS (SELECT DISTINCT h FROM h WHERE source = 'src0')
+         |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
+         |FROM h c JOIN probe p ON c.h = p.h
+         |WHERE c.source <> 'src0'
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q83_token_histogram" ->
+      s"""WITH t AS (SELECT lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |     b AS (SELECT lang, n_tokens, LEAST(n_tokens // 10, 15) AS bucket FROM t)
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q84_phrase_lift" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |     uni AS (SELECT UNNEST(toks) AS tok FROM t),
+         |     u AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+         |     tot AS (SELECT SUM(cnt) AS t_total FROM u),
+         |     big AS (SELECT UNNEST(${sqlGrams2("toks")}) AS gram
+         |             FROM t WHERE len(toks) >= 2),
+         |     b AS (SELECT gram, COUNT(*) AS cnt_ab FROM big GROUP BY gram
+         |           HAVING COUNT(*) >= 5),
+         |     j AS (SELECT b.gram, b.cnt_ab, a.cnt AS cnt_a, c.cnt AS cnt_b,
+         |             b.cnt_ab * tot.t_total * 1000 // (a.cnt * c.cnt) AS lift_e3
+         |           FROM b
+         |           JOIN u a ON split_part(b.gram, ' ', 1) = a.tok
+         |           JOIN u c ON split_part(b.gram, ' ', 2) = c.tok
+         |           CROSS JOIN tot)
+         |SELECT gram, CAST(cnt_ab AS BIGINT) AS cnt_ab, CAST(cnt_a AS BIGINT) AS cnt_a,
+         |       CAST(cnt_b AS BIGINT) AS cnt_b, CAST(lift_e3 AS BIGINT) AS lift_e3
+         |FROM j ORDER BY lift_e3 DESC, gram ASC LIMIT 20""".stripMargin
+  )
+}

@@ -42,7 +42,7 @@ object FeatureQueries {
     * once per (JVM, sfDir): dup pairs → connected components →
     * parquet. Shared by q64/q65 the way a real curation job shares one
     * cluster table across consumers. */
-  private def componentsTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def componentsTable(s: SparkSession, dir: String): DataFrame = {
     // resolve the pair-table dependency BEFORE entering the cc memo:
     // cachedFixture is a computeIfAbsent on one ConcurrentHashMap, and
     // a nested computeIfAbsent from inside a build lambda throws
@@ -508,8 +508,8 @@ object FeatureQueries {
     * [[CcRounds]] rounds cover components of diameter up to ~2^rounds,
     * far beyond any dup-chain the banded candidate generator can emit
     * at these scales (sf0.1's deepest chain is >20 < 2^12). */
-  private val CcRounds = 12
-  private def ccCte: String = {
+  private[graft] val CcRounds = 12
+  private[graft] def ccCte: String = {
     val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
     // every stage references its predecessor twice — AS MATERIALIZED
     // stops DuckDB's default CTE inlining from exploding 4^rounds copies

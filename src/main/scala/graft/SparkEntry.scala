@@ -28,7 +28,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ TextQueries.queries ++ VectorQueries.queries ++
-      PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries
+      PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
+      CurationQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -264,7 +265,8 @@ object SparkEntry {
   /** DuckDB-dialect ANSI SQL oracles, column-name aligned with `queries`. */
   def oracleSql: Map[String, String] =
     relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ MlQueries.oracleSql ++ FeatureQueries.oracleSql
+      PipelineQueries.oracleSql ++ MlQueries.oracleSql ++
+      FeatureQueries.oracleSql ++ CurationQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->
