@@ -157,6 +157,52 @@ object CurationQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── G29: sequence packing (token-budget bins) ──────────────────────
+    // Pack documents into fixed-token-budget training sequences (budget
+    // 512): contiguous packing in doc_id order within each language — a
+    // doc's bin is its *exclusive* running token total div 512. The
+    // running sum is a per-stratum window (never a global single-
+    // partition sort); bin stats aggregate with map-side combine. The
+    // fill-ratio audit (tokens per bin / budget) is the packing-
+    // efficiency number an LLM training run budgets against.
+    "q85_sequence_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("run", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr("run div 512"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .withColumn("fill_e4", expr("bin_tokens * 10000 div 512"))
+        .orderBy("lang", "bin")
+    }),
+
+    // ── G30: sliding-window chunking ───────────────────────────────────
+    // Split every doc into 50-token windows with stride 25 (the context-
+    // chunking step of RAG/pretraining prep). Chunk starts come from a
+    // closed-form sequence — embarrassingly parallel per doc, no state;
+    // the chunk text itself is a pure array slice. Output is the chunk
+    // manifest (id, index, bounds, md5 of chunk text) — at 100 TB the
+    // chunk text would be written, not collected; the manifest hash
+    // proves the slice bit-exactly.
+    "q86_chunk_windows" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(expr("sequence(0, greatest(cast(n - 26 as int), 0), 25)")))
+        .withColumn("chunk_len", least(lit(50), col("n") - col("start")))
+        .select(col("doc_id"),
+          expr("cast(start div 25 as bigint)").as("chunk_idx"),
+          col("start").cast(LongType).as("tok_start"),
+          col("chunk_len").cast(LongType).as("chunk_len"),
+          md5(expr("concat_ws(' ', slice(toks, start + 1, chunk_len))")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ── G28: phrase mining by lift ─────────────────────────────────────
     // Corpus-level collocations: top-20 word bigrams by lift
     // P(ab)/(P(a)P(b)) = cnt_ab * T / (cnt_a * cnt_b), scaled-BIGINT
@@ -258,6 +304,34 @@ object CurationQueries {
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q85_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |     r AS (SELECT doc_id, lang, n_tokens,
+         |             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |           FROM t),
+         |     b AS (SELECT lang, doc_id, n_tokens, run // 512 AS bin FROM r),
+         |     a AS (SELECT lang, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |           FROM b GROUP BY lang, bin)
+         |SELECT lang, bin, n_docs, bin_tokens, first_doc, last_doc,
+         |       CAST(bin_tokens * 10000 // 512 AS BIGINT) AS fill_e4
+         |FROM a ORDER BY lang, bin""".stripMargin,
+
+    "q86_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |     n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
+         |     s AS (SELECT doc_id, toks, n,
+         |             CAST(UNNEST(range(0, GREATEST(n - 26, 0) + 1, 25)) AS INT) AS start
+         |           FROM n),
+         |     c AS (SELECT doc_id, start, LEAST(50, n - start) AS chunk_len, toks FROM s)
+         |SELECT doc_id, CAST(start // 25 AS BIGINT) AS chunk_idx,
+         |       CAST(start AS BIGINT) AS tok_start, CAST(chunk_len AS BIGINT) AS chunk_len,
+         |       md5(array_to_string(list_slice(toks, start + 1, start + chunk_len), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q84_phrase_lift" ->
       s"""WITH t AS (SELECT $toks AS toks FROM documents),

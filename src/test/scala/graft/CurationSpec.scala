@@ -87,6 +87,44 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 sequence packing: bins conserve tokens, contiguous per stratum, window never global") {
+    val plan = executed("q85_sequence_packing")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing window must partition by stratum, never collapse to one partition")
+    val rows = SparkEntry.queries("q85_sequence_packing")(spark, sf).collect()
+    val binTokens = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // token conservation: per-lang bin totals == per-lang corpus totals
+    import org.apache.spark.sql.functions.{col, size, sum}
+    val corpus = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = binTokens.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(packed == corpus, s"packed=$packed corpus=$corpus")
+    // bins contiguous from 0 within each stratum
+    binTokens.groupBy(_._1).foreach { case (_, bs) =>
+      val ids = bs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq)
+    }
+  }
+
+  test("q86 chunking: stride-25 windows, full-width except the tail, indices dense") {
+    val rows = SparkEntry.queries("q86_chunk_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2).toSeq
+      assert(sorted.map(_._2) == (0L until sorted.length).toSeq, "dense chunk indices")
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * 25)
+        assert(len >= 1 && len <= 50)
+      }
+      // every chunk except the last is full-width
+      sorted.dropRight(1).foreach { case (_, _, _, len) => assert(len == 50) }
+      // the tail chunk keeps more than the overlap (no fully-contained chunk)
+      if (sorted.length > 1) assert(sorted.last._4 > 25)
+    }
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)
