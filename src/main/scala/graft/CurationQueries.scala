@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.functions.TextFunctions.{tokens, sqlTokens, stopwordCount, sqlStopwordCount, EnStop}
 
 /** Corpus-curation operators a 100-TB LLM-data pipeline runs after the
   * dedup/quality passes in [[TextQueries]]/[[FeatureQueries]]: repetition
@@ -203,6 +203,48 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ── G31: end-to-end corpus pipeline ────────────────────────────────
+    // The whole curation chain as ONE declarative plan — quality gate
+    // (q18's rule) ∘ canonical-per-dup-cluster (q79's policy) ∘
+    // sequence packing (q85's bins) — producing the per-language corpus
+    // manifest a training run consumes: docs kept, tokens, packed bins,
+    // retention rate. Proves the operators compose without a driver
+    // round-trip: the only scans are documents + the materialized CC
+    // table, and every stage keys on lang/comp — no global sort, no
+    // collect. This is the "switch your pipeline to one library call"
+    // query for a user of the reference.
+    "q87_corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          stopwordCount(col("toks"), EnStop).cast(LongType).as("n_stop"))
+      val wCanon = Window.partitionBy("comp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val canonical = FeatureQueries.componentsTable(s, dir)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(wCanon))
+        .filter(col("rn") === 1).select("doc_id")
+      val kept = docs.join(canonical, "doc_id")
+        .withColumn("stop_e4", expr("n_stop * 10000 div n_tokens"))
+        .filter(col("n_tokens") >= 10 && col("stop_e4") >= 200)
+      val wPack = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = kept
+        .withColumn("run", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+        .withColumn("bin", expr("run div 512"))
+      val perLang = packed.groupBy("lang").agg(
+        count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+      val totals = Tables.documents(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("n_total"))
+      perLang.join(totals, "lang")
+        .withColumn("pct_kept_e4", expr("n_kept * 10000 div n_total"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("kept_tokens"),
+          col("n_bins"), col("pct_kept_e4"))
+        .orderBy("lang")
+    }),
+
     // ── G28: phrase mining by lift ─────────────────────────────────────
     // Corpus-level collocations: top-20 word bigrams by lift
     // P(ab)/(P(a)P(b)) = cnt_ab * T / (cnt_a * cnt_b), scaled-BIGINT
@@ -304,6 +346,30 @@ object CurationQueries {
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q87_corpus_pipeline" ->
+      s"""${FeatureQueries.ccCte},
+         |cc AS (SELECT id AS doc_id, lbl AS comp FROM l${FeatureQueries.CcRounds}),
+         |dq AS (SELECT doc_id, lang, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(${sqlStopwordCount("toks", EnStop)} AS BIGINT) AS n_stop
+         |       FROM (SELECT doc_id, lang, n_chars, $toks AS toks FROM documents)),
+         |canon AS (SELECT doc_id FROM (
+         |    SELECT cc.doc_id, ROW_NUMBER() OVER (PARTITION BY cc.comp
+         |      ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+         |    FROM cc JOIN documents d ON cc.doc_id = d.doc_id) WHERE rn = 1),
+         |kept AS (SELECT dq.* FROM dq JOIN canon ON dq.doc_id = canon.doc_id
+         |         WHERE n_tokens >= 10 AND n_stop * 10000 // n_tokens >= 200),
+         |r AS (SELECT lang, doc_id, n_tokens,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |      FROM kept),
+         |p AS (SELECT lang, doc_id, n_tokens, run // 512 AS bin FROM r),
+         |a AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         |        CAST(MAX(bin) + 1 AS BIGINT) AS n_bins FROM p GROUP BY lang),
+         |tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+         |SELECT a.lang, tot.n_total, a.n_kept, a.kept_tokens, a.n_bins,
+         |       a.n_kept * 10000 // tot.n_total AS pct_kept_e4
+         |FROM a JOIN tot ON a.lang = tot.lang ORDER BY a.lang""".stripMargin,
 
     "q85_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens

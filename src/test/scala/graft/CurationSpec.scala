@@ -125,6 +125,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 corpus pipeline: manifest consistent, composed plan never collapses to one partition") {
+    val plan = executed("q87_corpus_pipeline")
+    assert(!plan.contains("Exchange SinglePartition") || plan.contains("TakeOrdered"),
+      "pipeline stages must stay keyed on lang/comp")
+    val rows = SparkEntry.queries("q87_corpus_pipeline")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, kept, tokens, bins, pct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(kept <= total && kept > 0)
+      assert(pct == kept * 10000 / total)
+      // bin count matches the packing arithmetic: the last bin starts
+      // below the running total, so (bins-1)*512 < tokens
+      assert(bins >= 1 && (bins - 1) * 512 < tokens)
+    }
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)
