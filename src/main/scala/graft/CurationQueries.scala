@@ -203,6 +203,49 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ── G32: incremental corpus dedup (new batch vs existing) ──────────
+    // The day-2 ingestion problem: admit an incoming batch (source
+    // 'src9' stands in for today's crawl) only where it does NOT
+    // near-duplicate the existing corpus. Asymmetric MinHash-band
+    // equi-join — incoming × existing, never existing × existing — then
+    // token-Jaccard verify on candidates only, shuffling narrow
+    // (doc, tok) rows, not token arrays (q23's discipline). In a real
+    // incremental run the existing side's signatures are the
+    // materialized table from the last snapshot, so per-day cost scales
+    // with |batch|, not |corpus|; recomputed here for oracle parity.
+    "q88_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = TextQueries.withSignatures(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val bands = sigs.select(col("doc_id"), col("source"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+      val inc = bands.filter(col("source") === "src9")
+        .select(col("doc_id").as("new_id"), col("band_id"), col("bucket"))
+      val exi = bands.filter(col("source") =!= "src9")
+        .select(col("doc_id").as("old_id"), col("band_id"), col("bucket"))
+      val cand = inc.join(exi, Seq("band_id", "bucket"))
+        .select("new_id", "old_id").distinct()
+      val tokrows = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      val sizes = tokrows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dups = cand
+        .join(tokrows.select(col("doc_id").as("new_id"), col("tok")), Seq("new_id"))
+        .join(tokrows.select(col("doc_id").as("old_id"), col("tok")), Seq("old_id", "tok"))
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+        .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+        .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
+        .filter(col("j_e6") >= 200000)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_dups"), max(col("j_e6")).as("best_j_e6"))
+      docs.filter(col("source") === "src9").select(col("doc_id"))
+        .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+        .withColumn("admitted", col("n_dups") === 0)
+        .select("doc_id", "n_dups", "best_j_e6", "admitted")
+        .orderBy("doc_id")
+    }),
+
     // ── G31: end-to-end corpus pipeline ────────────────────────────────
     // The whole curation chain as ONE declarative plan — quality gate
     // (q18's rule) ∘ canonical-per-dup-cluster (q79's policy) ∘
@@ -346,6 +389,32 @@ object CurationQueries {
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q88_incremental_dedup" ->
+      (TextQueries.sigCte +
+        s""",
+           |src AS (SELECT s.doc_id, d.source, s.b0, s.b1
+           |        FROM sigs s JOIN documents d ON s.doc_id = d.doc_id),
+           |bands AS (SELECT doc_id, source, 0 AS band_id, b0 AS bucket FROM src
+           |          UNION ALL SELECT doc_id, source, 1, b1 FROM src),
+           |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.bucket = y.bucket
+           |         WHERE x.source = 'src9' AND y.source <> 'src9'),
+           |ts AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+           |jj AS (SELECT new_id, old_id,
+           |         len(list_intersect(a.ts, b.ts)) AS inter,
+           |         len(a.ts) AS na, len(b.ts) AS nb
+           |       FROM cand JOIN ts a ON new_id = a.doc_id JOIN ts b ON old_id = b.doc_id),
+           |f AS (SELECT new_id, COUNT(*) AS n_dups,
+           |        MAX(inter*1000000 // (na+nb-inter)) AS best
+           |      FROM jj WHERE inter*1000000 // (na+nb-inter) >= 200000
+           |      GROUP BY new_id)
+           |SELECT d.doc_id, CAST(COALESCE(f.n_dups, 0) AS BIGINT) AS n_dups,
+           |       CAST(f.best AS BIGINT) AS best_j_e6,
+           |       COALESCE(f.n_dups, 0) = 0 AS admitted
+           |FROM documents d LEFT JOIN f ON d.doc_id = f.new_id
+           |WHERE d.source = 'src9' ORDER BY d.doc_id""".stripMargin),
 
     "q87_corpus_pipeline" ->
       s"""${FeatureQueries.ccCte},

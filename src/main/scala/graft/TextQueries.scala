@@ -285,7 +285,7 @@ object TextQueries {
     * (AQE would coalesce a bytes-tiny shuffle to one partition and
     * re-serialize this CPU-bound stage; with the count pinned, the
     * groupBy also reuses the partitioning — no second shuffle). */
-  private def withSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def withSignatures(docs: DataFrame): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sigd = docs.repartition(n, col("doc_id"))
       .select(col("doc_id"), expr("minhash_sigs(text, 5)").as("sigs"))
@@ -451,7 +451,7 @@ object TextQueries {
 
   /** Shared CTE: per-doc minhash signatures + band buckets (mirror of
     * [[withSignatures]]). */
-  private def sigCte: String = {
+  private[graft] def sigCte: String = {
     val sh = sqlShingles("text", 5)
     val sigSelects = (
       (0 until RowsPerBand).map(j => s"  ${sqlMinChunk("h0", j)} AS s$j") ++

@@ -142,6 +142,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q88 incremental dedup: covers the whole incoming batch, asymmetric verdicts consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q88_incremental_dedup")(spark, sf).collect()
+    val nIncoming = Tables.documents(spark, sf).filter(col("source") === "src9").count()
+    assert(rows.length == nIncoming, "every incoming doc gets a verdict")
+    rows.foreach { r =>
+      val (nDups, admitted) = (r.getLong(1), r.getBoolean(3))
+      assert(admitted == (nDups == 0))
+      if (nDups > 0) assert(!r.isNullAt(2) && r.getLong(2) >= 200000L)
+      else assert(r.isNullAt(2))
+    }
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)
