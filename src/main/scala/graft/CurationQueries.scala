@@ -128,11 +128,11 @@ object CurationQueries {
     // hashes, never gram text (the q68/q23 shuffle-bytes lesson); the
     // probe side is benchmark-sized → broadcast at real scale.
     "q82_contamination" -> ((s, dir) => {
-      val g = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("source"),
-          explode(expr("ngrams(toks, 3)")).as("gram"))
+      // reuse the materialized 3-gram snapshot (q24's fixture) — the
+      // probe and corpus sides then cost one narrow parquet scan each
+      // instead of two full tokenize+ngram passes
+      val g = TextQueries.gramTable(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("g")).as("gram"))
         .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
       val probe = g.filter(col("source") === "src0").select("h").distinct()
       g.filter(col("source") =!= "src0")
@@ -215,7 +215,7 @@ object CurationQueries {
     // with |batch|, not |corpus|; recomputed here for oracle parity.
     "q88_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sigs = TextQueries.withSignatures(docs)
+      val sigs = TextQueries.sigTable(s, dir)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
       val bands = sigs.select(col("doc_id"), col("source"),
         posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
@@ -225,8 +225,7 @@ object CurationQueries {
         .select(col("doc_id").as("old_id"), col("band_id"), col("bucket"))
       val cand = inc.join(exi, Seq("band_id", "bucket"))
         .select("new_id", "old_id").distinct()
-      val tokrows = docs
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      val tokrows = TextQueries.tokRows(s, dir)
       val sizes = tokrows.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val dups = cand
         .join(tokrows.select(col("doc_id").as("new_id"), col("tok")), Seq("new_id"))
@@ -244,6 +243,53 @@ object CurationQueries {
         .withColumn("admitted", col("n_dups") === 0)
         .select("doc_id", "n_dups", "best_j_e6", "admitted")
         .orderBy("doc_id")
+    }),
+
+    // ── G33: data-mixture sampling ─────────────────────────────────────
+    // The "mixture weights" step of LLM corpus assembly: each source
+    // keeps floor(weight × count) docs, chosen by md5(doc_id) rank —
+    // deterministic, uniform within source, stable as sources grow. The
+    // declared weight table is broadcast; ranking is one per-source
+    // window; the manifest reports achieved counts and token budget.
+    "q89_data_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(
+        "src0" -> 10000L, "src1" -> 7500L, "src2" -> 5000L, "src3" -> 5000L,
+        "src4" -> 2500L, "src5" -> 2500L, "src6" -> 2500L, "src7" -> 1000L,
+        "src8" -> 1000L, "src9" -> 1000L).toDF("source", "w_e4")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+          md5(col("doc_id").cast(StringType)).as("h"))
+      val totals = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast(LongType))
+        .join(broadcast(totals.join(weights, "source")), "source")
+        .withColumn("n_keep", expr("n_total * w_e4 div 10000"))
+        .filter(col("rk") <= col("n_keep"))
+        .groupBy("source")
+        .agg(max(col("n_total")).as("n_total"), max(col("n_keep")).as("n_keep"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // ── G34: duplicate-source matrix ───────────────────────────────────
+    // Which crawls duplicate each other: near-dup pairs (q23's
+    // materialized table) joined to both sides' sources, normalized so
+    // (a,b) and (b,a) fold together, with pair counts and mean Jaccard.
+    // Pure reuse of the landed pair snapshot — the audit costs two
+    // narrow joins however big the corpus is.
+    "q90_dup_source_matrix" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      FeatureQueries.dupPairsTable(s, dir)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"), col("j_e6"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(j_e6) div count(1)").as("mean_j_e6"))
+        .orderBy("src_a", "src_b")
     }),
 
     // ── G31: end-to-end corpus pipeline ────────────────────────────────
@@ -389,6 +435,37 @@ object CurationQueries {
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q89_data_mixture" ->
+      s"""WITH wt(source, w_e4) AS (VALUES
+         |  ('src0', 10000), ('src1', 7500), ('src2', 5000), ('src3', 5000),
+         |  ('src4', 2500), ('src5', 2500), ('src6', 2500), ('src7', 1000),
+         |  ('src8', 1000), ('src9', 1000)),
+         |d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |        md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |t AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+         |      FROM d),
+         |k AS (SELECT r.source, r.n_tokens, r.rk, t.n_total,
+         |        t.n_total * wt.w_e4 // 10000 AS n_keep
+         |      FROM r JOIN t ON r.source = t.source JOIN wt ON r.source = wt.source)
+         |SELECT source, CAST(MAX(n_total) AS BIGINT) AS n_total,
+         |       CAST(MAX(n_keep) AS BIGINT) AS n_keep,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+         |FROM k WHERE rk <= n_keep GROUP BY source ORDER BY source""".stripMargin,
+
+    "q90_dup_source_matrix" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      s"""WITH p2 AS (SELECT p.j_e6, a.source AS sa, b.source AS sb
+         |  FROM ($q23) p
+         |  JOIN documents a ON p.doc_a = a.doc_id
+         |  JOIN documents b ON p.doc_b = b.doc_id),
+         |n AS (SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b, j_e6 FROM p2)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+         |       CAST(SUM(j_e6) // COUNT(*) AS BIGINT) AS mean_j_e6
+         |FROM n GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+    },
 
     "q88_incremental_dedup" ->
       (TextQueries.sigCte +

@@ -30,7 +30,7 @@ object FeatureQueries {
     * (JVM, sfDir) and shared by every downstream consumer — clustering
     * (q64/q65) and edit-distance verification (q68) — the way a real
     * curation pipeline lands the pair list once per corpus snapshot. */
-  private def dupPairsTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupPairsTable(s: SparkSession, dir: String): DataFrame = {
     val work = PipelineQueries.cachedFixture(s"dup_pairs|$dir") { work =>
       TextQueries.queries("q23_minhash_dup_pairs")(s, dir)
         .write.mode("overwrite").parquet(s"$work/pairs")

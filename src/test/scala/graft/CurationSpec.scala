@@ -155,6 +155,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 data mixture: kept counts are exact floor(weight × class size), weight side broadcast") {
+    val plan = executed("q89_data_mixture")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rows = SparkEntry.queries("q89_data_mixture")(spark, sf).collect()
+    val totals = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("src0" -> 10000L, "src1" -> 7500L, "src2" -> 5000L,
+      "src3" -> 5000L, "src4" -> 2500L, "src5" -> 2500L, "src6" -> 2500L,
+      "src7" -> 1000L, "src8" -> 1000L, "src9" -> 1000L)
+    rows.foreach { r =>
+      val (src, total, keep) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(total == totals(src))
+      assert(keep == total * weights(src) / 10000L)
+    }
+    // full-weight source keeps everything
+    rows.find(_.getString(0) == "src0").foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("q90 dup-source matrix: normalized pairs, counts partition the dup-pair table") {
+    val rows = SparkEntry.queries("q90_dup_source_matrix")(spark, sf).collect()
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1), "pair order normalized"))
+    val nPairs = SparkEntry.queries("q23_minhash_dup_pairs")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs, "matrix must partition the pair table")
+    rows.foreach(r => assert(r.getLong(3) >= 200000L, "mean of values ≥ threshold"))
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)
