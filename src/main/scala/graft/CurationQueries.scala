@@ -245,6 +245,64 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ── G35: interval-overlap join ─────────────────────────────────────
+    // Overlapping time-interval pairs (the media-segment/availability
+    // shape): click vs view windows of 300 s per user. NOT a theta join
+    // — each interval explodes to the fixed-width bins it covers and
+    // pairs meet through a (user, bin) equi-join, then the exact overlap
+    // predicate verifies candidates and dedup folds bin-duplicates. Bin
+    // width = interval width caps the explode factor at 2; at 100 TB the
+    // shuffle stays linear in event count, never |clicks|×|views|.
+    "q91_interval_overlap" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + 300L)
+      val binned = iv.withColumn("bin",
+        explode(expr("sequence(s0 div 300, e0 div 300)")))
+      val clicks = binned.filter(col("event_type") === "click")
+        .select(col("user_id"), col("bin"), col("event_id").as("click_id"),
+          col("s0").as("cs"), col("e0").as("ce"))
+      val views = binned.filter(col("event_type") === "view")
+        .select(col("user_id"), col("bin"), col("event_id").as("view_id"),
+          col("s0").as("vs"), col("e0").as("ve"))
+      clicks.join(views, Seq("user_id", "bin"))
+        .filter(col("cs") < col("ve") && col("vs") < col("ce"))
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          (least(col("ce"), col("ve")) - greatest(col("cs"), col("vs"))).as("overlap_sec"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("overlap_sec")).as("sum_overlap_sec"))
+        .orderBy("user_id")
+    }),
+
+    // ── G36: distribution-outlier audit (exact z-score) ────────────────
+    // Flag events beyond 3σ of their event_type's value distribution —
+    // with NO floating-point moments: (x−μ)² > 9σ² rewritten as
+    // (x·n − S)² > 9·(n·S2 − S²) over µ-scaled BIGINT values, DECIMAL(38)
+    // sums. One aggregate pass + a broadcast join of 5 moment rows back
+    // onto the scan; bit-identical verdicts in any engine. (DECIMAL(38)
+    // holds to ~10⁹ rows/group at this value scale; beyond that the
+    // pipeline shards the moment pass — same plan, grouped finer.)
+    "q92_outlier_zscore" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val base = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 1000000).cast(LongType).as("v6"))
+      val m = base.groupBy("event_type").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("v6").cast(dec)).as("s"),
+        sum(col("v6").cast(dec) * col("v6").cast(dec)).as("s2"))
+      base.join(broadcast(m), "event_type")
+        .withColumn("dev", col("v6").cast(dec) * col("n") - col("s"))
+        .withColumn("is_out",
+          col("dev") * col("dev") > lit(9) * (col("n") * col("s2") - col("s") * col("s")))
+        .groupBy("event_type")
+        .agg(max(col("n").cast(LongType)).as("n"),
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // ── G33: data-mixture sampling ─────────────────────────────────────
     // The "mixture weights" step of LLM corpus assembly: each source
     // keeps floor(weight × count) docs, chosen by md5(doc_id) rank —
@@ -435,6 +493,35 @@ object CurationQueries {
          |SELECT lang, bucket, COUNT(*) AS n_docs,
          |       MIN(n_tokens) AS min_toks, MAX(n_tokens) AS max_toks
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "q91_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_type, event_id,
+        |       CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s0,
+        |       CAST(epoch_ns(ts) // 1000000000 + 300 AS BIGINT) AS e0
+        |     FROM events WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT user_id, event_type, event_id, s0, e0,
+        |        UNNEST(range(s0 // 300, e0 // 300 + 1)) AS bin FROM iv),
+        |c AS (SELECT user_id, bin, event_id AS click_id, s0 AS cs, e0 AS ce
+        |      FROM b WHERE event_type = 'click'),
+        |v AS (SELECT user_id, bin, event_id AS view_id, s0 AS vs, e0 AS ve
+        |      FROM b WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT c.user_id, click_id, view_id,
+        |        LEAST(ce, ve) - GREATEST(cs, vs) AS overlap_sec
+        |      FROM c JOIN v ON c.user_id = v.user_id AND c.bin = v.bin
+        |      WHERE cs < ve AND vs < ce)
+        |SELECT user_id, COUNT(*) AS n_overlaps,
+        |       CAST(SUM(overlap_sec) AS BIGINT) AS sum_overlap_sec
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q92_outlier_zscore" ->
+      """WITH b AS (SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS v6 FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(v6 AS HUGEINT)) AS s,
+        |        SUM(CAST(v6 AS HUGEINT)*v6) AS s2 FROM b GROUP BY event_type)
+        |SELECT b.event_type, CAST(MAX(m.n) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN (CAST(b.v6 AS HUGEINT)*m.n - m.s)*(CAST(b.v6 AS HUGEINT)*m.n - m.s)
+        |                   > 9*(m.n*m.s2 - m.s*m.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM b JOIN m ON b.event_type = m.event_type
+        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
 
     "q89_data_mixture" ->
       s"""WITH wt(source, w_e4) AS (VALUES

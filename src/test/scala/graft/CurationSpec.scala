@@ -181,6 +181,47 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 200000L, "mean of values ≥ threshold"))
   }
 
+  test("q91 interval overlap: binned equi-join ≡ naive theta join, overlaps in (0, 300]") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q91_interval_overlap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // naive reference: theta join on the raw predicate (fine at spec scale)
+    val iv = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("s0"))
+      .withColumn("e0", col("s0") + 300L)
+    val c = iv.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("s0").as("cs"), col("e0").as("ce"))
+    val v = iv.filter(col("event_type") === "view")
+      .select(col("user_id").as("uid2"), col("event_id").as("vid"), col("s0").as("vs"), col("e0").as("ve"))
+    val naive = c.join(v, col("user_id") === col("uid2")
+        && col("cs") < col("ve") && col("vs") < col("ce"))
+      .select(col("user_id"),
+        (least(col("ce"), col("ve")) - greatest(col("cs"), col("vs"))).as("o"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum(col("o")).as("so"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == naive, s"binned=$got naive=$naive")
+    // theta-join-free plan: the query itself must join on user+bin keys only
+    val plan = executed("q91_interval_overlap")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q92 z-score outliers: integer verdicts match exact BigInt recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q92_outlier_zscore")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 1000000).cast("long").as("v6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(v => BigInt(v._2))).toMap
+    vals.foreach { case (et, xs) =>
+      val n = BigInt(xs.length); val s = xs.sum; val s2 = xs.map(x => x * x).sum
+      val out = xs.count(x => (x * n - s).pow(2) > 9 * (n * s2 - s * s))
+      assert(got(et) == (xs.length.toLong, out.toLong), s"$et")
+    }
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)
