@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.functions.VectorFunctions._
+
+/** Corpus-audit operators: the verification layer a 100-TB curation
+  * pipeline runs over its own dedup/clustering artifacts — asymmetric
+  * containment (sub-document duplication the symmetric Jaccard filter
+  * misses), sketch-accuracy audits (is the MinHash estimate trustworthy
+  * enough to skip the verify stage?), cross-source vocabulary overlap,
+  * inverted-file cohesion stats, and chunk-granular duplicate text.
+  *
+  * Reference intent: the reference has no audit layer at all — quality
+  * is asserted by eyeballing Streamlit plots (services/web-ui/app/main.py
+  * renders raw rows). Everything here is the distributed, oracled
+  * re-expression of "is my corpus actually clean?". Same disciplines as
+  * the rest of the repo: scaled-BIGINT scores, banded candidates (never
+  * all-pairs), narrow rows through shuffles, broadcast for small sides.
+  */
+object AuditQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G37: asymmetric-containment dedup ──────────────────────────────
+    // Containment C(A,B) = |A∩B| / |A| catches a short doc embedded in a
+    // long one — a pair symmetric Jaccard scores low (union is dominated
+    // by the long side) and a near-dup filter at j≥0.2 can admit twice.
+    // Candidates come from the SAME materialized MinHash band snapshot as
+    // q23 (equi-join on (band, bucket), never O(n²)); the verify join
+    // shuffles narrow (doc, tok) rows. Reported: pairs where either
+    // direction's containment ≥ 0.5 — the "one of these is inside the
+    // other" list a curation run reviews before choosing which to keep.
+    "q93_containment_dup" -> ((s, dir) => {
+      val sigs = TextQueries.sigTable(s, dir)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val tokrows = TextQueries.tokRows(s, dir)
+      val sizes = tokrows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(tokrows.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+        .join(tokrows.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("cont_a_e6", expr("inter * 1000000 div na"))
+        .withColumn("cont_b_e6", expr("inter * 1000000 div nb"))
+        .filter(col("cont_a_e6") >= 500000 || col("cont_b_e6") >= 500000)
+        .select("doc_a", "doc_b", "inter", "na", "nb", "cont_a_e6", "cont_b_e6")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── G38: MinHash sketch-accuracy audit ─────────────────────────────
+    // How far off is the 8-position signature estimate from the exact
+    // token Jaccard, on the pairs the pipeline actually kept? est =
+    // matching-positions/8; the landed q23 pair table supplies the exact
+    // j_e6. Error histogram in 0.05 buckets — the number that decides
+    // whether a 100-TB run can skip the exact-verify stage (and its
+    // token-row shuffle) for high-band-agreement pairs. Pure reuse of two
+    // materialized snapshots + one broadcast-sized join: audit cost is
+    // O(|pairs|), independent of corpus size.
+    "q94_sketch_accuracy" -> ((s, dir) => {
+      val sigs = TextQueries.sigTable(s, dir)
+      val sigCols = (0 until 8).map(j => s"s$j")
+      val a = sigs.select(col("doc_id").as("doc_a") +: sigCols.map(c => col(c).as(s"a_$c")): _*)
+      val b = sigs.select(col("doc_id").as("doc_b") +: sigCols.map(c => col(c).as(s"b_$c")): _*)
+      val matchExpr = sigCols
+        .map(c => when(col(s"a_$c") === col(s"b_$c"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      FeatureQueries.dupPairsTable(s, dir)
+        .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("est_e6", matchExpr * lit(125000L))
+        .withColumn("err_e6", abs(col("est_e6") - col("j_e6")))
+        .withColumn("err_bucket", expr("err_e6 div 50000"))
+        .groupBy("err_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("err_e6")).as("min_err_e6"), max(col("err_e6")).as("max_err_e6"))
+        .orderBy("err_bucket")
+    }),
+
+    // ── G39: cross-source vocabulary overlap ───────────────────────────
+    // Pairwise vocabulary Jaccard between crawl sources — the corpus-
+    // composition audit behind mixture decisions (two sources with ~1.0
+    // vocabulary overlap are candidates for merging or deduping their
+    // weights). Vocabularies reduce to distinct (source, tok) rows —
+    // vocabulary-sized, tiny next to the corpus — and pairs meet through
+    // a token equi-join: per token the pair fan-out is bounded by
+    // sources², never corpus rows. One partial-agg shuffle + one
+    // vocab-row join at any scale.
+    "q95_vocab_overlap" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val vocab = TextQueries.tokRows(s, dir)
+        .join(src, "doc_id")
+        .select("source", "tok").distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+      vocab.as("x").join(vocab.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+        .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
+        .select("src_a", "src_b", "inter", "na", "nb", "j_e6")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ── G40: inverted-file cohesion stats ──────────────────────────────
+    // Per-cell quality audit of q38's IVF coarse quantizer: vectors per
+    // cell and the cosine-to-centroid distribution (scaled-BIGINT — the
+    // r6-rounded cosine ×1e6 is an exact integer, so the sums are
+    // order-independent). Skewed cells (hot n, low cohesion) are how an
+    // IVF index degrades to brute force; this is the one-scan check.
+    // Assignment is the same broadcast n×K pass as q38 — linear, no
+    // shuffle beyond the final K-row aggregate.
+    "q96_cluster_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val seeds = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+      e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("seed_id"),
+          cosineR6(col("v"), col("sv")).as("seed_cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("seed_id"), col("seed_cos")),
+          struct(col("seed_cos"), negate(col("seed_id")))).as("w"))
+        .select(col("vec_id"), col("w.seed_id").as("cell"),
+          round(col("w.seed_cos") * 1000000).cast(LongType).as("cos_e6"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cos_e6) div count(1)").as("mean_cos_e6"),
+          min(col("cos_e6")).as("min_cos_e6"), max(col("cos_e6")).as("max_cos_e6"))
+        .orderBy("cell")
+    }),
+
+    // ── G41: chunk-granular duplicate text ─────────────────────────────
+    // Duplicate 50-token windows ACROSS documents — the sub-document
+    // twin of q21's whole-doc exact dedup, over q86's chunk manifest
+    // (stride 25). Near-dup docs share long runs; this localizes them to
+    // the exact repeated spans a pipeline would mask or drop. Chunks
+    // reduce to md5 keys at the source, so the shuffle carries 32-hex
+    // hashes — one groupBy at any corpus size.
+    "q97_chunk_dedup" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(expr("sequence(0, greatest(cast(n - 26 as int), 0), 25)")))
+        .select(col("doc_id"),
+          md5(expr("concat_ws(' ', slice(toks, start + 1, least(50, n - start)))"))
+            .as("chunk_md5"))
+      chunks.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    })
+  )
+
+  private val toks = sqlTokens("text")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q93_containment_dup" ->
+      (TextQueries.sigCte +
+        s""",
+           |bands AS (SELECT doc_id, 0 AS band_id, b0 AS bucket FROM sigs
+           |          UNION ALL SELECT doc_id, 1, b1 FROM sigs),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band_id = y.band_id AND x.bucket = y.bucket
+           |         WHERE x.doc_id < y.doc_id),
+           |ts AS (SELECT doc_id, list_distinct($toks) AS ts FROM documents),
+           |jj AS (SELECT doc_a, doc_b,
+           |         len(list_intersect(a.ts, b.ts)) AS inter,
+           |         len(a.ts) AS na, len(b.ts) AS nb
+           |       FROM cand JOIN ts a ON doc_a = a.doc_id JOIN ts b ON doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           |       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           |       CAST(inter * 1000000 // na AS BIGINT) AS cont_a_e6,
+           |       CAST(inter * 1000000 // nb AS BIGINT) AS cont_b_e6
+           |FROM jj
+           |WHERE inter * 1000000 // na >= 500000 OR inter * 1000000 // nb >= 500000
+           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "q94_sketch_accuracy" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      val matches = (0 until 8)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      TextQueries.sigCte +
+        s""",
+           |p AS (SELECT * FROM ($q23)),
+           |e AS (SELECT p.j_e6, ($matches) * 125000 AS est_e6
+           |      FROM p JOIN sigs a ON p.doc_a = a.doc_id
+           |             JOIN sigs b ON p.doc_b = b.doc_id),
+           |r AS (SELECT abs(est_e6 - j_e6) AS err_e6 FROM e)
+           |SELECT CAST(err_e6 // 50000 AS BIGINT) AS err_bucket,
+           |       COUNT(*) AS n_pairs,
+           |       CAST(MIN(err_e6) AS BIGINT) AS min_err_e6,
+           |       CAST(MAX(err_e6) AS BIGINT) AS max_err_e6
+           |FROM r GROUP BY err_bucket ORDER BY err_bucket""".stripMargin
+    },
+
+    "q95_vocab_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT d.source, t.tok
+         |           FROM (SELECT doc_id, UNNEST(list_distinct($toks)) AS tok
+         |                 FROM documents) t
+         |           JOIN documents d ON t.doc_id = d.doc_id),
+         |     sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+         |     i AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS inter
+         |           FROM v x JOIN v y ON x.tok = y.tok AND x.source < y.source
+         |           GROUP BY x.source, y.source)
+         |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+         |       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+         |       CAST(inter * 1000000 // (a.n + b.n - inter) AS BIGINT) AS j_e6
+         |FROM i JOIN sz a ON src_a = a.source JOIN sz b ON src_b = b.source
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    "q96_cluster_stats" -> {
+      val cos = sqlCosineR6("v", "sv")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |     seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id BETWEEN 1 AND 8),
+         |     asg AS (SELECT vec_id, seed_id, $cos AS seed_cos,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY $cos DESC, seed_id) AS rn
+         |             FROM e CROSS JOIN seeds),
+         |     cells AS (SELECT vec_id, seed_id AS cell,
+         |                 CAST(round(seed_cos * 1000000) AS BIGINT) AS cos_e6
+         |               FROM asg WHERE rn = 1)
+         |SELECT cell, COUNT(*) AS n,
+         |       CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS mean_cos_e6,
+         |       MIN(cos_e6) AS min_cos_e6, MAX(cos_e6) AS max_cos_e6
+         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
+    "q97_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |     n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
+         |     s AS (SELECT doc_id, toks, n,
+         |             CAST(UNNEST(range(0, GREATEST(n - 26, 0) + 1, 25)) AS INT) AS start
+         |           FROM n),
+         |     c AS (SELECT doc_id,
+         |             md5(array_to_string(list_slice(toks, start + 1,
+         |               start + LEAST(50, n - start)), ' ')) AS chunk_md5
+         |           FROM s)
+         |SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs,
+         |       COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+         |FROM c GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin
+  )
+}

@@ -29,7 +29,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ TextQueries.queries ++ VectorQueries.queries ++
       PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ AuditQueries.queries ++ BehaviorQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -266,7 +266,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       PipelineQueries.oracleSql ++ MlQueries.oracleSql ++
-      FeatureQueries.oracleSql ++ CurationQueries.oracleSql
+      FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
+      AuditQueries.oracleSql ++ BehaviorQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->
