@@ -17,7 +17,11 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every available core (the target env is local[32]) —
+    // round 5 found the old default of 4 quietly under-parallelizing any
+    // bench run where the driver didn't set SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = Engine.tune(
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
       .getOrCreate()

@@ -23,9 +23,11 @@ import graft.functions.TextFunctions.{tokens, sqlTokens, stopwordCount, sqlStopw
 object CurationQueries {
 
   /** Word 2-grams, NON-distinct (repetition counting needs multiplicity;
-    * the `ngrams` kernel is distinct by design). Mirrored by [[sqlGrams2]]. */
+    * the `ngrams` kernel is distinct by design). Native codegen'd kernel —
+    * the `transform(sequence(...), …)` lambda it replaces is
+    * CodegenFallback (interpreted per element). Mirrored by [[sqlGrams2]]. */
   private def grams2(toks: org.apache.spark.sql.Column) =
-    expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")
+    expr("ngrams_all(toks, 2)")
 
   /** DuckDB lists are 1-indexed; range(1, len) = 1..len-1 → len-1 grams,
     * same count and order as the Spark transform above. */

@@ -117,6 +117,52 @@ object NGramKernel {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Non-distinct variant: every n-gram with multiplicity, in order —
+    * repetition counting (q78) and collocation mining (q84) need the
+    * duplicates the dedup kernel above drops. */
+  def ngramsAll(toks: ArrayData, n: Int): GenericArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `ngrams_all(tokenArray, n)` → array<string> of ALL word n-grams in
+  * order (multiplicity kept) — the codegen'd replacement for the
+  * interpreted `transform(sequence(...), i -> concat(...))` lambda
+  * (HOF lambdas are CodegenFallback: per-element interpreted eval). */
+case class WordNGramsAll(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngrams_all needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramKernel.ngramsAll(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NGramKernel.ngramsAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsAll =
+    copy(child = newChild)
 }
 
 /** `ngrams(tokenArray, n)` → array<string> of distinct word n-grams. */
@@ -513,6 +559,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, Literal(n: Int, IntegerType)) => WordNGrams(arr, n)
         case _ => throw new IllegalArgumentException(
           "usage: ngrams(arrayCol, n) with a literal int n")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngrams_all"),
+      new ExpressionInfo(classOf[WordNGramsAll].getName, "ngrams_all"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => WordNGramsAll(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: ngrams_all(arrayCol, n) with a literal int n")
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),

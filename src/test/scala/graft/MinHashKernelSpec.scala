@@ -45,6 +45,21 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(tiny.select(expr("ngrams(toks, 3)")).as[Seq[String]].head().isEmpty)
   }
 
+  test("ngrams_all(toks, 2) equals the declarative transform lambda, multiplicity kept") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val ref = d.select(col("doc_id"),
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))).as("ref_g"))
+    val fused = d.select(col("doc_id"), expr("ngrams_all(toks, 2)").as("g"))
+    assert(fused.join(ref, "doc_id").filter(col("g") =!= col("ref_g")).count() == 0)
+    import spark.implicits._
+    val tiny = Seq((1L, Seq("a"))).toDF("doc_id", "toks")
+    assert(tiny.select(expr("ngrams_all(toks, 2)")).as[Seq[String]].head().isEmpty)
+  }
+
   test("cosine_r6 kernel is bit-identical to the declarative round(dot/sqrt/sqrt)") {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
