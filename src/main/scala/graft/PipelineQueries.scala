@@ -197,6 +197,44 @@ object PipelineQueries {
       s.read.parquet(s"$work/agg").orderBy("day", "event_type")
     }),
 
+    // §2.9 extension — watermarked stream-stream interval join, run as a
+    // REAL streaming job: click and view streams (same envelope source,
+    // filtered) joined on user within a 5-minute lookback, drained with
+    // AvailableNow into a parquet table, then REPLAYED with the same
+    // checkpoint (must emit nothing — any duplication doubles the pair
+    // counts and fails the oracle). Both sides are watermarked and the
+    // condition is time-bounded, so join state stays constant however
+    // long the stream runs — the at-scale property that separates this
+    // from a naive unbounded-state join. Per-user pair manifest with
+    // exact integer gap stats.
+    "q41_stream_stream_join" -> ((s, dir) => {
+      val work = cachedFixture(s"ssjoin|$dir") { work =>
+        val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        StreamIngest.toJsonLines(ev).write.mode("overwrite").text(src)
+        def parsed = StreamIngest.jsonLinesStream(s, src, Schemas.eventsEnvelope)
+          .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        def joined = StreamIngest.intervalJoin(
+          parsed.filter(col("event_type") === "click"),
+          parsed.filter(col("event_type") === "view"))
+        StreamIngest.ingestOnce(joined, tbl, ckpt) // drain
+        StreamIngest.ingestOnce(joined, tbl, ckpt) // replay: checkpoint => no-op
+      }
+      s.read.parquet(s"$work/table")
+        .withColumn("gap_sec",
+          unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("gap_sec")).as("sum_gap_sec"),
+          min(col("gap_sec")).as("min_gap_sec"),
+          max(col("gap_sec")).as("max_gap_sec"))
+        .orderBy("user_id")
+    }),
+
     // Multimodal nested-STRUCT table (the missing half of q34's flat
     // form): media rows as img{bytes,width,height} + meta{lang,caption}
     // structs in parquet. The query reads img.width/img.height/meta.*
@@ -347,6 +385,23 @@ object PipelineQueries {
     "q48_stream_daily_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q41_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT c.user_id,
+        |             epoch_ns(click_ts) // 1000000000
+        |               - epoch_ns(view_ts) // 1000000000 AS gap_sec
+        |           FROM c JOIN v ON c.user_id = v.user_id
+        |             AND v.view_ts >= c.click_ts - INTERVAL 5 MINUTE
+        |             AND v.view_ts <= c.click_ts)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |       CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec,
+        |       CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+        |       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q43_partitioned_lookback" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),

@@ -151,6 +151,31 @@ object StreamIngest {
     * The watermark bounds state: windows older than `lateness` are
     * finalized and dropped from the store — constant state at any
     * stream length. */
+  /** §2.9 extension — watermarked stream-stream interval join: each
+    * click joined to the same user's views in the preceding `lookback`
+    * window. Both sides carry a watermark and the join condition is
+    * time-bounded, so the state store evicts rows older than
+    * lateness+lookback — constant state at any stream length (the
+    * unbounded-state stream-stream join is the classic streaming
+    * scale-killer). Inner join in append mode: results emit as soon as
+    * both sides arrive. */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   lateness: String = "10 minutes",
+                   lookback: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", lateness)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   def dailyCounts(parsed: DataFrame, tsCol: String, lateness: String = "1 day"): DataFrame =
     parsed
       .withWatermark(tsCol, lateness)

@@ -40,6 +40,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(tbl).count() == 4)
   }
 
+  test("stream-stream interval join: watermarked both sides, lookback pairs only, replay no-op") {
+    val work = tmp("graft_ssjoin")
+    val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+    // one user-7 click at 10:10; views at 10:06 (in window), 10:04
+    // (outside 5-min lookback), 10:11 (after click), and a user-8 view
+    val rows = Seq(
+      (1L, "2024-01-01 10:10:00", 7L, "click"),
+      (2L, "2024-01-01 10:06:00", 7L, "view"),
+      (3L, "2024-01-01 10:04:00", 7L, "view"),
+      (4L, "2024-01-01 10:11:00", 7L, "view"),
+      (5L, "2024-01-01 10:10:00", 8L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    StreamIngest.toJsonLines(rows).write.mode("overwrite").text(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    def parsed = StreamIngest.jsonLinesStream(spark, src, schema)
+      .withColumn("ts", to_timestamp(col("ts")))
+    def joined = StreamIngest.intervalJoin(
+      parsed.filter(col("event_type") === "click"),
+      parsed.filter(col("event_type") === "view"))
+    // state-bounding evidence: the analyzed plan carries a watermark on
+    // EACH side (without both, the state store grows without bound)
+    assert(joined.isStreaming)
+    val watermarks = joined.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }
+    assert(watermarks.size == 2)
+    StreamIngest.ingestOnce(joined, tbl, ckpt)
+    val out = spark.read.parquet(tbl)
+    assert(out.count() == 1) // only the 10:06 view pairs with the click
+    val r = out.select("click_id", "view_id", "user_id").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 7L)))
+    // replay with the same checkpoint: no duplicate pairs
+    StreamIngest.ingestOnce(joined, tbl, ckpt)
+    assert(spark.read.parquet(tbl).count() == 1)
+  }
+
   test("exactly-once sink: a retried batch overwrites its own output, never duplicates") {
     val work = tmp("graft_exactly")
     val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
