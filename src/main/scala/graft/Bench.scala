@@ -42,44 +42,85 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // steady-state timing with stall defense. This host shows bursty
-    // multi-second CPU-steal stalls (stolen jiffies grow in steps) that
-    // can corrupt ANY run; round 4's plain median-of-3 tolerated only ONE
-    // corrupted run, and q24's official 39.96 s median was exactly that
-    // failure mode (2 of 3 runs stalled on code unchanged since r3's
-    // 1.43 s — VERDICT r4 "what's wrong" #2). Defense:
-    //  - run 3 times; while median/min > 3x (a stall signature, not a
-    //    plan property) take a cool-down and collect another run, up to
-    //    7 total;
-    //  - the reported estimator is the median of the 3 FASTEST runs:
-    //    identical to plain median-of-3 on a clean query, tolerant of up
-    //    to n-3 corrupted runs on a stalled one, and — unlike min — it
-    //    never hides a genuine regression (a real slowdown moves every
-    //    run, including the fastest three);
-    //  - min is reported alongside so a residual outlier is visible as
-    //    median/min ratio in the artifact itself.
+    // multi-MINUTE hypervisor CPU-steal windows (/proc/stat steal grows
+    // in steps; cgroup throttling is zero, so the noise is external).
+    // Round 4's plain median-of-3 tolerated only ONE corrupted run
+    // (q24's official 39.96 s median — VERDICT r4 "what's wrong" #2),
+    // and a RATIO-based defense alone cannot catch a sustained window
+    // where every run of a query is uniformly slow (observed in round 5:
+    // q58 at 96 s min / 0.7 s steady-state when a ~3-minute steal window
+    // swallowed a whole query's run set). Defense, two independent layers:
+    //  - DIRECT evidence: steal jiffies are read around every run; a run
+    //    during which >5% of machine capacity was stolen is discarded as
+    //    dirty (external evidence, not timing heuristics — a genuinely
+    //    slow plan with a quiet host is always kept), and the bench
+    //    waits for a clean 500 ms steal window before rerunning;
+    //  - RATIO backstop: if the clean runs still show median/min > 3x
+    //    (a stall steal sampling missed), collect more runs;
+    //  - the reported estimator is the median of the 3 FASTEST accepted
+    //    runs, with min alongside, and the per-query dirty count is in
+    //    the artifact so throttle exposure is visible after the fact.
     val baseRuns = 3
-    val maxRuns = 7
-    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Int) = {
-      var times = (1 to baseRuns).map(_ => timeOnce(name, fn)).sorted
-      while (times(times.size / 2) / times.head > 3.0 && times.size < maxRuns) {
-        System.err.println(s"[bench] $name median/min > 3 (stall suspected) — cool-down + rerun")
-        Thread.sleep(3000) // let a CPU-quota throttle window pass
-        times = (times :+ timeOnce(name, fn)).sorted
+    val maxRuns = 9
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val jiffySec = 0.01 // USER_HZ=100 on this kernel
+    // machine-wide steal jiffies (field 8 of /proc/stat's aggregate cpu
+    // line); -1 when unavailable => the steal layer disables itself
+    def stealJiffies(): Long = try {
+      Files.readAllLines(Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    // block until a 500 ms window passes with <2% of capacity stolen
+    // (sleeping costs nothing and lets the neighbor burst pass), capped
+    def waitForCleanHost(maxWaitMs: Long): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      while (System.nanoTime() < deadline) {
+        val s0 = stealJiffies()
+        if (s0 < 0) { Thread.sleep(3000); return }
+        Thread.sleep(500)
+        val frac = (stealJiffies() - s0) * jiffySec / (0.5 * nCores)
+        if (frac < 0.02) return
+        System.err.println(f"[bench] host steal at ${frac * 100}%.1f%% of capacity — waiting it out")
       }
-      (times.head, times(1), times.size) // min, median-of-best-3, runs
+    }
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Int, Int) = {
+      var clean = Vector.empty[Double]
+      var all = Vector.empty[Double]
+      var dirtyRuns = 0
+      var attempts = 0
+      def ratioSuspect(ts: Vector[Double]): Boolean =
+        ts.size >= baseRuns && { val s = ts.sorted; s(s.size / 2) / s.head > 3.0 }
+      while (attempts < maxRuns && (clean.size < baseRuns || ratioSuspect(clean))) {
+        if (dirtyRuns > 0 || ratioSuspect(clean)) waitForCleanHost(20000)
+        attempts += 1
+        val s0 = stealJiffies()
+        val t = timeOnce(name, fn)
+        val s1 = stealJiffies()
+        all = all :+ t
+        val stolen = if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) * jiffySec / (t * nCores)
+        if (stolen > 0.05) {
+          dirtyRuns += 1
+          System.err.println(f"[bench] $name run ${all.size}: $t%.2f s DIRTY (${stolen * 100}%.1f%% capacity stolen) — discarded")
+        } else clean = clean :+ t
+      }
+      val times = (if (clean.size >= 2) clean else all).sorted
+      val med = times(math.min(1, times.size - 1))
+      (times.head, med, attempts, dirtyRuns) // min, median-of-best-3, runs, dirty
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (mn, med, n) = measure(name, fn)
-      (name, mn, med, n)
+      val (mn, med, n, dirty) = measure(name, fn)
+      (name, mn, med, n, dirty)
     }
-    def obj(f: ((String, Double, Double, Int)) => String): String =
+    def obj(f: ((String, Double, Double, Int, Int)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = obj(_._3.toString)
     val qsMin = obj(_._2.toString)
     val qsRuns = obj(_._4.toString)
+    val qsDirty = obj(_._5.toString)
     val total = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3","queries":$qs,"queries_min":$qsMin,"query_runs":$qsRuns,"sf":"$sfDir"}"""
+    val totalMin = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"query_runs":$qsRuns,"query_dirty":$qsDirty,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // bare line, last thing on stdout before sbt's epilogue
     println(json)
