@@ -235,6 +235,41 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // §2.9 extension — streaming dedup + stream-static enrichment: the
+    // source delivers EVERY event twice (producer retry), run as a real
+    // streaming job: dropDuplicatesWithinWatermark keeps the first
+    // arrival per event_id with state bounded by the watermark, then
+    // each event is enriched against the static customer dim — a
+    // stream-static broadcast join, no shuffle of the stream side —
+    // and drained to parquet with a checkpoint. The oracle computes
+    // directly over the UN-duplicated events table, so any dedup leak
+    // (either direction) hash-fails. Segment manifest, exact integers.
+    "q101_stream_enrich" -> ((s, dir) => {
+      val work = cachedFixture(s"senrich|$dir") { work =>
+        val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        val lines = StreamIngest.toJsonLines(ev)
+        lines.write.mode("overwrite").text(src)
+        lines.write.mode("append").text(src) // duplicate delivery (retry)
+        val parsed = StreamIngest.jsonLinesStream(s, src, Schemas.eventsEnvelope)
+          .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        // lateness must cover the fixture's replayed history (30 days of
+        // synthetic events land in minutes); live deployments set seconds
+        val deduped = StreamIngest.dedupWithinWatermark(parsed, "ts", "90 days", "event_id")
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        StreamIngest.ingestOnce(deduped.join(broadcast(dim), "user_id"), tbl, ckpt)
+      }
+      s.read.parquet(s"$work/table")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 1000000).cast(LongType)).as("sum_v6"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Multimodal nested-STRUCT table (the missing half of q34's flat
     // form): media rows as img{bytes,width,height} + meta{lang,caption}
     // structs in parquet. The query reads img.width/img.height/meta.*
@@ -402,6 +437,13 @@ object PipelineQueries {
         |       CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
         |       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q101_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q43_partitioned_lookback" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),

@@ -159,6 +159,20 @@ object StreamIngest {
     * unbounded-state stream-stream join is the classic streaming
     * scale-killer). Inner join in append mode: results emit as soon as
     * both sides arrive. */
+  /** §2.9 extension — watermark-bounded streaming dedup: the first
+    * arrival of each `keyCols` row passes; retries/duplicates arriving
+    * within `lateness` of the watermark are dropped; key state is
+    * EVICTED once the watermark passes it — constant state at any
+    * stream length (plain streaming dropDuplicates never expires its
+    * keys, the other classic streaming scale-killer alongside the
+    * unbounded stream-stream join). `lateness` is the contract: a
+    * duplicate later than that can re-emit, which is the correct trade
+    * for producer-retry dedup where retries cluster within seconds. */
+  def dedupWithinWatermark(parsed: DataFrame, tsCol: String, lateness: String,
+                           keyCols: String*): DataFrame =
+    parsed.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   def intervalJoin(clicks: DataFrame, views: DataFrame,
                    lateness: String = "10 minutes",
                    lookback: String = "5 minutes"): DataFrame = {

@@ -80,6 +80,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(tbl).count() == 1)
   }
 
+  test("watermark-bounded streaming dedup: retried deliveries dropped, distinct keys kept") {
+    val work = tmp("graft_wdedup")
+    val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 10:01:00", "b"),
+      (2L, "2024-01-01 10:01:00", "b"), // retry of id=2
+      (3L, "2024-01-01 10:02:00", "c")
+    ).toDF("id", "ts", "v")
+    StreamIngest.toJsonLines(rows).write.mode("overwrite").text(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val parsed = StreamIngest.jsonLinesStream(spark, src, schema)
+      .withColumn("ts", to_timestamp(col("ts")))
+    val deduped = StreamIngest.dedupWithinWatermark(parsed, "ts", "1 hour", "id")
+    assert(deduped.isStreaming)
+    StreamIngest.ingestOnce(deduped, tbl, ckpt)
+    val out = spark.read.parquet(tbl)
+    assert(out.count() == 3)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("exactly-once sink: a retried batch overwrites its own output, never duplicates") {
     val work = tmp("graft_exactly")
     val (src, tbl, ckpt) = (s"$work/src", s"$work/table", s"$work/ckpt")
