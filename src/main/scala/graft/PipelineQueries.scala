@@ -121,6 +121,71 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Multimodal frame-sampling + resize metadata: the payload treated
+    // as fake video — fixed 256-byte frames over the hex payload, every
+    // 4th frame sampled (one input row → N frame rows, the real video
+    // fan-out shape), fingerprinted per frame; plus the resize stage's
+    // metadata math (fit the q34 stub dims into a 32×32 box, aspect
+    // preserved, exact integer arithmetic). The frame decode itself is
+    // the documented stub (no codecs in this container); the explode
+    // fan-out, per-frame hashing, and dimension math are the real
+    // at-scale plumbing — per-doc work, embarrassingly parallel,
+    // whole-stage codegen.
+    "q102_frame_sample" -> ((s, dir) => {
+      val fh = 512 // hex chars per frame = 256 bytes
+      Tables.documents(s, dir)
+        .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+        .withColumn("n_frames", expr(s"greatest((length(hx) + ${fh - 1}) div $fh, 1)"))
+        .withColumn("w", lit(1) + conv(substring(col("hx"), 1, 2), 16, 10).cast(IntegerType) % 64)
+        .withColumn("h", lit(1) + conv(substring(col("hx"), 3, 2), 16, 10).cast(IntegerType) % 64)
+        .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1, 4L)")))
+        .select(col("doc_id"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          md5(expr(s"substring(hx, frame_idx * $fh + 1, $fh)")).as("frame_md5"),
+          expr(s"length(substring(hx, frame_idx * $fh + 1, $fh)) div 2").cast(LongType).as("frame_bytes"),
+          expr("greatest(cast(w * 32 div greatest(w, h) as int), 1)").as("out_w"),
+          expr("greatest(cast(h * 32 div greatest(w, h) as int), 1)").as("out_h"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Multimodal feature extraction: payload → fixed-width feature
+    // vector (the embedding plumbing that feeds the q26/q38 ANN family)
+    // — 8 exact integer features from the content digest, plus the
+    // squared L2 norm. A real deployment swaps the digest-derived stub
+    // for a model encoder behind the same (id, array<bigint>) schema;
+    // everything downstream (array columns in parquet, norm math, ANN
+    // joins) is unchanged. Per-doc, no shuffle, codegen'd.
+    "q103_media_embed" -> ((s, dir) => {
+      var d = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      for (i <- 0 until 8)
+        d = d.withColumn(s"f$i",
+          conv(substring(col("h"), i * 4 + 1, 4), 16, 10).cast(LongType))
+      val fs = (0 until 8).map(i => col(s"f$i"))
+      d.select(col("doc_id"),
+          array(fs: _*).as("feat"),
+          fs.map(f => f * f).reduce(_ + _).as("norm2"))
+        .orderBy("doc_id")
+    }),
+
+    // Contiguous global training-example ids — 0..n-1 in doc_id order —
+    // WITHOUT `row_number() OVER (ORDER BY ...)` (which collapses 100 TB
+    // into one window partition). Range-repartition by doc_id +
+    // partition-local sort gives global order across partitions;
+    // ops/Relational.contiguousIds then numbers rows with per-partition
+    // offsets (driver sees one Long per partition, never row data). The
+    // ids are value-exact against the oracle's ROW_NUMBER, proving the
+    // parallel form computes the same function as the global window.
+    "q104_contiguous_ids" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      contiguousIds(d, "row_id")
+        .select(col("row_id"), col("doc_id"), col("lang"))
+        .orderBy("row_id")
+    }),
+
     // As-of join (the classic missing-from-Spark operator, composed
     // from union + carry-forward window — ops/Relational.asOfJoin):
     // each purchase event joined to the same user's latest prior click,
@@ -437,6 +502,46 @@ object PipelineQueries {
         |       CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
         |       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q104_contiguous_ids" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+        |       doc_id, lang
+        |FROM documents ORDER BY row_id""".stripMargin,
+
+    "q102_frame_sample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |d AS (SELECT doc_id, hx,
+        |        greatest((length(hx) + 511) // 512, 1) AS n_frames,
+        |        1 + ('0x' || substr(hx, 1, 2))::INT % 64 AS w,
+        |        1 + ('0x' || substr(hx, 3, 2))::INT % 64 AS h
+        |      FROM b),
+        |f AS (SELECT doc_id, hx, n_frames, w, h,
+        |        UNNEST(range(0, n_frames, 4)) AS frame_idx
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substr(hx, CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5,
+        |  CAST(length(substr(hx, CAST(frame_idx * 512 + 1 AS INT), 512)) // 2 AS BIGINT) AS frame_bytes,
+        |  greatest(CAST(w * 32 // greatest(w, h) AS INT), 1) AS out_w,
+        |  greatest(CAST(h * 32 // greatest(w, h) AS INT), 1) AS out_h
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q103_media_embed" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |e AS (SELECT doc_id,
+        |        ('0x' || substr(h,  1, 4))::BIGINT AS f0,
+        |        ('0x' || substr(h,  5, 4))::BIGINT AS f1,
+        |        ('0x' || substr(h,  9, 4))::BIGINT AS f2,
+        |        ('0x' || substr(h, 13, 4))::BIGINT AS f3,
+        |        ('0x' || substr(h, 17, 4))::BIGINT AS f4,
+        |        ('0x' || substr(h, 21, 4))::BIGINT AS f5,
+        |        ('0x' || substr(h, 25, 4))::BIGINT AS f6,
+        |        ('0x' || substr(h, 29, 4))::BIGINT AS f7
+        |      FROM d)
+        |SELECT doc_id, [f0, f1, f2, f3, f4, f5, f6, f7] AS feat,
+        |       f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7 AS norm2
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "q101_stream_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,

@@ -183,6 +183,30 @@ object Relational {
       when(h <= trainHexMax, "train").when(h <= valHexMax, "val").otherwise("test"))
   }
 
+  /** Contiguous global row ids 0..n-1 WITHOUT a global sort into one
+    * partition — the training-example numbering op. The naive form,
+    * `row_number() OVER (ORDER BY ...)`, collapses the whole dataset
+    * into a single window partition (the canonical 100-TB scale-killer);
+    * this stays parallel: RDD.zipWithIndex counts rows per partition
+    * (a tiny driver-side offset array — one Long per partition, not row
+    * data) and assigns per-partition offsets in one more pass. Ids are
+    * partition-major: feed a range-partitioned, partition-sorted frame
+    * (`df.repartitionByRange(k).sortWithinPartitions(k)`) and the ids
+    * are exactly the global sort order by k. The DF→RDD hop is the
+    * documented genuine per-partition-imperative case — there is no
+    * declarative plan for "index of this row within its partition plus
+    * the count of all earlier partitions". */
+  def contiguousIds(df: DataFrame, idCol: String = "row_id"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** W2 — expanding (anchored walk-forward) running aggregate per key,
     * the frame shape behind the reference's TimeSeriesSplit CV
     * (services/training-service/app/train_utils.py:94-114). */

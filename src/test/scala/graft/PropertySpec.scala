@@ -157,6 +157,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contiguousIds over range-partitioned sorted input equals ROW_NUMBER by that key") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 100000)).map(_.distinct)
+    samples(gen, 6).foreach { keys =>
+      val df = keys.toDF("k")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      val got = contiguousIds(df, "rid").select("rid", "k")
+        .as[(Long, Int)].collect().sortBy(_._1)
+      val expect = keys.sorted.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      assert(got.toSeq == expect, s"keys=$keys")
+    }
+  }
+
   test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
     val gen = for {
       n <- Gen.choose(1, 20)
