@@ -92,7 +92,25 @@ object StreamIngest {
       }
       .start()
     q.awaitTermination()
+    releaseStateAfterDrain(parsed.sparkSession)
   }
+
+  /** A completed AvailableNow drain is a batch-style use of the
+    * streaming engine: the state-store provider cache (loaded state
+    * versions held in executor memory for the NEXT micro-batch) is dead
+    * weight until the next drain, which reloads lazily from the
+    * checkpoint. Stateful fixtures here carry ~corpus-sized key state
+    * (q41's join buffer, q101's dedup keys), so holding it would tax
+    * every later batch query's GC in a shared JVM. The release is
+    * JVM-GLOBAL, so it is skipped while any OTHER streaming query is
+    * active (drains can run concurrently on Verify's thread pool — the
+    * last one out releases). Best-effort: the hook is an internal API,
+    * so failure is ignored. */
+  private def releaseStateAfterDrain(spark: SparkSession): Unit =
+    try {
+      if (spark.streams.active.isEmpty)
+        org.apache.spark.sql.GraftColumnBridge.releaseStreamingState()
+    } catch { case _: Throwable => () }
 
   /** K2 upgraded to exactly-once (SURVEY §7.4 risk 3): each micro-batch
     * lands in its own `batch_id=N` partition directory with OVERWRITE
@@ -110,6 +128,7 @@ object StreamIngest {
       }
       .start()
     q.awaitTermination()
+    releaseStateAfterDrain(parsed.sparkSession)
   }
 
   /** Read back a table written by [[ingestOnceExactly]] (drops the

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the JVM-wide streaming state-store cache (providers keep
+    * loaded state versions in executor memory after a query stops; for
+    * an AvailableNow drain-style use that memory is dead weight once the
+    * drain completes). Providers reload lazily from the checkpoint on
+    * the next streaming query, so this is safe between queries. */
+  def releaseStreamingState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
