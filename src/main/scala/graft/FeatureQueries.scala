@@ -480,6 +480,22 @@ object FeatureQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Gap fill + forward fill (ops/Relational.gapFillDaily): per-user
+    // daily purchase totals expanded to a dense daily spine, gaps
+    // carrying the last observed total — the feature-prep step before
+    // any fixed-step time-series model. One shuffle (lead + run-length
+    // explode), no calendar join; aggregate-first keeps the window
+    // input at |users|·|active days| regardless of fact-table scale.
+    "q105_gap_ffill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 1000000).cast(LongType)).as("sum_v6"))
+      gapFillDaily(daily, Seq("user_id"), "day")
+        .select("user_id", "day", "sum_v6", "observed")
+        .orderBy("user_id", "day")
+    }),
+
     // Day-over-day delta features: aggregate FIRST (shuffle carries one
     // row per (type, day)), then a lag window over the already-tiny
     // aggregate — the window input is |types|·|days| rows regardless of
@@ -776,6 +792,19 @@ object FeatureQueries {
         |           FROM events GROUP BY 1, 2)
         |SELECT event_type, day, n,
         |       n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
-        |FROM d ORDER BY event_type, day""".stripMargin
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    "q105_gap_ffill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |        CAST(SUM(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS sum_v6
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |g AS (SELECT user_id, day, sum_v6,
+        |        LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |      FROM daily),
+        |r AS (SELECT user_id, day, sum_v6, COALESCE(nxt - day, 1) AS run FROM g),
+        |f AS (SELECT user_id, day, sum_v6, UNNEST(range(0, run)) AS i FROM r)
+        |SELECT user_id, day + CAST(i AS INT) AS day, sum_v6,
+        |       CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS observed
+        |FROM f ORDER BY user_id, day""".stripMargin
   )
 }

@@ -183,6 +183,27 @@ object Relational {
       when(h <= trainHexMax, "train").when(h <= valHexMax, "val").otherwise("test"))
   }
 
+  /** Time-series gap fill + forward fill over a per-key daily frame:
+    * expand each key's observed days to a dense daily spine, gaps
+    * carrying the last observed row's values, with an `observed` 0/1
+    * marker. NOT the textbook spine-join (cross join a calendar, left
+    * join observations, `last(ignoreNulls)` window — two extra shuffles
+    * and a null-fill window): each observed row instead emits its OWN
+    * run of days up to the next observation via lead + run-length
+    * explode — ONE shuffle (the key window), no join, no calendar
+    * build, and the fill value rides along instead of being searched
+    * for. Gap fan-out is bounded by the key's date span. */
+  def gapFillDaily(daily: DataFrame, keys: Seq[String], dayCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+    daily
+      .withColumn("__nxt", lead(col(dayCol), 1).over(w))
+      .withColumn("__run", coalesce(datediff(col("__nxt"), col(dayCol)), lit(1)))
+      .withColumn("__i", explode(expr("sequence(0, __run - 1)")))
+      .withColumn("observed", when(col("__i") === 0, 1L).otherwise(0L))
+      .withColumn(dayCol, expr(s"date_add($dayCol, cast(__i as int))"))
+      .drop("__nxt", "__run", "__i")
+  }
+
   /** Contiguous global row ids 0..n-1 WITHOUT a global sort into one
     * partition — the training-example numbering op. The naive form,
     * `row_number() OVER (ORDER BY ...)`, collapses the whole dataset

@@ -169,6 +169,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gapFillDaily yields a dense daily spine per key with last value carried forward") {
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 3)
+      off <- Gen.choose(0, 40)
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, off, v)).map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+    samples(gen, 6).foreach { rows =>
+      val base = java.time.LocalDate.parse("2024-01-01")
+      val df = rows.map { case (k, off, v) =>
+        (k, java.sql.Date.valueOf(base.plusDays(off.toLong)), v)
+      }.toDF("k", "day", "v")
+      val got = gapFillDaily(df, Seq("k"), "day")
+        .select("k", "day", "v", "observed")
+        .as[(Int, java.sql.Date, Long, Long)].collect()
+        .map { case (k, d, v, o) => (k, d.toLocalDate, v, o) }.toSeq
+      rows.groupBy(_._1).foreach { case (k, ks) =>
+        val byDay = ks.map { case (_, off, v) => base.plusDays(off.toLong) -> v }.toMap
+        val (lo, hi) = (byDay.keys.min, byDay.keys.max)
+        val mine = got.filter(_._1 == k).sortBy(_._2.toEpochDay)
+        // dense: one row per day in [lo, hi], nothing outside
+        assert(mine.map(_._2) == Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq)
+        mine.foreach { case (_, d, v, o) =>
+          val lastObs = Iterator.iterate(d)(_.minusDays(1)).find(byDay.contains).get
+          assert(v == byDay(lastObs), s"k=$k d=$d")       // carried value
+          assert(o == (if (byDay.contains(d)) 1L else 0L)) // observed marker
+        }
+      }
+    }
+  }
+
   test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
     val gen = for {
       n <- Gen.choose(1, 20)
