@@ -84,6 +84,22 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q104/q105 stay parallel: no global window in ids, no single-partition gap-fill") {
+    // q104's ids come from per-partition offsets (RDD zipWithIndex) —
+    // a Window here would mean the plan regressed to the global
+    // ROW_NUMBER that collapses everything into one partition
+    val p104 = SparkEntry.queries("q104_contiguous_ids")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p104.contains("Window"), s"q104 regressed to a window plan:\n$p104")
+    // q105's fill window partitions by user_id — SinglePartition in the
+    // window exchange would mean the partition keys were lost
+    val df105 = SparkEntry.queries("q105_gap_ffill")(spark, "/root/testdata/sf0.001")
+    val p105 = df105.queryExecution.executedPlan.toString
+    assert(p105.contains("Window"), s"q105 lost its fill window:\n$p105")
+    assert(!p105.replaceAll("(?s)Sort \\[user_id.*", "")
+      .contains("SinglePartition"), s"q105 window runs on one partition:\n$p105")
+  }
+
   test("langid heuristic prefers the language whose stopwords dominate") {
     val df = Seq((1L, "el la de que los una es y"), (2L, "the a of to in and is"))
       .toDF("doc_id", "text")
