@@ -114,6 +114,25 @@ object TextQueries {
         .orderBy("text_hash")
     }),
 
+    // Canonicalizing text normalization (lowercase, punctuation → space,
+    // whitespace collapse) + the normalization-sensitive dedup audit:
+    // per normalized-form group, how many docs and how many distinct RAW
+    // forms it hides (n_docs > n_raw_forms = exact dups; n_raw_forms > 1
+    // = case/punctuation variants q21's raw-hash dedup cannot see). The
+    // shuffle carries 32-hex hashes, never text; normalization is
+    // per-row, codegen'd, no UDF.
+    "q106_norm_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .select(col("doc_id"), md5(col("text")).as("raw_md5"), md5(col("norm")).as("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_md5")).as("n_raw_forms"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy("norm_md5")
+    }),
+
     // MinHash signatures + LSH band buckets per document.
     "q22_minhash_signatures" -> ((s, dir) => {
       sigTable(s, dir).orderBy("doc_id")
@@ -382,6 +401,18 @@ object TextQueries {
     "q21_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q106_norm_dedup" ->
+      """WITH n AS (SELECT doc_id, md5(text) AS raw_md5,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_md5
+        |  FROM documents)
+        |SELECT norm_md5, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT raw_md5) AS n_raw_forms,
+        |       MIN(doc_id) AS canonical_id
+        |FROM n GROUP BY norm_md5
+        |ORDER BY norm_md5""".stripMargin,
 
     "q22_minhash_signatures" -> (sigCte + "\nSELECT * FROM sigs ORDER BY doc_id"),
 
