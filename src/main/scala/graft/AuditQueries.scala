@@ -35,22 +35,9 @@ object AuditQueries {
     // direction's containment ≥ 0.5 — the "one of these is inside the
     // other" list a curation run reviews before choosing which to keep.
     "q93_containment_dup" -> ((s, dir) => {
-      val sigs = TextQueries.sigTable(s, dir)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val tokrows = TextQueries.tokRows(s, dir)
-      val sizes = tokrows.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cand
-        .join(tokrows.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-        .join(tokrows.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      val cand = graft.ops.Dedup.selfBandCandidates(
+        TextQueries.sigTable(s, dir), "doc_id", Seq("b0", "b1"))
+      graft.ops.Dedup.tokenOverlap(cand, TextQueries.tokRows(s, dir), "doc_a", "doc_b")
         .withColumn("cont_a_e6", expr("inter * 1000000 div na"))
         .withColumn("cont_b_e6", expr("inter * 1000000 div nb"))
         .filter(col("cont_a_e6") >= 500000 || col("cont_b_e6") >= 500000)
@@ -90,19 +77,25 @@ object AuditQueries {
     // Pairwise vocabulary Jaccard between crawl sources — the corpus-
     // composition audit behind mixture decisions (two sources with ~1.0
     // vocabulary overlap are candidates for merging or deduping their
-    // weights). Vocabularies reduce to distinct (source, tok) rows —
-    // vocabulary-sized, tiny next to the corpus — and pairs meet through
-    // a token equi-join: per token the pair fan-out is bounded by
-    // sources², never corpus rows. One partial-agg shuffle + one
-    // vocab-row join at any scale.
+    // weights). Vocabularies reduce to distinct (source, token-hash)
+    // rows — vocabulary-sized, tiny next to the corpus — and pairs meet
+    // through an equi-join on xxhash64(tok): a FIXED-WIDTH 8-byte long
+    // through the distinct and join shuffles instead of variable-length
+    // token strings (VERDICT r5 "next" #5; 64-bit rather than a 32-bit
+    // md5 prefix because a billion-token vocabulary would see birthday
+    // collisions at 32 bits, and any collision silently merges two
+    // tokens — at 64 bits the expected collision count stays ≪ 1 and
+    // the oracle hash-gate would expose one). Per hash the pair fan-out
+    // is bounded by sources², never corpus rows. One partial-agg
+    // shuffle + one vocab-row join at any scale.
     "q95_vocab_overlap" -> ((s, dir) => {
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       val vocab = TextQueries.tokRows(s, dir)
         .join(src, "doc_id")
-        .select("source", "tok").distinct()
+        .select(col("source"), xxhash64(col("tok")).as("h")).distinct()
       val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
       vocab.as("x").join(vocab.as("y"),
-          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
         .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
         .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))

@@ -219,22 +219,16 @@ object CurationQueries {
       val docs = Tables.documents(s, dir)
       val sigs = TextQueries.sigTable(s, dir)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val bands = sigs.select(col("doc_id"), col("source"),
-        posexplode(array(col("b0"), col("b1"))).as(Seq("band_id", "bucket")))
+      val bands = graft.ops.Dedup.bandTable(sigs, "doc_id", Seq("b0", "b1"),
+        carryCols = Seq("source"))
       val inc = bands.filter(col("source") === "src9")
         .select(col("doc_id").as("new_id"), col("band_id"), col("bucket"))
       val exi = bands.filter(col("source") =!= "src9")
         .select(col("doc_id").as("old_id"), col("band_id"), col("bucket"))
       val cand = inc.join(exi, Seq("band_id", "bucket"))
         .select("new_id", "old_id").distinct()
-      val tokrows = TextQueries.tokRows(s, dir)
-      val sizes = tokrows.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val dups = cand
-        .join(tokrows.select(col("doc_id").as("new_id"), col("tok")), Seq("new_id"))
-        .join(tokrows.select(col("doc_id").as("old_id"), col("tok")), Seq("old_id", "tok"))
-        .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
-        .join(sizes.select(col("doc_id").as("old_id"), col("n").as("nb")), Seq("old_id"))
+      val dups = graft.ops.Dedup.tokenOverlap(
+          cand, TextQueries.tokRows(s, dir), "new_id", "old_id")
         .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
         .filter(col("j_e6") >= 200000)
         .groupBy("new_id")

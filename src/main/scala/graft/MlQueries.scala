@@ -94,31 +94,65 @@ object MlQueries {
     // asserted in RossmannSliceSpec. rmse is derived at read time from
     // the stored exact integers — one sqrt+divide, bit-equal in DuckDB.
     "q77_model_registry" -> ((s, dir) => {
-      val tbl = PipelineQueries.cachedFixture(s"models|$dir") { work =>
-        import s.implicits._
-        val t = s"$work/models"
-        val pooled = dailySeries(s, dir)
-          .groupByKey(_.key)
-          .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.cvPooled(k, it))
-          .toDF()
-        def meta(version: Int, stage: Column) = pooled.select(
-          concat_ws("-", lit("graft-forecaster"), col("key")).as("model_name"),
-          lit(version).as("version"), stage.as("stage"),
-          col("n_test"), col("ssq3"), col("train_end"))
-        val v1 = meta(1, lit(ModelRegistry.Archived))
-        val v2 = meta(2,
-          ModelRegistry.gateStage(col("ssq3"), col("n_test"), MaxRmse))
-        Store.ensureTable(s, t, v1.schema)
-        ModelRegistry.register(v1, t)
-        ModelRegistry.register(v2, t)
-      } + "/models"
-      Store.read(s, tbl)
+      Store.read(s, modelsTable(s, dir))
         .withColumn("rmse",
           sqrt(col("ssq3").cast(DoubleType) / col("n_test").cast(DoubleType)) / 1000.0)
         .select("model_name", "version", "stage", "n_test", "ssq3", "rmse", "train_end")
         .orderBy("model_name", "version")
+    }),
+
+    // Serve-from-registry (VERDICT r5 missing #1; reference
+    // handlers/mlflow.py:24-40 + main.py:83-112 LOAD the registered
+    // model and predict — they never re-train per request): resolve the
+    // serving set (latest production version per name, the quality-gated
+    // survivors) and generate the 8-row horizon purely from the STORED
+    // coefficients — the events table is never touched. The oracle
+    // re-derives the fit from the raw series in DuckDB and gates on the
+    // pooled CV stats, so a green hash PROVES stored-coefficient serving
+    // is bit-identical to re-fitting. Staging models (gate failures)
+    // must not serve — either leak direction hash-fails.
+    "q107_registry_serving" -> ((s, dir) => {
+      val serving = ModelRegistry.servingVersions(Store.read(s, modelsTable(s, dir)))
+      ModelRegistry.forecastFromRegistry(serving)
+        .select("model_name", "version", "day", "yhat3", "lo3", "hi3")
+        .orderBy("model_name", "day")
     })
   )
+
+  /** The registry fixture shared by q77/q107 (built once per JVM): each
+    * key's model as name/version rows carrying BOTH the pooled integer
+    * CV stats (the gate evidence) and the fitted serving coefficients
+    * ([[Forecaster.ModelCoef]] — what q107 serves from). Version 1 lands
+    * archived (the superseded weekly model), version 2 goes through the
+    * RMSE quality gate: production iff pooled rmse ≤ [[MaxRmse]], the
+    * reference's guard threshold (handlers/mlflow.py:32-40). */
+  private def modelsTable(s: SparkSession, dir: String): String =
+    PipelineQueries.cachedFixture(s"models|$dir") { work =>
+      import s.implicits._
+      val t = s"$work/models"
+      val pooled = dailySeries(s, dir)
+        .groupByKey(_.key)
+        .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.cvPooled(k, it))
+        .toDF()
+      val coef = dailySeries(s, dir)
+        .groupByKey(_.key)
+        .flatMapGroups((k: String, it: Iterator[Obs]) => Forecaster.fitCoef(k, it))
+        .toDF()
+        .drop("train_end") // same last-observed-day stamp pooled carries
+      val full = pooled.join(coef, "key")
+      def meta(version: Int, stage: Column) = full.select(
+        concat_ws("-", lit("graft-forecaster"), col("key")).as("model_name"),
+        lit(version).as("version"), stage.as("stage"),
+        col("n_test"), col("ssq3"), col("train_end"),
+        col("slope"), col("intercept").as("icept"), col("sdow"),
+        col("ci3"), col("maxx"))
+      val v1 = meta(1, lit(ModelRegistry.Archived))
+      val v2 = meta(2,
+        ModelRegistry.gateStage(col("ssq3"), col("n_test"), MaxRmse))
+      Store.ensureTable(s, t, v1.schema)
+      ModelRegistry.register(v1, t)
+      ModelRegistry.register(v2, t)
+    } + "/models"
 
   /** The reference's model-quality guard threshold
     * (handlers/mlflow.py:32-40: reject RMSE > 1000). */
@@ -246,6 +280,51 @@ object MlQueries {
          |SELECT model_name, CAST(2 AS INT) AS version, gate_stage AS stage,
          |       n_test, ssq3, rmse, train_end FROM mrow
          |ORDER BY model_name, version""".stripMargin
+    },
+
+    // From-scratch mirror of the serve-from-registry path: re-derives
+    // the full-series fit (g* CTEs — fresh names; the fold-level
+    // s1/s2/sd/sf inside cvFoldCte supply the gate), gates on pooled
+    // ssq3, and generates the horizon with the trainer's exact op order.
+    // The Spark side answers from STORED coefficients — hash equality is
+    // the persistence proof.
+    "q107_registry_serving" -> {
+      val t2 = (MaxRmse * 1000L) * (MaxRmse * 1000L)
+      s"""$cvFoldCte,
+         |pooled AS (SELECT key, COUNT(*) AS n_test,
+         |                  CAST(SUM(abs3*abs3) AS BIGINT) AS ssq3
+         |           FROM te GROUP BY key),
+         |ok AS (SELECT key FROM pooled WHERE ssq3 <= n_test*$t2),
+         |fst AS (SELECT key, COUNT(*) AS n, SUM(x) AS sx, SUM(y3) AS sy,
+         |               SUM(CAST(x AS BIGINT)*x) AS sxx, SUM(CAST(x AS BIGINT)*y3) AS sxy,
+         |               MAX(day) AS maxd, MAX(x) AS maxx
+         |        FROM base GROUP BY key),
+         |g1 AS (SELECT *, CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+         |       FROM fst WHERE n >= 2),
+         |g2 AS (SELECT *, (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+         |       FROM g1),
+         |gd AS (SELECT b.key, isodow(b.day) AS dw,
+         |              SUM(b.y3 - CAST(round(g2.icept + g2.slope*CAST(b.x AS DOUBLE)) AS BIGINT)) AS ssum,
+         |              COUNT(*) AS scnt
+         |       FROM base b JOIN g2 ON b.key = g2.key GROUP BY ALL),
+         |gf AS (SELECT *, CAST(ssum AS DOUBLE)/CAST(scnt AS DOUBLE) AS sdow FROM gd),
+         |gr AS (SELECT b.key,
+         |              SUM((b.y3 - CAST(round(g2.icept + g2.slope*CAST(b.x AS DOUBLE) + COALESCE(gf.sdow, 0.0)) AS BIGINT))
+         |                * (b.y3 - CAST(round(g2.icept + g2.slope*CAST(b.x AS DOUBLE) + COALESCE(gf.sdow, 0.0)) AS BIGINT))) AS ssr
+         |       FROM base b JOIN g2 ON b.key = g2.key
+         |       LEFT JOIN gf ON b.key = gf.key AND isodow(b.day) = gf.dw
+         |       GROUP BY b.key),
+         |gci AS (SELECT g2.key, g2.maxd, g2.maxx, g2.slope, g2.icept,
+         |               CAST(round(1.96*sqrt(CAST(ssr AS DOUBLE)/CAST(g2.n AS DOUBLE))) AS BIGINT) AS ci3
+         |        FROM g2 JOIN gr ON g2.key = gr.key),
+         |gfc AS (SELECT c.key, c.maxd + CAST(i AS INT) AS day,
+         |               CAST(round(c.icept + c.slope*CAST(c.maxx + i AS DOUBLE) + COALESCE(gf.sdow, 0.0)) AS BIGINT) AS yhat3, c.ci3
+         |        FROM gci c CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i)
+         |        LEFT JOIN gf ON c.key = gf.key AND isodow(c.maxd + CAST(i AS INT)) = gf.dw)
+         |SELECT 'graft-forecaster-'||f.key AS model_name, CAST(2 AS INT) AS version,
+         |       f.day, f.yhat3, f.yhat3 - f.ci3 AS lo3, f.yhat3 + f.ci3 AS hi3
+         |FROM gfc f JOIN ok ON f.key = ok.key
+         |ORDER BY model_name, f.day""".stripMargin
     }
   )
 }

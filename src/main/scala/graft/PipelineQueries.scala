@@ -249,15 +249,16 @@ object PipelineQueries {
         StreamIngest.toJsonLines(ev).write.mode("overwrite").text(s"$work/src")
         val parsed = StreamIngest.jsonLinesStream(s, s"$work/src", Schemas.eventsEnvelope)
           .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        val q = StreamIngest.dailyCounts(parsed, "ts")
-          .writeStream.outputMode("complete")
-          .option("checkpointLocation", s"$work/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(s"$work/agg")
-          }
-          .start()
-        q.awaitTermination()
+        StreamIngest.drain(s) {
+          StreamIngest.dailyCounts(parsed, "ts")
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(s"$work/agg")
+            }
+            .start()
+        }
       }
       s.read.parquet(s"$work/agg").orderBy("day", "event_type")
     }),

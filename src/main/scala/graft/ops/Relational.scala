@@ -192,12 +192,20 @@ object Relational {
     * run of days up to the next observation via lead + run-length
     * explode — ONE shuffle (the key window), no join, no calendar
     * build, and the fill value rides along instead of being searched
-    * for. Gap fan-out is bounded by the key's date span. */
+    * for. Gap fan-out is bounded by the key's date span.
+    *
+    * Input contract: one row per (keys, day) is the intended shape (the
+    * in-repo callers pre-aggregate). Duplicate (keys, day) rows are
+    * tolerated, not corrupting: the run length is clamped to >= 1, so
+    * each duplicate emits exactly its own observed row — without the
+    * clamp, lead() of a tied day yields run 0 and `sequence(0, -1)`
+    * (negative default step) would fabricate a spurious day-1 row. */
   def gapFillDaily(daily: DataFrame, keys: Seq[String], dayCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
     daily
       .withColumn("__nxt", lead(col(dayCol), 1).over(w))
-      .withColumn("__run", coalesce(datediff(col("__nxt"), col(dayCol)), lit(1)))
+      .withColumn("__run",
+        greatest(coalesce(datediff(col("__nxt"), col(dayCol)), lit(1)), lit(1)))
       .withColumn("__i", explode(expr("sequence(0, __run - 1)")))
       .withColumn("observed", when(col("__i") === 0, 1L).otherwise(0L))
       .withColumn(dayCol, expr(s"date_add($dayCol, cast(__i as int))"))

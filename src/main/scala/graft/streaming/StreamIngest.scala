@@ -82,17 +82,37 @@ object StreamIngest {
   /** K2 — checkpointed micro-batch append sink, drained with
     * AvailableNow (the 4.x successor of the reference's trigger(once)).
     * Blocks until the drain completes. */
-  def ingestOnce(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit = {
-    val q = parsed.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(tableDir)
-      }
-      .start()
+  def ingestOnce(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit =
+    drain(parsed.sparkSession) {
+      parsed.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(tableDir)
+        }
+        .start()
+    }
+
+  /** Guards the check-then-act between `spark.streams.active.isEmpty`
+    * and the JVM-global state release (ADVICE r5): query START and the
+    * release CHECK are atomic w.r.t. each other, so a drain starting
+    * concurrently is either already visible in `streams.active` (release
+    * skipped) or starts strictly after the release completes (its state
+    * reloads lazily from the checkpoint before the first batch — no
+    * mid-query stop is possible). awaitTermination stays OUTSIDE the
+    * lock so concurrent drains still overlap. */
+  private val stateLock = new Object
+
+  /** Run an AvailableNow drain under the start/release guard: `build`
+    * starts the query INSIDE the lock (atomic with the release check),
+    * the drain is awaited outside it, then state is released if no
+    * other streaming query is live. Every drain in the repo must go
+    * through here — a bare `.start()` elsewhere reopens the race. */
+  def drain(spark: SparkSession)(build: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val q = stateLock.synchronized(build)
     q.awaitTermination()
-    releaseStateAfterDrain(parsed.sparkSession)
+    releaseStateAfterDrain(spark)
   }
 
   /** A completed AvailableNow drain is a batch-style use of the
@@ -107,10 +127,12 @@ object StreamIngest {
     * last one out releases). Best-effort: the hook is an internal API,
     * so failure is ignored. */
   private def releaseStateAfterDrain(spark: SparkSession): Unit =
-    try {
-      if (spark.streams.active.isEmpty)
-        org.apache.spark.sql.GraftColumnBridge.releaseStreamingState()
-    } catch { case _: Throwable => () }
+    stateLock.synchronized {
+      try {
+        if (spark.streams.active.isEmpty)
+          org.apache.spark.sql.GraftColumnBridge.releaseStreamingState()
+      } catch { case _: Throwable => () }
+    }
 
   /** K2 upgraded to exactly-once (SURVEY §7.4 risk 3): each micro-batch
     * lands in its own `batch_id=N` partition directory with OVERWRITE
@@ -118,18 +140,17 @@ object StreamIngest {
     * own partial output instead of duplicating it. The reference is
     * at-least-once (plain JDBC append, spark_streaming.py:79-90); this
     * is the idempotent form a parquet table makes free. */
-  def ingestOnceExactly(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit = {
-    val q = parsed.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$tableDir/batch_id=$batchId")
-      }
-      .start()
-    q.awaitTermination()
-    releaseStateAfterDrain(parsed.sparkSession)
-  }
+  def ingestOnceExactly(parsed: DataFrame, tableDir: String, checkpointDir: String): Unit =
+    drain(parsed.sparkSession) {
+      parsed.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$tableDir/batch_id=$batchId")
+        }
+        .start()
+    }
 
   /** Read back a table written by [[ingestOnceExactly]] (drops the
     * partition-discovery batch_id column). */

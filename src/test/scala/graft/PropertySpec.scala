@@ -199,6 +199,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gapFillDaily tolerates duplicate (key, day) rows: no phantom dates, spine stays dense") {
+    // ADVICE r5 (medium): without the __run >= 1 clamp, a duplicate day
+    // makes lead() yield the tied day, __run = 0, and sequence(0, -1)
+    // (negative default step) fabricates a spurious day-1 row.
+    val base = java.sql.Date.valueOf("2024-01-10")
+    val dup = java.sql.Date.valueOf("2024-01-12")
+    val df = Seq((1, base, 10L), (1, dup, 20L), (1, dup, 30L)).toDF("k", "day", "v")
+    val got = gapFillDaily(df, Seq("k"), "day")
+      .select("day", "observed").as[(java.sql.Date, Long)].collect().toSeq
+    // no date outside [Jan 10, Jan 12], in particular no Jan 11 marked observed
+    // and no phantom Jan 9 / duplicate-minus-one row
+    assert(got.map(_._1.toLocalDate).forall(d =>
+      !d.isBefore(base.toLocalDate) && !d.isAfter(dup.toLocalDate)))
+    // dense spine still covered: 10, 11, 12 all present
+    assert(got.map(_._1.toLocalDate).toSet ==
+      Set(base.toLocalDate, base.toLocalDate.plusDays(1), dup.toLocalDate))
+    // each duplicate input row surfaces as its own observed row
+    assert(got.count { case (d, o) => d == dup && o == 1L } == 2)
+    assert(got.count(_._2 == 0L) == 1) // only Jan 11 is filled
+  }
+
   test("lookbackDays keeps exactly the dates in [anchor-(n-1), anchor]") {
     val gen = for {
       n <- Gen.choose(1, 20)
