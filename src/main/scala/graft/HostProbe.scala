@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Shared host-health instrumentation for every timing main (Bench,
+  * ScaleProbe). This host shows two independent noise modes:
+  * bursty hypervisor CPU-steal (visible in /proc/stat) and sustained
+  * degradation windows with ZERO steal recorded (vCPU caps, frequency
+  * cuts, memory-bandwidth contention — r5 observed 5-40× query
+  * inflation invisible to steal accounting; the first r6 scale-probe
+  * run recorded a 28× inflated number the same way). Defense is an
+  * absolute yardstick: a fixed parallel compute probe compared against
+  * a COMMITTED calibration constant, so degradation is detected even
+  * when it spans the whole session.
+  */
+object HostProbe {
+
+  /** Absolute probe calibration: seconds for 8 threads × 40M xorshift
+    * steps on a QUIET host of this machine class, measured standalone on
+    * 2026-08-13 (best of 12 reps: 0.0684 s with a concurrent Spark run;
+    * session best 0.0657 s in the same day's bench smoke). A session
+    * whose best probe can't approach this is degraded end-to-end. */
+  val ProbeRefSec = 0.065
+
+  /** Session-best-vs-reference ratio above which a whole artifact
+    * should be stamped host-degraded. */
+  val HealthyRatio = 1.5
+
+  @volatile private var sink = 0L
+
+  /** 8 threads × 40M xorshift steps — measures currently-ATTAINABLE
+    * parallel compute (~[[ProbeRefSec]] on a quiet host). 8 threads
+    * because single-threaded probes miss parallel-only degradation. */
+  def probeOnce(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until 8).map { k =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        while (i < 40000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink ^= x
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Machine-wide steal jiffies (field 8 of /proc/stat's aggregate cpu
+    * line); -1 when unavailable, callers then disable the steal layer.
+    * USER_HZ=100 on this kernel: one jiffy = 10 ms. */
+  def stealJiffies(): Long = try {
+    Files.readAllLines(Paths.get("/proc/stat")).get(0)
+      .trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+  } catch { case _: Throwable => -1L }
+}

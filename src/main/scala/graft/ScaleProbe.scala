@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Empirical scale-exponent probe for the dedup family (VERDICT r5
+  * "next" #4): every "linear-ish at 100 TB" claim in SURVEY §2.11 is
+  * by-construction (banded equi-joins, narrow verify rows); this main
+  * produces the measured data point. It times q21 (exact dedup), q23
+  * (MinHash-LSH pairs), q64 (dup connected components) and q88
+  * (incremental batch-vs-corpus dedup) COLD at 1× and C× the sf
+  * documents table and reports the observed exponent
+  * log(T_C/T_1)/log(C) per query — <1.3 is the "bucketed, never
+  * all-pairs" claim holding empirically.
+  *
+  * Fixture design matters: C identical copies would make every doc an
+  * exact+near dup of its C−1 twins, growing the PAIR OUTPUT ~C² per doc
+  * and measuring the fixture, not the algorithm. Instead copy k rewrites
+  * every token t to substring(md5(t ⊕ k), 1, 6) — per-copy DISJOINT
+  * vocabularies with the original per-doc token structure preserved, so
+  * each copy reproduces the original's internal dup clusters and
+  * nothing pairs across copies: output grows ~C×, the honest shape of a
+  * corpus C× the size. doc_ids are offset per copy to stay unique.
+  *
+  * Methodology (the first cut charged all JVM/codegen warm-up to the 1×
+  * pass and measured a NEGATIVE exponent): every query first runs
+  * untimed against a separate WARM-UP fixture — same plan shapes, its
+  * own dir, so Janino codegen/kernel/broadcast infra is hot while the
+  * timed passes still pay their full per-snapshot pipeline cost
+  * (signature/token/pair materialization is memoized per dir). The two
+  * timed scales are lo=2 and hi=16 copies (ratio 8) so data work
+  * dominates the ~0.3 s fixed scheduling floor a 1-copy run drowns in.
+  * Both scales run the SAME query order, so memo states are congruent.
+  * Steal jiffies are read around every run; a dirty flag in the
+  * artifact marks numbers taken under external CPU theft.
+  */
+object ScaleProbe {
+
+  val ProbeQueries = Seq("q21_dedup_exact", "q23_minhash_dup_pairs",
+    "q64_dup_components", "q88_incremental_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else
+      Files.createTempDirectory("graft_scale").toString
+    val lo = if (args.length > 2) args(2).toInt else 2
+    val hi = if (args.length > 3) args(3).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = Engine.tune(
+      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // kFrom offsets the copy salt so the warm-up fixture's vocabulary is
+    // disjoint from BOTH timed fixtures' (nothing is accidentally shared)
+    def gen(nCopies: Int, kFrom: Int, out: String): Unit =
+      if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        (kFrom until kFrom + nCopies).map { k =>
+          docs.select(
+            (col("doc_id") + lit((k - kFrom) * 10000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => substring(md5(concat(t, lit(s"#$k"))), 1, 6)), " ").as("text"),
+            col("lang"), col("source"))
+        }.reduce(_ unionByName _)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      }
+    val dirW = s"$work/warm"
+    val dir1 = s"$work/x$lo"
+    val dirC = s"$work/x$hi"
+    gen(1, 900, dirW)
+    gen(lo, 0, dir1)
+    gen(hi, 100, dirC)
+
+    // Both noise layers (see HostProbe): steal jiffies around each run
+    // AND the absolute calibration probe after it — the probe is what
+    // caught this probe's own first run recording a 28×-inflated q64
+    // during a zero-steal degradation window.
+    val nCores = Runtime.getRuntime.availableProcessors()
+    var probeBest = Double.MaxValue
+    def timeOnce(name: String, dir: String): (Double, Boolean) = {
+      val s0 = HostProbe.stealJiffies()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      val s1 = HostProbe.stealJiffies()
+      val stolen = if (s0 < 0 || s1 < 0) 0.0 else (s1 - s0) * 0.01 / (t * nCores)
+      val p = HostProbe.probeOnce()
+      if (p < probeBest) probeBest = p
+      (t, stolen > 0.05 || p > HostProbe.ProbeRefSec * HostProbe.HealthyRatio)
+    }
+
+    // untimed warm-up pass: every plan shape compiles and runs once
+    // against its own fixture dir — codegen/kernels/shuffle infra hot,
+    // timed passes keep their full per-snapshot pipeline cost
+    ProbeQueries.foreach(q => timeOnce(q, dirW))
+
+    val ratio = hi.toDouble / lo.toDouble
+    val t1 = ProbeQueries.map(q => q -> timeOnce(q, dir1)).toMap
+    val tC = ProbeQueries.map(q => q -> timeOnce(q, dirC)).toMap
+    val per = ProbeQueries.map { q =>
+      val ((a, d1), (b, dC)) = (t1(q), tC(q))
+      val exp = math.log(b / a) / math.log(ratio)
+      f"""\"$q\":{"t_lo_sec":$a%.3f,"t_hi_sec":$b%.3f,"exponent":$exp%.3f,"dirty":${d1 || dC}}"""
+    }.mkString("{", ",", "}")
+    val worst = ProbeQueries.map { q =>
+      math.log(tC(q)._1 / t1(q)._1) / math.log(ratio)
+    }.max
+    val json =
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"queries":$per}"""
+    Files.writeString(Paths.get("scale_out.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -44,7 +44,13 @@ object ForecastApi {
   /** Request-driven forecast (forecast-service/app/main.py:83-112): the
     * next `nDays` days for one key. Inclusive window — nDays+1 rows —
     * matching the reference's pd.date_range inclusivity (helpers.py:29),
-    * which is also where the fixed 7-day path's 8 rows come from. */
+    * which is also where the fixed 7-day path's 8 rows come from.
+    *
+    * This is the RE-FIT form (reads the series). The production serve
+    * path is [[forecastStored]]: the reference answers requests by
+    * loading the registered model (handlers/mlflow.py:24-40), not by
+    * re-training — prefer it whenever a coefficient-bearing registry
+    * exists. */
   def forecastNext(series: Dataset[Obs], key: String, nDays: Int): Dataset[Forecast] = {
     val s = series.sparkSession
     import s.implicits._
@@ -53,6 +59,21 @@ object ForecastApi {
       .flatMapGroups((k: String, it: Iterator[Obs]) =>
         Forecaster.forecastKey(k, it, horizon = nDays + 1))
   }
+
+  /** The reference's ACTUAL per-request serve path (handlers/mlflow.py:
+    * 24-40 + main.py:83-112: resolve stage=production, load the stored
+    * model, predict) over a coefficient-bearing registry table
+    * ([[graft.ml.Forecaster.ModelCoef]] columns): one model's next
+    * `nDays` days computed purely from the stored coefficients —
+    * bit-identical to re-fitting (MlRegistry serve contract), without
+    * touching the fact table. The `model_name` filter is a pushed
+    * predicate, so at 10M registered models the scan reads one
+    * name's row group, not the registry. */
+  def forecastStored(registry: DataFrame, modelName: String, nDays: Int): DataFrame =
+    graft.ml.ModelRegistry.forecastFromRegistry(
+      graft.ml.ModelRegistry.servingVersions(
+        registry.filter(col("model_name") === modelName)),
+      horizonRows = nDays + 1)
 
   /** Startup dropdowns (web-ui/app/main.py:38-41): distinct key sets. */
   def storeProductPairs(sales: DataFrame): DataFrame =

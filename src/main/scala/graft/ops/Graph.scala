@@ -51,9 +51,11 @@ object Graph {
       df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var prev = certificate(labels)
     if (prev == null) return labels // zero vertices: nothing to propagate
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
       val viaEdges = e.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.comp"))
       // checkpoint BEFORE the self-join below: it both cuts the per-round
@@ -74,6 +76,8 @@ object Graph {
       prev = cert
       labels = next
       i += 1
+      if (debug) System.err.println(
+        f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s cert=$cert done=$done")
     }
     labels
   }

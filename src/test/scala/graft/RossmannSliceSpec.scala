@@ -206,6 +206,23 @@ class RossmannSliceSpec extends AnyFunSuite {
     val h15 = ModelRegistry.forecastFromRegistry(
       ModelRegistry.servingVersions(Store.read(spark, tbl)), horizonRows = 15)
     assert(h15.filter(col("key") === "2|product_A").count() == 15)
+    // the per-request API form: one model, inclusive 7-day horizon,
+    // same stored-coefficient rows as the registry-wide serve
+    val one = ForecastApi.forecastStored(Store.read(spark, tbl), "m-2|product_A", 7)
+      .select("day", "yhat3", "lo3", "hi3")
+      .as[(java.sql.Date, Long, Long, Long)].collect().sortBy(_._1.toString).toSeq
+    assert(one == served.filter(_._1 == "2|product_A").map(r => (r._2, r._3, r._4, r._5)))
+  }
+
+  test("q107 plan guard: registry serving never scans the events table") {
+    // The point of coefficient persistence is that the serve path reads
+    // the (tiny) models table only — a plan that rescans the fact table
+    // has silently regressed to per-request re-fitting.
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q107_registry_serving")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"), plan)
+    assert(plan.contains("models"), plan)
   }
 
   test("stateful dedup drops replayed ids across micro-batches") {
