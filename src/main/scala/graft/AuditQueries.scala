@@ -141,26 +141,120 @@ object AuditQueries {
     // reduce to md5 keys at the source, so the shuffle carries 32-hex
     // hashes — one groupBy at any corpus size.
     "q97_chunk_dedup" -> ((s, dir) => {
-      val chunks = Tables.documents(s, dir)
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("n", size(col("toks")))
-        .withColumn("start",
-          explode(expr("sequence(0, greatest(cast(n - 26 as int), 0), 25)")))
-        .select(col("doc_id"),
-          md5(expr("concat_ws(' ', slice(toks, start + 1, least(50, n - start)))"))
-            .as("chunk_md5"))
-      chunks.groupBy("chunk_md5")
+      chunkRows(s, dir).groupBy("chunk_md5")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("chunk_md5")
+    }),
+
+    // ── G53: duplicated-span document filter ───────────────────────────
+    // The doc-level verdict built on q97's chunk table: for each doc, the
+    // fraction of its 50-token windows that also occur in ANOTHER doc —
+    // the substring-duplication metric of Lee et al. 2022 ("Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499 §4):
+    // whole-doc dedup (q21/q23) misses documents assembled from widely-
+    // copied spans, and span-fraction ≥ 50% is the drop rule. Chunks
+    // reduce to md5 at the source, the cross-doc frequency table is one
+    // hash-keyed groupBy, and the verdict join is hash↔hash — 32-hex
+    // keys through every shuffle, token arrays never leave the scan.
+    "q108_dup_span_filter" -> ((s, dir) => {
+      val chunks = chunkRows(s, dir)
+      val freq = chunks.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(freq, Seq("chunk_md5"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac_e4", expr("n_dup_chunks * 10000 div n_chunks"))
+        .withColumn("verdict",
+          when(col("dup_frac_e4") >= 5000, "drop").otherwise("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ── G58: n-gram novelty vs the whole corpus ────────────────────────
+    // Per-doc novelty: the fraction of a doc's distinct word-3-grams
+    // that appear in NO other document — the "how much of this is new
+    // text" curation score (a near-zero-novelty doc is boilerplate even
+    // if no single pair-wise twin exists, which is why q23/q24's
+    // pairwise filters can't see it). Reuses the memoized gram snapshot
+    // (one tokenize+ngram scan per corpus); grams cross the shuffles as
+    // xxhash64 longs (q95's fixed-width-key discipline — 64-bit so a
+    // billion-gram corpus stays birthday-safe), the gram-frequency side
+    // is one partial-agg groupBy, and the verdict join is long↔long.
+    "q113_gram_novelty" -> ((s, dir) => {
+      val rows = TextQueries.gramTable(s, dir)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+        .distinct()
+      val freq = rows.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      rows.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("novelty_e4", expr("(n_grams - n_shared) * 10000 div n_grams"))
+        .orderBy("doc_id")
     })
   )
 
+  /** Chunk manifest rows (doc_id, source, chunk_md5): every doc's
+    * 50-token windows at stride 25, reduced to md5 at the scan (q86's
+    * window shape). Shared by q97 (cross-doc duplicate spans), q108
+    * (per-doc duplicated fraction) and q110 (chunk-level
+    * decontamination) — one definition so the three stay congruent. */
+  private[graft] def chunkRows(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start",
+        explode(expr("sequence(0, greatest(cast(n - 26 as int), 0), 25)")))
+      .select(col("doc_id"), col("source"),
+        md5(expr("concat_ws(' ', slice(toks, start + 1, least(50, n - start)))"))
+          .as("chunk_md5"))
+
   private val toks = sqlTokens("text")
 
+  /** DuckDB mirror of [[chunkRows]] — CTE `c` = (doc_id, source, h).
+    * Shared by the q97/q108 oracles here and q110's in CurationQueries. */
+  private[graft] val chunkCte: String =
+    s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+       |     n AS (SELECT doc_id, source, toks, CAST(len(toks) AS INT) AS n FROM t),
+       |     s AS (SELECT doc_id, source, toks, n,
+       |             CAST(UNNEST(range(0, GREATEST(n - 26, 0) + 1, 25)) AS INT) AS start
+       |           FROM n),
+       |     c AS (SELECT doc_id, source,
+       |             md5(array_to_string(list_slice(toks, start + 1,
+       |               start + LEAST(50, n - start)), ' ')) AS h
+       |           FROM s)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q108_dup_span_filter" ->
+      (chunkCte +
+        s""",
+           |f AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY h),
+           |j AS (SELECT c.doc_id, CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END AS dup
+           |      FROM c JOIN f USING (h))
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+           |       CAST(SUM(dup) * 10000 // COUNT(*) AS BIGINT) AS dup_frac_e4,
+           |       CASE WHEN SUM(dup) * 10000 // COUNT(*) >= 5000
+           |            THEN 'drop' ELSE 'keep' END AS verdict
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q113_gram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |     d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+         |             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS g
+         |           FROM t WHERE len(toks) >= 3),
+         |     r AS (SELECT doc_id, UNNEST(g) AS gram FROM d),
+         |     f AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM r GROUP BY gram),
+         |     j AS (SELECT r.doc_id, CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END AS sh
+         |           FROM r JOIN f USING (gram))
+         |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(sh) AS BIGINT) AS n_shared,
+         |       CAST((COUNT(*) - SUM(sh)) * 10000 // COUNT(*) AS BIGINT) AS novelty_e4
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q93_containment_dup" ->
       (TextQueries.sigCte +

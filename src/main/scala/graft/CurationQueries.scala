@@ -415,12 +415,153 @@ object CurationQueries {
         .select(col("gram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"), col("lift_e3"))
         .orderBy(col("lift_e3").desc, col("gram").asc)
         .limit(20)
+    }),
+
+    // ── G54: snapshot diff (corpus data versioning) ────────────────────
+    // What changed between two corpus snapshots — the audit every
+    // incremental pipeline runs before promoting a new crawl: rows only
+    // in the old snapshot (removed), only in the new (added), or in both
+    // with different content hashes (changed). Snapshots here are
+    // deterministic derivations of the documents table (old drops
+    // doc_id%10=3, new drops %10=7 and rewrites %7=0 — all three change
+    // classes non-empty at any SF). Content identity is md5 at the scan,
+    // so ONE co-partitioned full-outer join on doc_id carries (id, hash)
+    // pairs — never text. At 100 TB both snapshots are bucketed by
+    // doc_id and the join is shuffle-free; unchanged rows die inside the
+    // join stage, so the diff's output is proportional to the churn, not
+    // the corpus.
+    "q109_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val prev = d.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_h"))
+      val next = d.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("new_h"))
+      prev.join(next, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("old_h").isNull, "added")
+            .when(col("new_h").isNull, "removed")
+            .when(col("old_h") =!= col("new_h"), "changed")
+            .otherwise("same"))
+        .filter(col("change") =!= "same")
+        .select("doc_id", "change", "old_h", "new_h")
+        .orderBy("doc_id")
+    }),
+
+    // ── G55: Bloom-pruned benchmark decontamination ────────────────────
+    // Drop every training doc that shares a 50-token window with the
+    // held-out source (src7 stands in for the eval set) — chunk-granular
+    // decontamination, the contamination-REMOVAL twin of q82's overlap
+    // audit. The scale story is the join shape: the corpus's chunk
+    // stream is pruned by a ~MB Bloom filter of the eval chunk hashes
+    // (graft.ops.Bloom — Spark's own BloomFilterAggregate/
+    // BloomFilterMightContain, composed deliberately rather than left to
+    // InjectRuntimeFilter's cost model), so the corpus never shuffles:
+    // only might-contain survivors pay the exact semi join, and the
+    // verdict is provably identical to the plain join because a Bloom
+    // filter has no false negatives (the oracle is that plain join).
+    "q110_bloom_decontaminate" -> ((s, dir) => {
+      val chunks = AuditQueries.chunkRows(s, dir)
+      val block = chunks.filter(col("source") === "src7")
+        .select(col("chunk_md5")).distinct()
+      val contaminated = graft.ops.Bloom
+        .semiJoin(chunks.filter(col("source") =!= "src7"), block, "chunk_md5")
+        .select(col("doc_id")).distinct()
+      Tables.documents(s, dir).filter(col("source") =!= "src7")
+        .select(col("doc_id"), col("source"))
+        .join(contaminated.withColumn("bad", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+        .orderBy("source")
+    }),
+
+    // ── G56: median/MAD robust outliers ────────────────────────────────
+    // The robust twin of q92's 3σ rule: |x − median| > 3·MAD flags
+    // spikes without letting the spikes inflate their own threshold
+    // (mean/σ break down exactly when outliers are present — one 10⁶×
+    // spike drags σ until nothing else is an outlier). Exactness across
+    // engines via the ×2 ladder: med2 = percentile(2·v6, 0.5) is
+    // integral for any row count (midpoints of same-parity ints), dev2 =
+    // |2·v6 − med2| is integral, mad4 = percentile(2·dev2, 0.5) is
+    // integral again, and the verdict 2·dev2 > 3·mad4 is pure int64
+    // compare — no float ever crosses an engine boundary. Two percentile
+    // aggregates + two broadcast joins of the (tiny) per-type constants;
+    // the events scan is never shuffled on anything but event_type.
+    "q111_mad_outliers" -> ((s, dir) => {
+      val v = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 1000000).cast(LongType).as("v6"))
+      val med = v.groupBy("event_type")
+        .agg(expr("cast(percentile(v6 * 2, 0.5) as bigint)").as("med2"))
+      val dev = v.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("v6") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("cast(percentile(dev2 * 2, 0.5) as bigint)").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med2")).as("med_e6x2"),
+          max(col("mad4")).as("mad_e6x4"),
+          sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("dev2")).as("max_dev_e6x2"))
+        .orderBy("event_type")
     })
   )
 
   private val toks = sqlTokens("text")
 
   def oracleSql: Map[String, String] = Map(
+
+    "q109_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS old_h FROM documents
+        |              WHERE doc_id % 10 <> 3),
+        |     nxt AS (SELECT doc_id,
+        |               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                        ELSE text END) AS new_h
+        |             FROM documents WHERE doc_id % 10 <> 7),
+        |     j AS (SELECT COALESCE(prev.doc_id, nxt.doc_id) AS doc_id, old_h, new_h,
+        |             CASE WHEN old_h IS NULL THEN 'added'
+        |                  WHEN new_h IS NULL THEN 'removed'
+        |                  WHEN old_h <> new_h THEN 'changed'
+        |                  ELSE 'same' END AS change
+        |           FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id)
+        |SELECT doc_id, change, old_h, new_h FROM j
+        |WHERE change <> 'same' ORDER BY doc_id""".stripMargin,
+
+    "q110_bloom_decontaminate" ->
+      (AuditQueries.chunkCte +
+        s""",
+           |b AS (SELECT DISTINCT h FROM c WHERE source = 'src7'),
+           |bad AS (SELECT DISTINCT doc_id FROM c JOIN b USING (h)
+           |        WHERE source <> 'src7')
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |       CAST(COUNT(*) - SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+           |WHERE d.source <> 'src7'
+           |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "q111_mad_outliers" ->
+      """WITH s AS (SELECT event_type, CAST(round(value*1000000) AS BIGINT) AS v6
+        |           FROM events),
+        |     m AS (SELECT event_type,
+        |             CAST(quantile_cont(v6 * 2, 0.5) AS BIGINT) AS med2
+        |           FROM s GROUP BY event_type),
+        |     d AS (SELECT s.event_type, v6, med2,
+        |             ABS(v6 * 2 - med2) AS dev2
+        |           FROM s JOIN m USING (event_type)),
+        |     md AS (SELECT event_type,
+        |              CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) AS mad4
+        |            FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |       MAX(med2) AS med_e6x2, MAX(mad4) AS mad_e6x4,
+        |       CAST(SUM(CASE WHEN dev2 * 2 > mad4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       MAX(dev2) AS max_dev_e6x2
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q78_repetition_filter" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
          |     g AS (SELECT doc_id, UNNEST(${sqlGrams2("toks")}) AS gram

@@ -162,6 +162,27 @@ object FeatureQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // ── G57: sliding-window aggregates ─────────────────────────────────
+    // 10-minute windows every 5 minutes per event type — the rate/trend
+    // feature shape, and the third member of the window-kind family
+    // (q48 tumbling, q57 session, this one sliding). `window(ts, 600s,
+    // 300s)` assigns each event its duration/slide = 2 covering windows
+    // via closed-form arithmetic in the scan (an Expand, no join against
+    // a window spine, no state) and the aggregate shuffles once on
+    // (type, window) — identical plan in batch or as a watermarked
+    // streaming job. Window starts surface as epoch micros (unix_micros
+    // ↔ epoch_ns//1000 — the q57 timestamp discipline).
+    "q112_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"),
+          round(col("value") * 1000000).cast(LongType).as("v6"))
+        .groupBy(col("event_type"), window(col("ts"), "600 seconds", "300 seconds").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("sum_v6"))
+        .select(col("event_type"), unix_micros(col("w.start")).as("win_start_us"),
+          col("n"), col("sum_v6"))
+        .orderBy("event_type", "win_start_us")
+    }),
+
     // CUBE — all 2^k grouping sets in one Expand pass (completes the
     // grouping-sets family with q52's ROLLUP): per (status × priority)
     // plus every marginal and the grand total, one shuffle.
@@ -616,6 +637,19 @@ object FeatureQueries {
         | COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q112_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+        |             CAST(round(value*1000000) AS BIGINT) AS v6
+        |           FROM events),
+        |     w AS (SELECT event_type, v6,
+        |             (us // 300000000) * 300000000 - o.off AS win_start_us
+        |           FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)),
+        |             (CAST(300000000 AS BIGINT))) o(off))
+        |SELECT event_type, win_start_us, COUNT(*) AS n,
+        |       CAST(SUM(v6) AS BIGINT) AS sum_v6
+        |FROM w GROUP BY event_type, win_start_us
+        |ORDER BY event_type, win_start_us""".stripMargin,
 
     "q57_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),

@@ -109,4 +109,36 @@ class AuditSpec extends AnyFunSuite {
       assert(chunkSet.subsetOf(recomputed))
     }
   }
+
+  test("q108 dup-span filter: fractions bounded, verdict rule exact, consistent with q97") {
+    val rows = SparkEntry.queries("q108_dup_span_filter")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc gets a verdict")
+    rows.foreach { r =>
+      val (n, dup, frac, v) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(n >= 1 && dup >= 0 && dup <= n)
+      assert(frac == dup * 10000 / n)
+      assert(v == (if (frac >= 5000) "drop" else "keep"))
+    }
+    // docs with duplicated spans exist iff q97 found cross-doc chunks
+    val q97HasDups = SparkEntry.queries("q97_chunk_dedup")(spark, sf).count() > 0
+    assert((rows.map(_.getLong(2)).sum > 0) == q97HasDups)
+  }
+
+  test("q113 gram novelty: bounded, covers exactly the ≥3-token docs, hash keys stay narrow") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q113_gram_novelty")(spark, sf).collect()
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 3).count()
+    assert(rows.length == eligible)
+    rows.foreach { r =>
+      val (n, sh, nov) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && sh >= 0 && sh <= n)
+      assert(nov == (n - sh) * 10000 / n)
+    }
+    // the frequency/verdict joins key on xxhash64 longs, never gram strings
+    val plan = SparkEntry.queries("q113_gram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+  }
 }

@@ -222,6 +222,86 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 snapshot diff: change classes exactly match the snapshot derivation rules") {
+    val rows = SparkEntry.queries("q109_snapshot_diff")(spark, sf).collect()
+    val byChange = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(byChange.keySet == Set("added", "removed", "changed"),
+      "all three churn classes must be non-empty")
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    assert(byChange("added") == ids.count(_ % 10 == 3))
+    assert(byChange("removed") == ids.count(_ % 10 == 7))
+    assert(byChange("changed") == ids.count(i => i % 7 == 0 && i % 10 != 3 && i % 10 != 7))
+    // hash columns: null exactly on the missing side
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" => assert(r.getString(2) != r.getString(3))
+      }
+    }
+  }
+
+  test("q110 bloom decontamination: bloom probe in the plan, verdict identical to plain join") {
+    import org.apache.spark.sql.functions._
+    val plan = executed("q110_bloom_decontaminate")
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"bloom probe must prune the corpus chunk stream\n$plan")
+    val got = SparkEntry.queries("q110_bloom_decontaminate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // plain (bloom-free) recomputation
+    val chunks = AuditQueries.chunkRows(spark, sf)
+    val block = chunks.filter(col("source") === "src7").select("chunk_md5").distinct()
+    val bad = chunks.filter(col("source") =!= "src7")
+      .join(block, Seq("chunk_md5"), "left_semi").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf).filter(col("source") =!= "src7")
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val dropped = ds.count(d => bad(d._1)).toLong
+      assert(got(src) == (ds.length.toLong, dropped, ds.length - dropped), src)
+    }
+    assert(got.values.map(_._2).sum > 0,
+      "fixture must exercise the drop path (src7 shares chunks cross-source)")
+  }
+
+  test("Bloom.semiJoin/antiJoin are exactly the plain joins, and partition the probe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probe = (0L until 500L).map(i => (i, s"k${i % 97}")).toDF("id", "k")
+    val build = (0 until 97 by 3).map(i => Tuple1(s"k$i")).toDF("k")
+    val semi = graft.ops.Bloom.semiJoin(probe, build, "k")
+    val anti = graft.ops.Bloom.antiJoin(probe, build, "k")
+    val plainSemi = probe.join(build.distinct(), Seq("k"), "left_semi")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(semi) == ids(plainSemi))
+    assert(ids(anti) == ids(probe) -- ids(plainSemi))
+    assert(ids(semi).nonEmpty && ids(anti).nonEmpty)
+  }
+
+  test("q111 MAD outliers: exact integer ladder matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q111_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 1000000).cast("long").as("v6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // exact interpolated median of ints scaled ×2: integral for any n
+    def med2x(xs: Seq[Long]): Long = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) * 2 else xs(n / 2 - 1) + xs(n / 2)
+    }
+    vals.foreach { case (et, xs) =>
+      val m2 = med2x(xs)
+      val dev2 = xs.map(x => math.abs(x * 2 - m2)).sorted
+      val m4 = med2x(dev2) // dev2 already ×2-scale; med2x doubles again → ×4
+      val nOut = dev2.count(d => d * 2 > 3 * m4).toLong
+      assert(got(et) == (xs.length.toLong, m2, m4, nOut, dev2.max), et)
+    }
+  }
+
   test("q84 phrase lift: top-k via TakeOrdered (no global sort), unigram sides broadcast") {
     val plan = executed("q84_phrase_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -283,4 +283,22 @@ class FeatureQueriesSpec extends AnyFunSuite {
       assert(rs.map(_._3).sum == rs.last._2, s"$t deltas should telescope to last n")
     }
   }
+
+  test("q112 sliding windows: every event in exactly duration/slide windows, starts on the slide grid") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q112_sliding_window")(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == 2 * nEvents,
+      "600s windows every 300s => each event covered by exactly 2 windows")
+    rows.foreach { r =>
+      assert(r.getLong(1) % 300000000L == 0L, "window starts align to the slide grid")
+      assert(r.getLong(2) >= 1L)
+    }
+    // the window assignment is closed-form in the scan (an Expand), never
+    // a join against a generated window spine
+    val plan = SparkEntry.queries("q112_sliding_window")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") || plan.contains("explode"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
