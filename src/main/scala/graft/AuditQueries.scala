@@ -195,6 +195,25 @@ object AuditQueries {
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
         .withColumn("novelty_e4", expr("(n_grams - n_shared) * 10000 div n_grams"))
         .orderBy("doc_id")
+    }),
+
+    // ── G61: dup-graph degree distribution ─────────────────────────────
+    // Structural audit of the near-dup pair graph (q23's materialized
+    // table): per-doc degree, folded to a degree→count histogram. A
+    // heavy-tailed degree distribution is the early warning that one
+    // template document will collapse half the corpus into a single
+    // q64 component (and that the CC join's hot key needs salting); the
+    // histogram is how a 100-TB run sees that BEFORE running CC. Cost:
+    // one union of the two pair endpoints + two tiny aggregates —
+    // O(|pairs|), independent of corpus size.
+    "q116_dup_degree" -> ((s, dir) => {
+      val pairs = FeatureQueries.dupPairsTable(s, dir)
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+        .orderBy("degree")
     })
   )
 
@@ -242,6 +261,16 @@ object AuditQueries {
            |       CASE WHEN SUM(dup) * 10000 // COUNT(*) >= 5000
            |            THEN 'drop' ELSE 'keep' END AS verdict
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q116_dup_degree" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      s"""WITH p AS (SELECT * FROM ($q23)),
+         |     d AS (SELECT doc_a AS doc_id FROM p
+         |           UNION ALL SELECT doc_b FROM p),
+         |     deg AS (SELECT doc_id, COUNT(*) AS degree FROM d GROUP BY doc_id)
+         |SELECT degree, COUNT(*) AS n_docs, MIN(doc_id) AS example_doc
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+    },
 
     "q113_gram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

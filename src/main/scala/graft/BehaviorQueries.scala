@@ -94,10 +94,90 @@ object BehaviorQueries {
           sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
           sum(when(col("attributed"), 0L).otherwise(1L)).as("n_organic"))
         .orderBy("day")
+    }),
+
+    // ── G59: exponentially-decayed engagement score ────────────────────
+    // Per-user recency-weighted activity: Σ value · 2^(−age_days), the
+    // feature that ranks "active this week" above "active last month"
+    // without a cutoff cliff. EXACT across engines: the half-life-one-
+    // day weight is a power of two, so each term is v6 · 2^(30−age)
+    // (ages beyond 30 days contribute 0 — below e6 resolution anyway)
+    // and the sum is pure DECIMAL(38,0) integer arithmetic — no float
+    // pow(), no order-dependent double sum. One 1-row anchor broadcast +
+    // one user-keyed aggregate; at 10⁹ users it's still a single
+    // partial-agg shuffle on user_id.
+    "q114_decayed_engagement" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 1000000).cast(LongType).as("v6"))
+      val anchor = e.agg(max(col("day")).as("maxd"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("age", datediff(col("maxd"), col("day")))
+        .withColumn("wterm",
+          when(col("age") <= 30,
+            col("v6").cast(dec) *
+              expr("cast(shiftleft(cast(1 as bigint), 30 - age) as decimal(38,0))"))
+            .otherwise(lit(0).cast(dec)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("wterm")).cast(dec).as("score_x2e30"),
+          max(col("day")).as("last_day"))
+        .orderBy("user_id")
+    }),
+
+    // ── G60: event-transition matrix ───────────────────────────────────
+    // First-order Markov transitions over each user's event sequence
+    // (the session-flow model behind next-action features and anomaly
+    // detection): lag(event_type) over a user-partitioned, totally-
+    // ordered window (ts, then event_id — both engines agree on ties),
+    // then one aggregate per (prev, next) pair with exact integer
+    // row-probabilities. ONE shuffle on user_id for the sequencing and
+    // one 25-row aggregate — at any corpus size the matrix is
+    // |event types|², never corpus-shaped.
+    "q115_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val totals = t.groupBy("prev").agg(sum(col("n")).as("n_from"))
+      t.join(broadcast(totals), "prev")
+        .withColumn("p_e6", expr("n * 1000000 div n_from"))
+        .select("prev", "next", "n", "n_from", "p_e6")
+        .orderBy("prev", "next")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q114_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |             CAST(round(value*1000000) AS BIGINT) AS v6 FROM events),
+        |     a AS (SELECT MAX(day) AS maxd FROM e),
+        |     t AS (SELECT user_id, day, v6,
+        |             date_diff('day', day, maxd) AS age FROM e, a)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN age <= 30
+        |                     THEN CAST(v6 AS HUGEINT) * (CAST(1 AS BIGINT) << (30 - age))
+        |                     ELSE 0 END) AS DECIMAL(38,0)) AS score_x2e30,
+        |       MAX(day) AS last_day
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q115_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |     t AS (SELECT prev, event_type AS next, COUNT(*) AS n
+        |           FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |     tot AS (SELECT prev, SUM(n) AS n_from FROM t GROUP BY prev)
+        |SELECT t.prev, t.next, t.n, CAST(tot.n_from AS BIGINT) AS n_from,
+        |       CAST(t.n * 1000000 // tot.n_from AS BIGINT) AS p_e6
+        |FROM t JOIN tot ON t.prev = tot.prev
+        |ORDER BY t.prev, t.next""".stripMargin,
 
     "q98_cohort_retention" ->
       s"""WITH uw AS (SELECT DISTINCT user_id,

@@ -33,6 +33,34 @@ object VectorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── G62: int8 embedding quantization manifest ──────────────────────
+    // Scalar symmetric quantization (the 4× memory cut every billion-
+    // vector ANN index takes before sharding): per-vector scale m =
+    // max|x|, q = round(127·x/m), manifest = (scale, Σq, Σq², saturated
+    // dims). EXACT across engines: coordinates reduce to e6 ints at the
+    // scan, and the quantizer is the integer ladder sign(v)·((254·|v| +
+    // m) div 2m) — round-half-away with no float division to land near
+    // a .5 boundary differently per engine. The whole op is array HOFs
+    // (transform/aggregate) inside ONE projection — zero shuffle, no
+    // explode fan-out, embarrassingly parallel at any vector count; only
+    // the final presentation sort exchanges.
+    "q117_int8_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          expr("transform(v, x -> cast(round(x * 1000000) as bigint))").as("x6"))
+        .withColumn("m6", expr("array_max(transform(x6, v -> abs(v)))"))
+        .withColumn("qs", expr(
+          """transform(x6, v -> CASE WHEN m6 = 0 THEN 0L
+            | ELSE cast(sign(v) as bigint) * ((abs(v) * 254 + m6) div (2 * m6))
+            | END)""".stripMargin))
+        .select(col("vec_id"), col("m6"),
+          expr("aggregate(qs, 0L, (a, b) -> a + b)").as("sum_q"),
+          expr("aggregate(qs, 0L, (a, b) -> a + b * b)").as("sum_q2"),
+          expr("aggregate(qs, 0L, (a, b) -> a + IF(abs(b) = 127, 1L, 0L))").as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force cosine top-k for one query vector (vec_id 0): the
     // correctness baseline every ANN variant is judged against. The query
     // vector is broadcast; the scan stays embarrassingly parallel.
@@ -128,6 +156,24 @@ object VectorQueries {
   def oracleSql: Map[String, String] = {
     val cosR6 = sqlCosineR6("ve", "qe")
     Map(
+      "q117_int8_quantize" ->
+        """WITH e AS (SELECT vec_id,
+          |             list_transform(CAST(embedding AS DOUBLE[]),
+          |               x -> CAST(round(x * 1000000) AS BIGINT)) AS x6
+          |           FROM embeddings),
+          |     m AS (SELECT vec_id, x6,
+          |             list_max(list_transform(x6, v -> abs(v))) AS m6 FROM e),
+          |     q AS (SELECT vec_id, m6,
+          |             list_transform(x6, v -> CASE WHEN m6 = 0 THEN 0
+          |               ELSE CAST(sign(v) AS BIGINT) * ((abs(v) * 254 + m6) // (2 * m6))
+          |               END) AS qs
+          |           FROM m)
+          |SELECT vec_id, m6,
+          |       CAST(list_sum(qs) AS BIGINT) AS sum_q,
+          |       CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS sum_q2,
+          |       CAST(len(list_filter(qs, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+          |FROM q ORDER BY vec_id""".stripMargin,
+
       "q26_ann_bruteforce" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
            |     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id != 0)

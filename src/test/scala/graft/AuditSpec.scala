@@ -141,4 +141,12 @@ class AuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("xxhash64"), plan)
   }
+
+  test("q116 dup-graph degrees: handshake identity, histogram partitions the pair endpoints") {
+    val rows = SparkEntry.queries("q116_dup_degree")(spark, sf).collect()
+    val nPairs = FeatureQueries.dupPairsTable(spark, sf).count()
+    // Σ degree·n_docs counts each pair's two endpoints once
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * nPairs)
+    rows.foreach(r => assert(r.getLong(0) >= 1 && r.getLong(1) >= 1))
+  }
 }

@@ -91,4 +91,38 @@ class BehaviorSpec extends AnyFunSuite {
     val plan = executed("q100_last_touch")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q114 decayed engagement: exact BigInt recomputation, power-of-two ladder") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q114_decayed_engagement")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 1000000).cast("long").as("v6"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val maxd = ev.map(_._2).maxBy(_.toEpochDay)
+    ev.groupBy(_._1).foreach { case (u, rs) =>
+      val score = rs.map { case (_, d, v) =>
+        val age = maxd.toEpochDay - d.toEpochDay
+        if (age <= 30) BigInt(v) << (30 - age).toInt else BigInt(0)
+      }.sum
+      assert(got(u) == (rs.length.toLong, score), s"user $u")
+    }
+  }
+
+  test("q115 transitions: per-user sequencing conserves rows, probabilities row-normalize") {
+    val rows = SparkEntry.queries("q115_event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "each user contributes exactly (events - 1) transitions")
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"$prev: n_from consistent")
+      rs.foreach(t => assert(t._5 == t._3 * 1000000 / t._4))
+      // integer floor division: row sums land within one ulp-per-cell of 1
+      val pSum = rs.map(_._5).sum
+      assert(pSum <= 1000000 && pSum > 1000000 - rs.length, prev)
+    }
+  }
 }

@@ -73,6 +73,32 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 int8 quantize: exact per-vector recomputation; only the presentation sort shuffles") {
+    import org.apache.spark.sql.functions.col
+    val df = VectorQueries.queries("q117_int8_quantize")(spark, "/root/testdata/sf0.001")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    vecs.foreach { case (id, v) =>
+      // HALF_UP like Spark's round() (math.round floors half toward +inf,
+      // which differs on negative halves)
+      val x6 = v.map(x => java.math.BigDecimal.valueOf(x * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      val m6 = x6.map(math.abs).max
+      val qs = x6.map(x =>
+        if (m6 == 0) 0L else math.signum(x) * ((math.abs(x) * 254 + m6) / (2 * m6)))
+      assert(qs.forall(q => math.abs(q) <= 127), s"vec $id saturates past int8")
+      assert(got(id) == (m6, qs.sum, qs.map(q => q * q).sum, qs.count(q => math.abs(q) == 127).toLong),
+        s"vec $id")
+    }
+    // per-vector HOFs: the only exchange is the final ORDER BY (count in
+    // the final plan only — AQE's "Initial Plan" section repeats nodes)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("near-dup pair queries contain no all-pairs join (the 100-TB guarantee)") {
     for (q <- Seq("q23_minhash_dup_pairs", "q24_ngram_jaccard", "q27_embedding_neardup",
                   "q42_simhash_dup_pairs")) {
