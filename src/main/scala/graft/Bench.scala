@@ -197,7 +197,7 @@ object Bench {
     val nDegraded = results.count(_._2.degraded)
     val probeRatio = probeBestSession / ProbeRefSec
     val hostDegraded = probeRatio > ProbeHealthyRatio
-    val host = f"""{"probe_ref_sec":$ProbeRefSec,"probe_best_sec":$probeBestSession%.4f,"probe_best_vs_ref":$probeRatio%.3f,"host_degraded":$hostDegraded,"queries_estimator_degraded":$nDegraded}"""
+    val host = f"""{"probe_ref_sec":$ProbeRefSec,"probe_ref_provenance":"${HostProbe.probeRefProvenance}","probe_best_sec":$probeBestSession%.4f,"probe_best_vs_ref":$probeRatio%.3f,"host_degraded":$hostDegraded,"queries_estimator_degraded":$nDegraded}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     // The LAST stdout line is a compact (<500 B) summary: the driver

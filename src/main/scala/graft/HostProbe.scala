@@ -19,8 +19,22 @@ object HostProbe {
     * steps on a QUIET host of this machine class, measured standalone on
     * 2026-08-13 (best of 12 reps: 0.0684 s with a concurrent Spark run;
     * session best 0.0657 s in the same day's bench smoke). A session
-    * whose best probe can't approach this is degraded end-to-end. */
-  val ProbeRefSec = 0.065
+    * whose best probe can't approach this is degraded end-to-end.
+    *
+    * Machine-class-specific by construction: on any other host class,
+    * override with `GRAFT_PROBE_REF_SEC=<sec>` (re-calibrate via 12
+    * standalone [[probeOnce]] reps, take the best) — otherwise a faster
+    * class can never tighten the baseline and a slower class is
+    * permanently stamped degraded. [[probeRefProvenance]] is recorded in
+    * every timing artifact so numbers are interpretable either way. */
+  val ProbeRefSec: Double =
+    sys.env.get("GRAFT_PROBE_REF_SEC").map(_.toDouble).getOrElse(0.065)
+
+  /** Where the calibration constant came from — stamped into Bench and
+    * ScaleProbe artifacts next to the ratio it anchors. */
+  val probeRefProvenance: String =
+    if (sys.env.contains("GRAFT_PROBE_REF_SEC")) "env:GRAFT_PROBE_REF_SEC"
+    else "committed-2026-08-13-best-of-12"
 
   /** Session-best-vs-reference ratio above which a whole artifact
     * should be stamped host-degraded. */

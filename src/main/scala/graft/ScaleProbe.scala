@@ -111,7 +111,7 @@ object ScaleProbe {
       math.log(tC(q)._1 / t1(q)._1) / math.log(ratio)
     }.max
     val json =
-      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"queries":$per}"""
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","queries":$per}"""
     Files.writeString(Paths.get("scale_out.json"), json + "\n")
     println(json)
     spark.stop()

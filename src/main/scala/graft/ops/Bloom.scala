@@ -30,13 +30,21 @@ object Bloom {
   /** (mightContain predicate, exact build keys) for `keyCol` against
     * `build`'s `keyCol` values. The bloom is built by one aggregate over
     * the build side and reaches probe tasks as a scalar-subquery
-    * broadcast. */
+    * broadcast.
+    *
+    * NULL-guarded: BloomFilterAggregate evaluates to NULL over an EMPTY
+    * build side, and BloomFilterMightContain propagates that NULL — so
+    * without the coalesce BOTH `pred` and `!pred` would drop every probe
+    * row (an empty blocklist would silently discard the whole corpus).
+    * An empty bloom contains nothing, so NULL coalesces to `false`. */
   private def bloomPredicate(build: DataFrame, keyCol: String,
                              expectedItems: Long) = {
     val bloomDf = build
       .select(GraftColumnBridge.bloomFilterAgg(xxhash64(col(keyCol)), expectedItems).as("bf"))
-    GraftColumnBridge.bloomMightContain(
-      GraftColumnBridge.scalarSubquery(bloomDf), xxhash64(col(keyCol)))
+    coalesce(
+      GraftColumnBridge.bloomMightContain(
+        GraftColumnBridge.scalarSubquery(bloomDf), xxhash64(col(keyCol))),
+      lit(false))
   }
 
   /** Rows of `probe` whose `keyCol` IS in `build` (exact semi join,

@@ -279,6 +279,19 @@ class CurationSpec extends AnyFunSuite {
     assert(ids(semi).nonEmpty && ids(anti).nonEmpty)
   }
 
+  test("Bloom joins with an EMPTY build side: semi is empty, anti keeps the whole probe") {
+    import spark.implicits._
+    // BloomFilterAggregate returns NULL over zero rows; without the
+    // coalesce guard both filter branches drop everything and an empty
+    // blocklist silently discards the corpus.
+    val probe = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "k")
+    val build = Seq.empty[Tuple1[String]].toDF("k")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(graft.ops.Bloom.semiJoin(probe, build, "k")).isEmpty)
+    assert(ids(graft.ops.Bloom.antiJoin(probe, build, "k")) == ids(probe))
+  }
+
   test("q111 MAD outliers: exact integer ladder matches a driver-side recomputation") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q111_mad_outliers")(spark, sf).collect()
