@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Data-governance and lifecycle operators: PII scrubbing, corpus rarity
+  * scoring, SCD2 history build, CDC merge-upsert, join-key skew
+  * profiling, and winsorization. The reference keeps its data honest by
+  * hand (`db/init.sql` recreates the schema wholesale; the Airflow DAG
+  * re-ingests the full CSV per run) — at 100 TB every one of these has
+  * to be an incremental, declarative plan instead.
+  *
+  * Shared discipline with the rest of the library: scaled-BIGINT
+  * arithmetic (`div`, never float `/`), total orders on (ts, event_id)
+  * for every window, and DuckDB oracle SQL generated from the same
+  * definition.
+  */
+object GovernanceQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G61: PII scrub (regex redaction audit) ─────────────────────────
+    // Redact digit runs from the free-form props payload (the stand-in
+    // for ids/phones/account numbers in this synthetic corpus — the
+    // patterns swap, the plan doesn't) and report per-event-type hit
+    // rate, characters removed, and the count of distinct post-redaction
+    // templates. Pure narrow map (regexp_replace is codegen'd — no UDF)
+    // feeding a 5-group partial aggregate: zero data shuffled besides
+    // the 5-row agg, the same plan at any corpus size.
+    "q118_pii_scrub" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), col("props"),
+          regexp_replace(col("props"), "\\d+", "#").as("red"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("red") =!= col("props"), 1L).otherwise(0L)).as("n_hit"),
+          sum((length(col("props")) - length(col("red"))).cast(LongType))
+            .as("chars_removed"),
+          countDistinct(col("red")).as("n_templates"))
+        .orderBy("event_type")
+    }),
+
+    // ── G62: corpus rarity score ───────────────────────────────────────
+    // Per-document mean inverse token probability — the integer-exact
+    // cousin of a unigram-LM perplexity filter (CCNet-style): documents
+    // dominated by corpus-rare tokens score high (gibberish / OCR noise),
+    // common prose scores low. term = (1e6 · N_total) div cnt(tok), doc
+    // score = Σ term div n_toks — floor-div throughout, so every engine
+    // agrees bit-for-bit. Plan: one token-keyed vocab aggregate, one
+    // token-keyed equi-join (vocab is corpus-shaped → shuffle join, not
+    // broadcast), one doc-keyed aggregate; the 1-row total is the only
+    // broadcast. At ≥10¹³-token corpora drop the scale factor to e3 (or
+    // lift term to DECIMAL(38,0) as q114 does) — the e6 numerator of a
+    // singleton token is the only bigint-overflow edge.
+    "q119_rarity_score" -> ((s, dir) => {
+      val inst = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = inst.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("n_total"))
+      inst.join(vocab, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("term", expr("(1000000L * n_total) div cnt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("term")).as("sum_term"))
+        .withColumn("rarity_e6", expr("sum_term div n_toks"))
+        .select("doc_id", "n_toks", "rarity_e6")
+        .orderBy("doc_id")
+    }),
+
+    // ── G63: SCD2 history build ────────────────────────────────────────
+    // Slowly-changing-dimension type 2 from a change log: collapse each
+    // user's event stream to its state CHANGES (lag ≠ current), then
+    // stamp [valid_from, valid_to) validity intervals (lead), a version
+    // number, and the is_current flag. The warehouse-dimension twin of
+    // q109's snapshot diff. ONE shuffle on user_id: both window passes
+    // and the change filter share the same (user_id | ts, event_id)
+    // sort, so Catalyst plans a single exchange+sort reused three times.
+    // Interval bounds are epoch-µs BIGINTs (the q57 timestamp
+    // discipline) — open-ended current rows carry NULL valid_to_us.
+    "q120_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_from_us", expr("unix_micros(ts)"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast(LongType))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"), col("version"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ── G64: CDC merge-upsert ──────────────────────────────────────────
+    // MERGE semantics without a table format: base = per-user profile
+    // over the older half of the log, delta = the newer half; full-outer
+    // join on the key emits the merged row plus its action (insert /
+    // update / keep). Both sides are pre-aggregated map-side before the
+    // single key-shuffle full-outer join — the incremental-profile
+    // refresh shape that replaces the reference's full CSV re-ingest per
+    // DAG run. The split point is derived from the data (min + half the
+    // span, one 1-row broadcast), so the query is sf-invariant.
+    "q121_merge_upsert" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 1000000).cast(LongType).as("v6"))
+      val split = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+          .as("split"))
+      val es = e.crossJoin(broadcast(split))
+      def prof(side: DataFrame, p: String): DataFrame = side
+        .groupBy("user_id")
+        .agg(count(lit(1)).as(p + "n"), sum(col("v6")).as(p + "v"),
+          max(col("day")).as(p + "l"))
+      val base  = prof(es.filter(col("day") <= col("split")), "b")
+      val delta = prof(es.filter(col("day") > col("split")), "d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .withColumn("action",
+          when(col("bn").isNull, "insert")
+            .when(col("dn").isNull, "keep").otherwise("update"))
+        .withColumn("n_events", coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+        .withColumn("total_v6", coalesce(col("bv"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+        .withColumn("last_day",
+          greatest(coalesce(col("bl"), col("dl")), coalesce(col("dl"), col("bl"))))
+        .select("user_id", "action", "n_events", "total_v6", "last_day")
+        .orderBy("user_id")
+    }),
+
+    // ── G65: join-key skew profiler ────────────────────────────────────
+    // The pre-join diagnostic that decides broadcast vs shuffle vs
+    // salting (q47's input, made queryable): for each candidate join
+    // key, cardinality, heaviest-key share, and skew ratio
+    // (max/avg × 100). Each profile is two stacked aggregates — the
+    // per-key count combines map-side, the 1-row rollup is free — so
+    // profiling a 100 TB fact table costs one pass per key, no sort.
+    "q122_skew_profile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def prof(keyed: DataFrame, name: String): DataFrame = keyed
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"))
+        .withColumn("key_name", lit(name))
+      prof(e.select(col("user_id").as("k")), "user_id")
+        .unionByName(prof(e.select(col("event_type").as("k")), "event_type"))
+        .unionByName(prof(e.select(to_date(col("ts")).cast(StringType).as("k")), "day"))
+        .withColumn("p_max_e6", expr("max_cnt * 1000000 div n_rows"))
+        .withColumn("skew_x100", expr("max_cnt * n_keys * 100 div n_rows"))
+        .select("key_name", "n_rows", "n_keys", "max_cnt", "p_max_e6", "skew_x100")
+        .orderBy("key_name")
+    }),
+
+    // ── G66: winsorization (exact rank-based clip) ─────────────────────
+    // Clip value to its per-group [p05, p95] — the outlier-taming twin
+    // of q92/q111 that keeps rows instead of dropping them. Percentiles
+    // are EXACT rank selection (rank ceil(q·n) under the (v6, event_id)
+    // total order), not interpolated floats, so engines agree exactly.
+    // The per-group row_number is the price of exactness; with groups as
+    // coarse as event_type the at-scale variant swaps in q61's GK sketch
+    // bounds and keeps this same clip-aggregate tail. Bounds join back
+    // via broadcast (one row per group).
+    "q123_winsorize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000000).cast(LongType).as("v6"))
+      val w = Window.partitionBy("event_type").orderBy(col("v6"), col("event_id"))
+      val ranked = e.withColumn("rk", row_number().over(w))
+      val ranks = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("lo_rk", expr("(n * 5 + 99) div 100"))
+        .withColumn("hi_rk", expr("(n * 95 + 99) div 100"))
+      val bounds = ranked.join(broadcast(ranks), "event_type")
+        .filter(col("rk") === col("lo_rk") || col("rk") === col("hi_rk"))
+        .groupBy("event_type")
+        .agg(min(when(col("rk") === col("lo_rk"), col("v6"))).as("lo_v6"),
+          min(when(col("rk") === col("hi_rk"), col("v6"))).as("hi_v6"),
+          min(col("n")).as("n"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("n")).as("n"), min(col("lo_v6")).as("lo_v6"),
+          min(col("hi_v6")).as("hi_v6"),
+          sum(when(col("v6") < col("lo_v6"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("v6") > col("hi_v6"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(greatest(col("lo_v6"), least(col("hi_v6"), col("v6"))))
+            .as("sum_clip_v6"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q118_pii_scrub" ->
+      """WITH r AS (SELECT event_type, props,
+        |             regexp_replace(props, '\d+', '#', 'g') AS red FROM events)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN red <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(SUM(length(props) - length(red)) AS BIGINT) AS chars_removed,
+        |       CAST(COUNT(DISTINCT red) AS BIGINT) AS n_templates
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q119_rarity_score" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST(${sqlTokens("text")}) AS tok FROM documents),
+         |     v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         |     n AS (SELECT SUM(cnt) AS n_total FROM v),
+         |     j AS (SELECT t.doc_id, (1000000 * n.n_total) // v.cnt AS term
+         |           FROM t JOIN v ON t.tok = v.tok, n)
+         |SELECT doc_id, COUNT(*) AS n_toks,
+         |       CAST(SUM(term) // COUNT(*) AS BIGINT) AS rarity_e6
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q120_scd2" ->
+      """WITH s AS (SELECT user_id, event_type, ts, event_id,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev FROM events),
+        |     c AS (SELECT user_id, event_type, ts, event_id FROM s
+        |           WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state,
+        |       epoch_ns(ts) // 1000 AS valid_from_us,
+        |       LEAD(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS valid_to_us,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS BIGINT) AS version,
+        |       LEAD(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    "q121_merge_upsert" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |             CAST(round(value*1000000) AS BIGINT) AS v6 FROM events),
+        |     sp AS (SELECT MIN(day) + CAST(date_diff('day', MIN(day), MAX(day)) // 2
+        |              AS INTEGER) AS split FROM e),
+        |     b AS (SELECT user_id, COUNT(*) AS bn, SUM(v6) AS bv, MAX(day) AS bl
+        |           FROM e, sp WHERE day <= split GROUP BY user_id),
+        |     d AS (SELECT user_id, COUNT(*) AS dn, SUM(v6) AS dv, MAX(day) AS dl
+        |           FROM e, sp WHERE day > split GROUP BY user_id)
+        |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+        |       CASE WHEN b.user_id IS NULL THEN 'insert'
+        |            WHEN d.user_id IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |       CAST(COALESCE(bn, 0) + COALESCE(dn, 0) AS BIGINT) AS n_events,
+        |       CAST(COALESCE(bv, 0) + COALESCE(dv, 0) AS BIGINT) AS total_v6,
+        |       greatest(COALESCE(bl, dl), COALESCE(dl, bl)) AS last_day
+        |FROM b FULL JOIN d ON b.user_id = d.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q122_skew_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM events),
+        |     u AS (SELECT COUNT(*) AS n_keys, MAX(c) AS max_cnt FROM
+        |             (SELECT COUNT(*) AS c FROM events GROUP BY user_id)),
+        |     t AS (SELECT COUNT(*) AS n_keys, MAX(c) AS max_cnt FROM
+        |             (SELECT COUNT(*) AS c FROM events GROUP BY event_type)),
+        |     d AS (SELECT COUNT(*) AS n_keys, MAX(c) AS max_cnt FROM
+        |             (SELECT COUNT(*) AS c FROM events GROUP BY CAST(ts AS DATE))),
+        |     a AS (SELECT 'user_id' AS key_name, n_keys, max_cnt FROM u
+        |           UNION ALL SELECT 'event_type', n_keys, max_cnt FROM t
+        |           UNION ALL SELECT 'day', n_keys, max_cnt FROM d)
+        |SELECT key_name, CAST(n.n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_keys AS BIGINT) AS n_keys, max_cnt,
+        |       max_cnt * 1000000 // n.n_rows AS p_max_e6,
+        |       max_cnt * n_keys * 100 // n.n_rows AS skew_x100
+        |FROM a, n ORDER BY key_name""".stripMargin,
+
+    "q123_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value*1000000) AS BIGINT) AS v6 FROM events),
+        |     r AS (SELECT event_type, v6, ROW_NUMBER() OVER (PARTITION BY event_type
+        |             ORDER BY v6, event_id) AS rk FROM e),
+        |     k AS (SELECT event_type, COUNT(*) AS n, (COUNT(*)*5 + 99) // 100 AS lo_rk,
+        |             (COUNT(*)*95 + 99) // 100 AS hi_rk FROM e GROUP BY event_type),
+        |     b AS (SELECT r.event_type,
+        |             MIN(CASE WHEN rk = lo_rk THEN v6 END) AS lo_v6,
+        |             MIN(CASE WHEN rk = hi_rk THEN v6 END) AS hi_v6
+        |           FROM r JOIN k ON r.event_type = k.event_type
+        |           WHERE rk = lo_rk OR rk = hi_rk GROUP BY r.event_type)
+        |SELECT e.event_type, CAST(k.n AS BIGINT) AS n, b.lo_v6, b.hi_v6,
+        |       CAST(SUM(CASE WHEN v6 < lo_v6 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(SUM(CASE WHEN v6 > hi_v6 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(SUM(GREATEST(lo_v6, LEAST(hi_v6, v6))) AS BIGINT) AS sum_clip_v6
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |     JOIN k ON e.event_type = k.event_type
+        |GROUP BY e.event_type, k.n, b.lo_v6, b.hi_v6
+        |ORDER BY e.event_type""".stripMargin
+  )
+}

@@ -29,7 +29,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relationalQueries ++ TextQueries.queries ++ VectorQueries.queries ++
       PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
-      CurationQueries.queries ++ AuditQueries.queries ++ BehaviorQueries.queries
+      CurationQueries.queries ++ AuditQueries.queries ++
+      BehaviorQueries.queries ++ GovernanceQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -267,7 +268,8 @@ object SparkEntry {
     relationalOracles ++ TextQueries.oracleSql ++ VectorQueries.oracleSql ++
       PipelineQueries.oracleSql ++ MlQueries.oracleSql ++
       FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
-      AuditQueries.oracleSql ++ BehaviorQueries.oracleSql
+      AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
+      GovernanceQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the governance/lifecycle surface
+  * (GovernanceQueries, q118-q123): redaction actually fires, SCD2
+  * intervals tile each user's timeline, merge conserves events,
+  * winsorize bounds match a driver-side recomputation, and the SCD2
+  * plan reuses one user_id exchange across its three window passes.
+  */
+class GovernanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q118 PII scrub: digit runs fire on every props row, templates collapse") {
+    val rows = run("q118_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hit, removed, templates) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hit == n, "every synthetic props payload contains digits")
+      assert(removed > 0)
+      assert(templates < n, "redaction must collapse distinct payloads into templates")
+    }
+  }
+
+  test("q119 rarity: every doc scores >= 1e6 (inverse prob of the commonest token is >= 1)") {
+    val rows = run("q119_rarity_score").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      // each term is (1e6 * N) div cnt >= 1e6 since cnt <= N; the mean
+      // can floor below only if a doc had zero tokens (none do)
+      assert(r.getLong(2) >= 1000000L, s"doc ${r.getLong(0)} rarity ${r.getLong(2)}")
+    }
+  }
+
+  test("q120 SCD2: intervals tile each user's timeline; exactly one current row per user") {
+    val rows = run("q120_scd2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq,
+        s"user $u versions not contiguous")
+      assert(sorted.count(_._6) == 1, s"user $u must have exactly one current row")
+      assert(sorted.last._6 && sorted.last._4.isEmpty,
+        s"user $u: only the last version is open-ended")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._4.contains(b._3), s"user $u: valid_to must equal next valid_from")
+        assert(a._2 != b._2, s"user $u: consecutive versions must change state")
+      }
+    }
+  }
+
+  test("q120 SCD2 plan: one user_id exchange shared by the change filter and both windows") {
+    val plan = run("q120_scd2").queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected a single reused user_id shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q121 merge conserves events and partitions users by action") {
+    val rows = run("q121_merge_upsert").collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "merged n_events must conserve the log")
+    val actions = rows.map(_.getString(1)).toSet
+    assert(actions.subsetOf(Set("insert", "update", "keep")))
+    assert(actions.contains("update"), "the half-split fixture must produce updates")
+  }
+
+  test("q122 skew profile matches a driver-side recomputation") {
+    val got = run("q122_skew_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+    val n = ev.length.toLong
+    def check(name: String, keys: Seq[Any]): Unit = {
+      val counts = keys.groupBy(identity).map(_._2.length.toLong)
+      assert(got(name) == ((n, counts.size.toLong, counts.max)), name)
+    }
+    check("user_id", ev.map(_.getLong(0)))
+    check("event_type", ev.map(_.getString(1)))
+    check("day", ev.map(_.getTimestamp(2).toLocalDateTime.toLocalDate))
+  }
+
+  test("q123 winsorize: bounds are the exact ceil-rank order statistics; clipped sum matches") {
+    val got = run("q123_winsorize").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v6"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    vals.foreach { case (et, rows) =>
+      val ordered = rows.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = ordered.length.toLong
+      val lo = ordered(((n * 5 + 99) / 100 - 1).toInt)
+      val hi = ordered(((n * 95 + 99) / 100 - 1).toInt)
+      val clipped = ordered.map(v => math.max(lo, math.min(hi, v)))
+      assert(got(et) == ((n, lo, hi,
+        ordered.count(_ < lo).toLong, ordered.count(_ > hi).toLong, clipped.sum)), et)
+    }
+  }
+}
