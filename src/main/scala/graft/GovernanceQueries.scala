@@ -23,7 +23,7 @@ object GovernanceQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ── G61: PII scrub (regex redaction audit) ─────────────────────────
+    // ── G63: PII scrub (regex redaction audit) ─────────────────────────
     // Redact digit runs from the free-form props payload (the stand-in
     // for ids/phones/account numbers in this synthetic corpus — the
     // patterns swap, the plan doesn't) and report per-event-type hit
@@ -45,7 +45,7 @@ object GovernanceQueries {
         .orderBy("event_type")
     }),
 
-    // ── G62: corpus rarity score ───────────────────────────────────────
+    // ── G64: corpus rarity score ───────────────────────────────────────
     // Per-document mean inverse token probability — the integer-exact
     // cousin of a unigram-LM perplexity filter (CCNet-style): documents
     // dominated by corpus-rare tokens score high (gibberish / OCR noise),
@@ -72,7 +72,7 @@ object GovernanceQueries {
         .orderBy("doc_id")
     }),
 
-    // ── G63: SCD2 history build ────────────────────────────────────────
+    // ── G65: SCD2 history build ────────────────────────────────────────
     // Slowly-changing-dimension type 2 from a change log: collapse each
     // user's event stream to its state CHANGES (lag ≠ current), then
     // stamp [valid_from, valid_to) validity intervals (lead), a version
@@ -98,7 +98,7 @@ object GovernanceQueries {
         .orderBy("user_id", "version")
     }),
 
-    // ── G64: CDC merge-upsert ──────────────────────────────────────────
+    // ── G66: CDC merge-upsert ──────────────────────────────────────────
     // MERGE semantics without a table format: base = per-user profile
     // over the older half of the log, delta = the newer half; full-outer
     // join on the key emits the merged row plus its action (insert /
@@ -133,7 +133,7 @@ object GovernanceQueries {
         .orderBy("user_id")
     }),
 
-    // ── G65: join-key skew profiler ────────────────────────────────────
+    // ── G67: join-key skew profiler ────────────────────────────────────
     // The pre-join diagnostic that decides broadcast vs shuffle vs
     // salting (q47's input, made queryable): for each candidate join
     // key, cardinality, heaviest-key share, and skew ratio
@@ -156,7 +156,7 @@ object GovernanceQueries {
         .orderBy("key_name")
     }),
 
-    // ── G66: winsorization (exact rank-based clip) ─────────────────────
+    // ── G68: winsorization (exact rank-based clip) ─────────────────────
     // Clip value to its per-group [p05, p95] — the outlier-taming twin
     // of q92/q111 that keeps rows instead of dropping them. Percentiles
     // are EXACT rank selection (rank ceil(q·n) under the (v6, event_id)
@@ -189,6 +189,78 @@ object GovernanceQueries {
           sum(greatest(col("lo_v6"), least(col("hi_v6"), col("v6"))))
             .as("sum_clip_v6"))
         .orderBy("event_type")
+    }),
+
+    // ── G69: referential-integrity audit ───────────────────────────────
+    // Orphan-FK counts for every edge of the star schema in one
+    // manifest — the data-quality gate a warehouse runs before
+    // publishing a snapshot. Each relationship is a distinct-parent
+    // left_anti join: parents that fit broadcast (dims) never shuffle
+    // the fact side; a 100 TB-parent edge swaps in the q110 Bloom-prune
+    // (`ops/Bloom.antiJoin`) with the identical verdict. Counts are
+    // 1-row aggregates crossed together — output is |edges| rows,
+    // never data-shaped.
+    "q124_fk_audit" -> ((s, dir) => {
+      def audit(child: DataFrame, childKey: String, parent: DataFrame,
+                parentKey: String, name: String): DataFrame = {
+        val orphans = child.select(col(childKey).as("k"))
+          .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .withColumn("rel", lit(name))
+      }
+      val li = Tables.lineitem(s, dir)
+      audit(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey", "lineitem->orders")
+        .unionByName(audit(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders->customer"))
+        .unionByName(audit(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+          "lineitem->part"))
+        .unionByName(audit(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+          "lineitem->supplier"))
+        .withColumn("orphan_ppm", expr("n_orphans * 1000000 div n_child"))
+        .select("rel", "n_child", "n_orphans", "orphan_ppm")
+        .orderBy("rel")
+    }),
+
+    // ── G70: exact-quota stratified sample ─────────────────────────────
+    // Deterministic N-per-stratum sampling (eval-set carving, labeling
+    // budgets): rank docs inside each lang by md5(doc_id) — a stable
+    // pseudo-random total order every engine reproduces — and keep the
+    // first 10. Unlike q75's Bernoulli hash-filter the quota is EXACT;
+    // one shuffle on the stratum key, and the window input is already
+    // cut to (id, lang) pairs so the sort carries 16 bytes/row, not
+    // documents.
+    "q125_group_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("lang", "rk")
+    }),
+
+    // ── G71: token-drift monitor ───────────────────────────────────────
+    // Distribution shift between two corpus snapshots (stand-in split:
+    // doc_id parity): per-token rate ratio (B vs A, each normalized by
+    // its side's token mass), floor-div e4, min-support 5 per side to
+    // bound small-count noise. Top-20 by ratio = TakeOrdered, no global
+    // sort. One token-keyed aggregate carries both sides' counts in a
+    // single pass (conditional sums, no self-join); the 1-row mass
+    // totals broadcast. The monitor that catches a crawl-source flip
+    // before it poisons the mixture.
+    "q126_token_drift" -> ((s, dir) => {
+      val inst = Tables.documents(s, dir)
+        .select((col("doc_id") % 2 === 0).as("a"),
+          explode(tokens(col("text"))).as("tok"))
+      val counts = inst.groupBy("tok").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cnt_b"))
+      val mass = counts.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+      counts.filter(col("cnt_a") >= 5 && col("cnt_b") >= 5)
+        .crossJoin(broadcast(mass))
+        .withColumn("ratio_e4", expr("cnt_b * na * 10000 div (cnt_a * nb)"))
+        .orderBy(col("ratio_e4").desc, col("tok").asc).limit(20)
+        .select("tok", "cnt_a", "cnt_b", "ratio_e4")
     })
   )
 
@@ -283,6 +355,50 @@ object GovernanceQueries {
         |FROM e JOIN b ON e.event_type = b.event_type
         |     JOIN k ON e.event_type = k.event_type
         |GROUP BY e.event_type, k.n, b.lo_v6, b.hi_v6
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q124_fk_audit" ->
+      """WITH a AS (
+        |  SELECT 'lineitem->orders' AS rel,
+        |         (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL SELECT 'orders->customer',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'lineitem->part',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)))
+        |SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+        |       CAST(n_orphans AS BIGINT) AS n_orphans,
+        |       n_orphans * 1000000 // n_child AS orphan_ppm
+        |FROM a ORDER BY rel""".stripMargin,
+
+    "q125_group_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |           FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q126_token_drift" ->
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS a,
+         |             UNNEST(${sqlTokens("text")}) AS tok FROM documents),
+         |     c AS (SELECT tok,
+         |             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+         |           FROM t GROUP BY tok),
+         |     m AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM c)
+         |SELECT tok, cnt_a, cnt_b,
+         |       CAST(cnt_b * na * 10000 // (cnt_a * nb) AS BIGINT) AS ratio_e4
+         |FROM c, m WHERE cnt_a >= 5 AND cnt_b >= 5
+         |ORDER BY ratio_e4 DESC, tok ASC LIMIT 20""".stripMargin
   )
 }

@@ -88,6 +88,47 @@ class GovernanceSpec extends AnyFunSuite {
     check("day", ev.map(_.getTimestamp(2).toLocalDateTime.toLocalDate))
   }
 
+  test("q124 FK audit: clean star schema has zero orphans on every edge; plan broadcasts dims") {
+    val df = run("q124_fk_audit")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)}: testdata must be referentially clean")
+      assert(r.getLong(1) > 0L)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small-parent anti joins should broadcast:\n$plan")
+  }
+
+  test("q125 stratified sample: exact quota per stratum, deterministic across runs") {
+    val a = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.sameElements(b), "md5 order must be run-stable")
+    val perLang = a.groupBy(_._2)
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang(lang).length == math.min(10L, n), lang)
+      assert(perLang(lang).map(_._3).sorted.toSeq == (1L to math.min(10L, n)).toSeq, lang)
+    }
+  }
+
+  test("q126 token drift: ratios respect min-support and the top-k is TakeOrdered, not a global sort") {
+    val df = run("q126_token_drift")
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 5L && r.getLong(2) >= 5L, "min-support filter")
+      assert(r.getLong(3) >= 0L)
+    }
+    assert(rows.map(_.getLong(3)).sliding(2).filter(_.length == 2)
+      .forall(p => p(0) >= p(1)), "descending ratio order")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("q123 winsorize: bounds are the exact ceil-rank order statistics; clipped sum matches") {
     val got = run("q123_winsorize").collect()
       .map(r => r.getString(0) ->
