@@ -186,6 +186,30 @@ object PipelineQueries {
         .orderBy("row_id")
     }),
 
+    // ── G73: ORC source/sink round-trip ────────────────────────────────
+    // Columnar-format coverage beyond parquet: snapshot a lineitem slice
+    // as ORC (written once per JVM), read it back, filter + aggregate.
+    // The read is a real ORC scan with Catalyst pushdown — the spec
+    // asserts PushedFilters carries the returnflag predicate and
+    // ReadSchema prunes to the 3 needed columns of the 6 written. The
+    // oracle aggregates the original parquet, so green = the ORC
+    // round-trip is value-exact.
+    "q127_orc_roundtrip" -> ((s, dir) => {
+      val src = cachedFixture(s"orc|$dir") { work =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_shipdate")
+          .write.mode("overwrite").orc(s"$work/orc")
+      } + "/orc"
+      s.read.orc(src)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast(LongType)).as("qty_x100"),
+          sum(round(col("l_extendedprice") * 100).cast(LongType)).as("price_x100"))
+        .orderBy("l_returnflag")
+    }),
+
     // As-of join (the classic missing-from-Spark operator, composed
     // from union + carry-forward window — ops/Relational.asOfJoin):
     // each purchase event joined to the same user's latest prior click,
@@ -503,6 +527,13 @@ object PipelineQueries {
         |       CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
         |       CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q127_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_x100
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q104_contiguous_ids" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
