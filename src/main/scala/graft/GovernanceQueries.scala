@@ -140,6 +140,12 @@ object GovernanceQueries {
     // (max/avg × 100). Each profile is two stacked aggregates — the
     // per-key count combines map-side, the 1-row rollup is free — so
     // profiling a 100 TB fact table costs one pass per key, no sort.
+    // Overflow bound (ADVICE r7): skew_x100 = max_cnt·n_keys·100 needs
+    // max_cnt·n_keys < 9.2e16; a 10^12-row table with 10^9 keys and a
+    // 10^8-row hot key sits at 10^19 — past the edge. At that scale drop
+    // the ×100 factor or lift the product to DECIMAL(38,0) first (the
+    // q114 discipline); the ppm column p_max_e6 is safe much longer
+    // (max_cnt ≤ n_rows < 9.2e12 before its e6 product can wrap).
     "q122_skew_profile" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       def prof(keyed: DataFrame, name: String): DataFrame = keyed
@@ -194,29 +200,47 @@ object GovernanceQueries {
     // ── G69: referential-integrity audit ───────────────────────────────
     // Orphan-FK counts for every edge of the star schema in one
     // manifest — the data-quality gate a warehouse runs before
-    // publishing a snapshot. Each relationship is a distinct-parent
-    // left_anti join: parents that fit broadcast (dims) never shuffle
-    // the fact side; a 100 TB-parent edge swaps in the q110 Bloom-prune
-    // (`ops/Bloom.antiJoin`) with the identical verdict. Counts are
-    // 1-row aggregates crossed together — output is |edges| rows,
-    // never data-shaped.
+    // publishing a snapshot. The three lineitem edges share ONE fact
+    // scan (r7 read it once per edge): each row explodes to an
+    // (edge, key) pair, the pairs LEFT-join the rel-tagged union of
+    // distinct parents, and a single conditional aggregate yields
+    // n_child + n_orphans per edge — at 100 TB one fact pass beats
+    // three even when each dim would broadcast, and the (rel, k) join
+    // key keeps the parent shuffle balanced across edges. A
+    // 100 TB-parent edge swaps in the q110 Bloom-prune
+    // (`ops/Bloom.antiJoin`) with the identical verdict. Output is
+    // |edges| rows, never data-shaped. Single-scan shape is
+    // spec-asserted (GovernanceSpec).
     "q124_fk_audit" -> ((s, dir) => {
-      def audit(child: DataFrame, childKey: String, parent: DataFrame,
-                parentKey: String, name: String): DataFrame = {
-        val orphans = child.select(col(childKey).as("k"))
-          .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
-        child.agg(count(lit(1)).as("n_child"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-          .withColumn("rel", lit(name))
-      }
-      val li = Tables.lineitem(s, dir)
-      audit(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey", "lineitem->orders")
-        .unionByName(audit(Tables.orders(s, dir), "o_custkey",
-          Tables.customer(s, dir), "c_custkey", "orders->customer"))
-        .unionByName(audit(li, "l_partkey", Tables.part(s, dir), "p_partkey",
-          "lineitem->part"))
-        .unionByName(audit(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
-          "lineitem->supplier"))
+      def edge(rel: String, k: String) =
+        struct(lit(rel).as("rel"), col(k).as("k"))
+      val liKeys = Tables.lineitem(s, dir)
+        .select(explode(array(
+          edge("lineitem->orders", "l_orderkey"),
+          edge("lineitem->part", "l_partkey"),
+          edge("lineitem->supplier", "l_suppkey"))).as("e"))
+        .select(col("e.rel").as("rel"), col("e.k").as("k"))
+      def parent(df: DataFrame, rel: String, k: String) =
+        df.select(lit(rel).as("rel"), col(k).as("k"))
+      val parents = parent(Tables.orders(s, dir), "lineitem->orders", "o_orderkey")
+        .unionByName(parent(Tables.part(s, dir), "lineitem->part", "p_partkey"))
+        .unionByName(parent(Tables.supplier(s, dir), "lineitem->supplier", "s_suppkey"))
+        .distinct()
+        .withColumn("hit", lit(1))
+      val liAudit = liKeys.join(parents, Seq("rel", "k"), "left_outer")
+        .groupBy("rel")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      // orders->customer: different child table — the broadcast-dim
+      // anti-join shape stands alone
+      val ordOrphans = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        .join(Tables.customer(s, dir).select(col("c_custkey").as("k")).distinct(),
+          Seq("k"), "left_anti")
+      val ocAudit = Tables.orders(s, dir).agg(count(lit(1)).as("n_child"))
+        .crossJoin(ordOrphans.agg(count(lit(1)).as("n_orphans")))
+        .withColumn("rel", lit("orders->customer"))
+        .select("rel", "n_child", "n_orphans")
+      liAudit.unionByName(ocAudit)
         .withColumn("orphan_ppm", expr("n_orphans * 1000000 div n_child"))
         .select("rel", "n_child", "n_orphans", "orphan_ppm")
         .orderBy("rel")
@@ -248,6 +272,12 @@ object GovernanceQueries {
     // single pass (conditional sums, no self-join); the 1-row mass
     // totals broadcast. The monitor that catches a crawl-source flip
     // before it poisons the mixture.
+    // Overflow bound (ADVICE r7): ratio_e4 = cnt_b·na·10⁴ wraps BIGINT
+    // once cnt_b·na ≥ 9.2e14 — i.e. a 10¹²-token side mass with any
+    // token above ~900 hits on the other side. At that corpus scale
+    // reduce the factor to e2 or lift the numerator to DECIMAL(38,0) as
+    // q114 does (same fix as q122's skew_x100); the e4 floor-div itself
+    // is the only scale-sensitive term.
     "q126_token_drift" -> ((s, dir) => {
       val inst = Tables.documents(s, dir)
         .select((col("doc_id") % 2 === 0).as("a"),

@@ -27,8 +27,21 @@ object HostProbe {
     * class can never tighten the baseline and a slower class is
     * permanently stamped degraded. [[probeRefProvenance]] is recorded in
     * every timing artifact so numbers are interpretable either way. */
-  val ProbeRefSec: Double =
-    sys.env.get("GRAFT_PROBE_REF_SEC").map(_.toDouble).getOrElse(0.065)
+  val ProbeRefSec: Double = sys.env.get("GRAFT_PROBE_REF_SEC") match {
+    case None => 0.065
+    case Some(v) =>
+      // validated at init: a malformed value must fail with the env var's
+      // name (not a bare NumberFormatException from a static initializer),
+      // and a zero/negative value would make every probe ratio — and the
+      // host_degraded verdict — nonsense (ADVICE r7)
+      val d = try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_PROBE_REF_SEC must be a number of seconds, got '$v'")
+      }
+      require(d > 0 && !d.isNaN && !d.isInfinite,
+        s"GRAFT_PROBE_REF_SEC must be a finite value > 0, got '$v'")
+      d
+  }
 
   /** Where the calibration constant came from — stamped into Bench and
     * ScaleProbe artifacts next to the ratio it anchors. */

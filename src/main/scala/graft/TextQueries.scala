@@ -32,7 +32,8 @@ object TextQueries {
           col("doc_id"),
           size(col("toks")).cast(LongType).as("n_tokens"),
           size(array_distinct(col("toks"))).cast(LongType).as("n_types"),
-          stopwordCount(col("toks"), EnStop).cast(LongType).as("n_stop"))
+          // element 1 of the single-pass kernel == stopwordCount(EnStop)
+          element_at(expr("stop_hits3(toks)"), 1).as("n_stop"))
         .withColumn("ttr_e4", expr("n_types * 10000 div n_tokens"))
         .orderBy("doc_id")
     }),
@@ -65,7 +66,7 @@ object TextQueries {
           length(col("text")).cast(LongType).as("n_chars"),
           size(col("toks")).cast(LongType).as("n_tokens"),
           totalTokenChars(col("toks")).cast(LongType).as("tok_chars"),
-          stopwordCount(col("toks"), EnStop).cast(LongType).as("n_stop"))
+          element_at(expr("stop_hits3(toks)"), 1).as("n_stop"))
         .withColumn("avg_tok_len_e2", expr("tok_chars * 100 div n_tokens"))
         .withColumn("stop_e4", expr("n_stop * 10000 div n_tokens"))
         .withColumn("quality",
@@ -76,14 +77,20 @@ object TextQueries {
     }),
 
     // Language ID: stopword-hit argmax heuristic (integer logic only).
+    // The three per-language counts come from ONE codegen'd token-array
+    // walk (plans.StopHitsKernel — value-identical to the per-list
+    // stopwordCount HOF the oracle still mirrors, asserted in
+    // MinHashKernelSpec); the former 3× interpreted `filter(isin)` walk
+    // made this the suite's most expensive query (VERDICT r7).
     "q19_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
         .withColumn("toks", tokens(col("text")))
+        .withColumn("h", expr("stop_hits3(toks)"))
         .select(
           col("doc_id"), col("lang"),
-          stopwordCount(col("toks"), EnStop).cast(LongType).as("en_hits"),
-          stopwordCount(col("toks"), EsStop).cast(LongType).as("es_hits"),
-          stopwordCount(col("toks"), DeStop).cast(LongType).as("de_hits"))
+          element_at(col("h"), 1).as("en_hits"),
+          element_at(col("h"), 2).as("es_hits"),
+          element_at(col("h"), 3).as("de_hits"))
         .withColumn("lang_pred",
           when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
             .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")

@@ -364,6 +364,72 @@ case class SimHash128(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass multilingual stopword counter — q19's former plan called
+  * one `size(filter(toks, isin(...)))` per language, and array HOF
+  * lambdas are CodegenFallback (interpreted per element), so the token
+  * array was walked three times through interpreted eval: the suite's
+  * most expensive query at 2.65 s (VERDICT r7). One codegen'd walk with
+  * a shared token→language-bitmask table returns all three counts;
+  * value-identical to the per-list `TextFunctions.stopwordCount`
+  * (tokens counted with multiplicity), asserted on real data in
+  * MinHashKernelSpec. The lists live in TextFunctions (En/Es/De) so the
+  * oracle mirror and the kernel can't drift. */
+object StopHitsKernel {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private val masks: java.util.HashMap[UTF8String, java.lang.Integer] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer]()
+    def add(ws: Seq[String], bit: Int): Unit = ws.foreach { w =>
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, if (prev == null) 1 << bit else prev | (1 << bit))
+    }
+    add(graft.functions.TextFunctions.EnStop, 0)
+    add(graft.functions.TextFunctions.EsStop, 1)
+    add(graft.functions.TextFunctions.DeStop, 2)
+    m
+  }
+
+  /** [en, es, de] stopword hit counts over one token array. */
+  def hits3(toks: ArrayData): GenericArrayData = {
+    val out = new Array[Long](3)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val m = masks.get(toks.getUTF8String(i))
+      if (m != null) {
+        val v = m.intValue()
+        if ((v & 1) != 0) out(0) += 1
+        if ((v & 2) != 0) out(1) += 1
+        if ((v & 4) != 0) out(2) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `stop_hits3(tokenArray)` → array<bigint> [en_hits, es_hits, de_hits]. */
+case class StopHits3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stop_hits3 needs array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopHitsKernel.hits3(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.StopHitsKernel.hits3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopHits3 =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint over codepoints:
   * fp = fold(0, (acc, cp) -> (acc·31 + cp) mod (2^31−1)) — the
   * Rabin-Karp-style content fingerprint, order-SENSITIVE (complements
@@ -568,6 +634,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: ngrams_all(arrayCol, n) with a literal int n")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("stop_hits3"),
+      new ExpressionInfo(classOf[StopHits3].getName, "stop_hits3"),
+      (children: Seq[Expression]) => StopHits3(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),

@@ -88,7 +88,8 @@ class GovernanceSpec extends AnyFunSuite {
     check("day", ev.map(_.getTimestamp(2).toLocalDateTime.toLocalDate))
   }
 
-  test("q124 FK audit: clean star schema has zero orphans on every edge; plan broadcasts dims") {
+  test("q124 FK audit: clean star schema has zero orphans on every edge; one lineitem scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val df = run("q124_fk_audit")
     val rows = df.collect()
     assert(rows.length == 4)
@@ -96,9 +97,14 @@ class GovernanceSpec extends AnyFunSuite {
       assert(r.getLong(2) == 0L, s"${r.getString(0)}: testdata must be referentially clean")
       assert(r.getLong(1) > 0L)
     }
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"small-parent anti joins should broadcast:\n$plan")
+    // the load-bearing shape: all three fact edges audit off ONE
+    // lineitem scan (r7 planned three)
+    val liScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.size == 1,
+      s"expected exactly one lineitem scan, got ${liScans.size}:\n${df.queryExecution.sparkPlan}")
   }
 
   test("q125 stratified sample: exact quota per stratum, deterministic across runs") {

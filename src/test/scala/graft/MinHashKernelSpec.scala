@@ -60,6 +60,27 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(tiny.select(expr("ngrams_all(toks, 2)")).as[Seq[String]].head().isEmpty)
   }
 
+  test("stop_hits3 equals the per-list stopwordCount HOFs in one pass") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("toks", tokens(col("text")))
+    val both = d.select(col("doc_id"),
+      expr("stop_hits3(toks)").as("h"),
+      stopwordCount(col("toks"), EnStop).cast("long").as("en"),
+      stopwordCount(col("toks"), EsStop).cast("long").as("es"),
+      stopwordCount(col("toks"), DeStop).cast("long").as("de"))
+    assert(both.filter(
+      element_at(col("h"), 1) =!= col("en") ||
+      element_at(col("h"), 2) =!= col("es") ||
+      element_at(col("h"), 3) =!= col("de")).count() == 0)
+    // degenerate: empty token array -> [0,0,0], multiplicity kept for dups
+    import spark.implicits._
+    val tiny = Seq((1L, Seq.empty[String]), (2L, Seq("the", "the", "de", "der")))
+      .toDF("doc_id", "toks")
+    val rows = tiny.select(expr("stop_hits3(toks)")).as[Seq[Long]].collect()
+    assert(rows(0) == Seq(0L, 0L, 0L))
+    assert(rows(1) == Seq(2L, 1L, 1L)) // 'de' is Spanish-list only, 'der' German
+  }
+
   test("cosine_r6 kernel is bit-identical to the declarative round(dot/sqrt/sqrt)") {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")

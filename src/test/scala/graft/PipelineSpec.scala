@@ -218,6 +218,20 @@ class PipelineSpec extends AnyFunSuite {
       s"img.bytes must be pruned from ReadSchema: $read")
   }
 
+  test("q127: ORC scan pushes the returnflag filter and prunes to 3 columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = PipelineQueries.queries("q127_orc_roundtrip")(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val orc = scans.filter(_.relation.fileFormat.toString.toLowerCase.contains("orc"))
+    assert(orc.nonEmpty, s"no ORC scan in:\n${df.queryExecution.sparkPlan}")
+    val pushed = orc.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag predicate must reach the ORC scan: $pushed")
+    val read = orc.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_returnflag", "l_quantity", "l_extendedprice"),
+      s"ReadSchema must prune the 6 written columns to the 3 needed: $read")
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")
