@@ -278,6 +278,92 @@ object GovernanceQueries {
     // reduce the factor to e2 or lift the numerator to DECIMAL(38,0) as
     // q114 does (same fix as q122's skew_x100); the e4 floor-div itself
     // is the only scale-sensitive term.
+    // ── G73: candidate-key uniqueness audit ────────────────────────────
+    // The PK-side complement of q124's FK audit: for each declared
+    // candidate key, n_rows, n_keys, duplicate-key groups, and the worst
+    // multiplicity — the constraint check a warehouse runs because
+    // parquet enforces nothing. One partial-agg groupBy per key (the
+    // per-key count combines map-side) and a 1-row rollup; output is
+    // |keys| rows, never data-shaped. A duplicate-free key reads
+    // n_dup_keys = 0, max_mult = 1.
+    "q128_pk_audit" -> ((s, dir) => {
+      def audit(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+            max(col("c")).as("max_mult"))
+          .withColumn("key_name", lit(name))
+      audit(Tables.lineitem(s, dir), "lineitem(l_orderkey,l_linenumber)",
+          Seq("l_orderkey", "l_linenumber"))
+        .unionByName(audit(Tables.orders(s, dir), "orders(o_orderkey)", Seq("o_orderkey")))
+        .unionByName(audit(Tables.events(s, dir), "events(event_id)", Seq("event_id")))
+        .unionByName(audit(Tables.documents(s, dir), "documents(doc_id)", Seq("doc_id")))
+        .select("key_name", "n_rows", "n_keys", "n_dup_keys", "max_mult")
+        .orderBy("key_name")
+    }),
+
+    // ── G74: order-independent table checksum ──────────────────────────
+    // Snapshot reconciliation without moving data: each row serializes
+    // to a canonical '|'-joined string (BIGINT-rendered numbers only —
+    // floats ride as scaled ints, the engine-portable form), hashes to
+    // a 60-bit value (15 hex of md5 — BIGINT-safe in every engine), and
+    // XOR-aggregates per partition group. XOR is commutative/
+    // associative with no overflow, so the checksum is row-order- and
+    // partitioning-independent and combines map-side: comparing two
+    // 100 TB replicas costs one scan each side and ships |groups| rows.
+    // The per-group split (returnflag / orderstatus) localizes a
+    // mismatch the way partition-level rsync does.
+    "q129_table_checksum" -> ((s, dir) => {
+      def sum60(df: DataFrame, name: String, grp: Column): DataFrame =
+        df.groupBy(grp.as("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor60"))
+          .withColumn("table_name", lit(name))
+      val li = Tables.lineitem(s, dir)
+        .withColumn("h", conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(col("l_quantity") * 100).cast(LongType))), 1, 15), 16, 10)
+          .cast(LongType))
+      val o = Tables.orders(s, dir)
+        .withColumn("h", conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast(LongType))), 1, 15), 16, 10)
+          .cast(LongType))
+      sum60(li, "lineitem", col("l_returnflag"))
+        .unionByName(sum60(o, "orders", col("o_orderstatus")))
+        .select("table_name", "grp", "n_rows", "xor60")
+        .orderBy("table_name", "grp")
+    }),
+
+    // ── G76: exact decile drift ────────────────────────────────────────
+    // The numeric twin of q126's token drift: split events by event_id
+    // parity into snapshots A/B, take the EXACT per-event_type deciles
+    // of value on each side (ceil-rank selection under the (v6,
+    // event_id) total order — q123's discipline), and report the
+    // per-decile shift. delta6 is a plain difference, no signed
+    // division. The per-(side, type) row_number is the price of
+    // exactness; at 100 TB swap in q61's GK sketch bounds per side and
+    // keep this same compare tail.
+    "q131_quantile_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000000).cast(LongType).as("v6"),
+          (col("event_id") % 2 === 0).as("a"))
+      val w = Window.partitionBy("a", "event_type").orderBy(col("v6"), col("event_id"))
+      val ranked = e.withColumn("rk", row_number().over(w).cast(LongType))
+      val targets = e.groupBy("a", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("d", explode(array((1L to 9L).map(lit(_)): _*)))
+        .withColumn("rk", expr("(n * d + 9) div 10"))
+        .select("a", "event_type", "d", "rk")
+      ranked.join(targets, Seq("a", "event_type", "rk"))
+        .groupBy("event_type", "d")
+        .agg(min(when(col("a"), col("v6"))).as("va6"),
+          min(when(!col("a"), col("v6"))).as("vb6"))
+        .withColumn("delta6", col("vb6") - col("va6"))
+        .orderBy("event_type", "d")
+    }),
+
     "q126_token_drift" -> ((s, dir) => {
       val inst = Tables.documents(s, dir)
         .select((col("doc_id") % 2 === 0).as("a"),
@@ -417,6 +503,61 @@ object GovernanceQueries {
         |           FROM documents)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
+
+    "q128_pk_audit" ->
+      """WITH li AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |     o  AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey),
+        |     ev AS (SELECT COUNT(*) AS c FROM events GROUP BY event_id),
+        |     d  AS (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id),
+        |     a AS (
+        |  SELECT 'lineitem(l_orderkey,l_linenumber)' AS key_name, SUM(c) AS n_rows,
+        |         COUNT(*) AS n_keys, SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+        |         MAX(c) AS max_mult FROM li
+        |  UNION ALL SELECT 'orders(o_orderkey)', SUM(c), COUNT(*),
+        |         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), MAX(c) FROM o
+        |  UNION ALL SELECT 'events(event_id)', SUM(c), COUNT(*),
+        |         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), MAX(c) FROM ev
+        |  UNION ALL SELECT 'documents(doc_id)', SUM(c), COUNT(*),
+        |         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), MAX(c) FROM d)
+        |SELECT key_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(n_dup_keys AS BIGINT) AS n_dup_keys, max_mult
+        |FROM a ORDER BY key_name""".stripMargin,
+
+    "q129_table_checksum" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+        |  CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |    l_partkey, l_suppkey, CAST(round(l_quantity*100) AS BIGINT))), 1, 15)
+        |    AS BIGINT) AS h FROM lineitem),
+        |     o AS (SELECT o_orderstatus AS grp,
+        |  CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |    o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT))), 1, 15)
+        |    AS BIGINT) AS h FROM orders),
+        |     a AS (
+        |  SELECT 'lineitem' AS table_name, grp, COUNT(*) AS n_rows, bit_xor(h) AS xor60
+        |  FROM li GROUP BY grp
+        |  UNION ALL
+        |  SELECT 'orders', grp, COUNT(*), bit_xor(h) FROM o GROUP BY grp)
+        |SELECT table_name, grp, CAST(n_rows AS BIGINT) AS n_rows, xor60
+        |FROM a ORDER BY table_name, grp""".stripMargin,
+
+    "q131_quantile_drift" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value*1000000) AS BIGINT) AS v6,
+        |             event_id % 2 = 0 AS a FROM events),
+        |     r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a, event_type
+        |             ORDER BY v6, event_id) AS BIGINT) AS rk FROM e),
+        |     k AS (SELECT a, event_type, COUNT(*) AS n FROM e GROUP BY a, event_type),
+        |     t AS (SELECT a, event_type, CAST(d AS BIGINT) AS d, (n*d + 9) // 10 AS rk
+        |           FROM k CROSS JOIN (SELECT UNNEST(range(1, 10)) AS d)),
+        |     j AS (SELECT r.event_type, t.d, r.a, r.v6
+        |           FROM r JOIN t ON r.a = t.a AND r.event_type = t.event_type
+        |                        AND r.rk = t.rk)
+        |SELECT event_type, d,
+        |       MIN(CASE WHEN a THEN v6 END) AS va6,
+        |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
+        |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
+        |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
 
     "q126_token_drift" ->
       s"""WITH t AS (SELECT doc_id % 2 = 0 AS a,

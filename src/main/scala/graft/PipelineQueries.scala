@@ -186,7 +186,7 @@ object PipelineQueries {
         .orderBy("row_id")
     }),
 
-    // ── G73: ORC source/sink round-trip ────────────────────────────────
+    // ── G72: ORC source/sink round-trip ────────────────────────────────
     // Columnar-format coverage beyond parquet: snapshot a lineitem slice
     // as ORC (written once per JVM), read it back, filter + aggregate.
     // The read is a real ORC scan with Catalyst pushdown — the spec

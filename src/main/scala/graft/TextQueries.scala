@@ -247,6 +247,29 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ── G75: token-concentration profile ───────────────────────────────
+    // Simpson (Herfindahl) concentration of each document's unigram
+    // distribution — the integer-exact gibberish/boilerplate signal
+    // entropy filters approximate with floats: simpson_e6 =
+    // Σcnt²·10⁶ div n² (1e6/n_types for uniform text → 1e6 for one
+    // repeated token), top_share_e4 = heaviest token's share. Explode →
+    // (doc, tok) partial-agg count → per-doc aggregate: two map-side-
+    // combining shuffles, embarrassingly parallel at any corpus size.
+    // Overflow bound: Σcnt² ≤ n², so the e6 product needs n ≤ 3·10⁶
+    // tokens per document — beyond that drop to e3 (q119's rule).
+    "q130_token_concentration" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"), max(col("c")).as("top_cnt"))
+        .withColumn("simpson_e6", expr("sum_c2 * 1000000 div (n_toks * n_toks)"))
+        .withColumn("top_share_e4", expr("top_cnt * 10000 div n_toks"))
+        .select("doc_id", "n_toks", "n_types", "simpson_e6", "top_share_e4")
+        .orderBy("doc_id")
+    }),
+
     // SimHash (16-bit for the oracle-matched variant): per-token hash bit
     // votes folded per document by the native simhash16 kernel — no
     // explode, no vote-sum shuffle; the operator is a scan-side
@@ -452,6 +475,18 @@ object TextQueries {
         |           FROM documents)
         |SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
         |FROM f GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q130_token_concentration" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
+         |     c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+         |     a AS (SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_types,
+         |             SUM(c*c) AS sum_c2, MAX(c) AS top_cnt
+         |           FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |       CAST(n_types AS BIGINT) AS n_types,
+         |       CAST(sum_c2 * 1000000 // (n_toks * n_toks) AS BIGINT) AS simpson_e6,
+         |       CAST(top_cnt * 10000 // n_toks AS BIGINT) AS top_share_e4
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q25_simhash" -> {
       val v = sqlTokenHash16("tok")

@@ -30,6 +30,7 @@ object VectorQueries {
   // bands OR across).
   private val NdBands: Seq[Range] = (0 until 4).map(g => (8 * g) until (8 * g + 8))
   private val IvfSeeds = 8            // q38: coarse-quantizer cell count
+  private val KmeansCells = 8         // q132: Lloyd-step centroid count (seeds = vec_id 0..7)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -150,6 +151,41 @@ object VectorQueries {
         .select(col("vec_id"), col("bucket"), cosineR6(col("v"), col("qe")).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // ── G77: k-means Lloyd step (IVF centroid training) ────────────────
+    // The training step behind q38's coarse quantizer: assign every
+    // vector to its nearest seed centroid (EXACT scaled-int squared L2 —
+    // coordinates reduce to e6 ints at the scan, so distances are
+    // BIGINT-exact and the argmin is engine-independent; ties break to
+    // the lowest centroid id), then emit the re-estimated centroids as
+    // per-(cell, dim) floor-div means. Plan shape: the K×d centroid
+    // table is broadcast into the per-dim explode, assignment
+    // partial-aggregates map-side (each vector's K rows collapse before
+    // the vec_id shuffle), and the update aggregate lands on K·d keys —
+    // at a billion vectors the explode becomes a fused per-row kernel
+    // over the broadcast centroid matrix (SrpKernel's shape) with this
+    // same aggregate tail. Overflow: diff ≤ 4e6 ⇒ d·diff² ≤ 10^15·d —
+    // BIGINT-safe through d ≈ 9000 dims.
+    "q132_kmeans_step" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(asDouble(col("embedding"))).as(Seq("p", "e")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+          round(col("e") * 1000000).cast("long").as("v6"))
+      val cents = x.filter(col("vec_id").between(0, KmeansCells - 1))
+        .select(col("vec_id").as("cid"), col("i"), col("v6").as("c6"))
+      val assign = x.join(broadcast(cents), Seq("i"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v6") - col("c6")) * (col("v6") - col("c6"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      assign.join(x, Seq("vec_id"))
+        .groupBy("cid", "i")
+        .agg(count(lit(1)).as("n_members"), sum(col("v6")).as("sum_v6"))
+        .withColumn("new_c6", expr("sum_v6 div n_members"))
+        .select("cid", "i", "n_members", "sum_v6", "new_c6")
+        .orderBy("cid", "i")
     })
   )
 
@@ -215,7 +251,26 @@ object VectorQueries {
            |     q AS (SELECT v AS qe, cell AS qcell FROM cells WHERE vec_id = 0)
            |SELECT vec_id, cell, ${sqlCosineR6("v", "qe")} AS cos_r
            |FROM cells, q WHERE vec_id != 0 AND cell = qcell
-           |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin
+           |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+
+      "q132_kmeans_step" ->
+        s"""WITH x AS (SELECT vec_id,
+           |             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+           |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v6
+           |           FROM embeddings),
+           |     c AS (SELECT vec_id AS cid, i, v6 AS c6 FROM x
+           |           WHERE vec_id BETWEEN 0 AND ${KmeansCells - 1}),
+           |     d AS (SELECT x.vec_id, c.cid, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2
+           |           FROM x JOIN c ON x.i = c.i GROUP BY x.vec_id, c.cid),
+           |     a AS (SELECT vec_id, cid FROM
+           |             (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+           |     u AS (SELECT a.cid, x.i, COUNT(*) AS n_members, SUM(x.v6) AS sum_v6
+           |           FROM a JOIN x ON a.vec_id = x.vec_id GROUP BY a.cid, x.i)
+           |SELECT cid, i, CAST(n_members AS BIGINT) AS n_members,
+           |       CAST(sum_v6 AS BIGINT) AS sum_v6,
+           |       CAST(sum_v6 // n_members AS BIGINT) AS new_c6
+           |FROM u ORDER BY cid, i""".stripMargin
     )
   }
 }

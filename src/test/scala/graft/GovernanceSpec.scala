@@ -107,6 +107,58 @@ class GovernanceSpec extends AnyFunSuite {
       s"expected exactly one lineitem scan, got ${liScans.size}:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("q128 PK audit matches direct recomputation; true PKs are duplicate-free") {
+    val rows = run("q128_pk_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 4)
+    // the synthetic generator does NOT enforce the lineitem compound PK —
+    // the audit must surface that honestly; cross-check it directly
+    val li = Tables.lineitem(spark, sf)
+    val nRows = li.count()
+    val nKeys = li.select("l_orderkey", "l_linenumber").distinct().count()
+    val (aRows, aKeys, aDups, aMax) = rows("lineitem(l_orderkey,l_linenumber)")
+    assert(aRows == nRows && aKeys == nKeys)
+    if (nKeys < nRows) assert(aDups > 0 && aMax > 1) else assert(aDups == 0 && aMax == 1)
+    // generated surrogate ids ARE unique
+    Seq("events(event_id)", "documents(doc_id)", "orders(o_orderkey)").foreach { k =>
+      val (r, ks, d, m) = rows(k)
+      assert(r == ks && d == 0L && m == 1L, s"$k must be duplicate-free")
+    }
+  }
+
+  test("q129 checksum is row-order independent and partition-count independent") {
+    val a = run("q129_table_checksum").collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // same rows through a different physical layout -> identical checksums
+    val li = Tables.lineitem(spark, sf).orderBy(org.apache.spark.sql.functions.rand(7)).repartition(13)
+    val h = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws("|",
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_linenumber"),
+          org.apache.spark.sql.functions.col("l_partkey"),
+          org.apache.spark.sql.functions.col("l_suppkey"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("l_quantity") * 100).cast("long"))), 1, 15), 16, 10)
+      .cast("long")
+    val re = li.withColumn("h", h)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag").as("grp"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr("bit_xor(h)").as("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    re.foreach { case (grp, v) => assert(a(("lineitem", grp)) == v, s"checksum drifted for $grp") }
+  }
+
+  test("q131 deciles are monotone in d per (side, event_type)") {
+    val rows = run("q131_quantile_drift").collect()
+    assert(rows.length % 9 == 0 && rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byD = rs.sortBy(_.getLong(1))
+      assert(byD.map(_.getLong(2)).sliding(2).forall(p => p.head <= p.last), "va6 monotone")
+      assert(byD.map(_.getLong(3)).sliding(2).forall(p => p.head <= p.last), "vb6 monotone")
+      byD.foreach(r => assert(r.getLong(4) == r.getLong(3) - r.getLong(2)))
+    }
+  }
+
   test("q125 stratified sample: exact quota per stratum, deterministic across runs") {
     val a = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val b = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

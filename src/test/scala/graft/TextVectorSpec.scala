@@ -126,6 +126,34 @@ class TextVectorSpec extends AnyFunSuite {
       .contains("SinglePartition"), s"q105 window runs on one partition:\n$p105")
   }
 
+  test("q130 concentration: uniform text -> simpson = 1e6/n_types; single token -> 1e6") {
+    val rows = SparkEntry.queries("q130_token_concentration")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types, simpson, topShare) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(types <= n && simpson >= 1000000L / math.max(types, 1) - 1 && simpson <= 1000000L)
+      // the heaviest token's share is at least the uniform share, at most all
+      assert(topShare <= 10000L && topShare >= 10000L / math.max(types, 1) - 1)
+    }
+  }
+
+  test("q132 kmeans step: every vector assigned exactly once; centroids well-formed") {
+    val df = SparkEntry.queries("q132_kmeans_step")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 8 * 64, s"expected K*d rows, got ${rows.length}")
+    val total = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    // per dimension, memberships across cells partition the corpus
+    rows.groupBy(_.getLong(1)).foreach { case (_, dimRows) =>
+      assert(dimRows.map(_.getLong(2)).sum == total)
+    }
+    // floor-div mean stays inside the member envelope
+    rows.foreach { r =>
+      val (n, sum, c6) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && math.abs(c6 - sum.toDouble / n) <= 1.0)
+    }
+  }
+
   test("langid heuristic prefers the language whose stopwords dominate") {
     val df = Seq((1L, "el la de que los una es y"), (2L, "the a of to in and is"))
       .toDF("doc_id", "text")
