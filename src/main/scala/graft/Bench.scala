@@ -175,8 +175,26 @@ object Bench {
       val med = times(math.min(1, times.size - 1))
       QStat(times.head, med, attempts, dirtyRuns, clean.size)
     }
+    // per-stream throughput/state metrics (VERDICT r7 "next" #6): drains
+    // run inside each streaming query's first (fixture-building) run;
+    // polling the drain log after each measurement attributes records to
+    // the query that produced them. Replays report 0 input rows, so the
+    // summary keeps the largest-drain record (the real ingest).
+    val streamStats = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def harvestStreams(name: String): Unit = {
+      val recs = graft.streaming.StreamMetrics.drainLog()
+      if (recs.nonEmpty && !streamStats.contains(name)) {
+        val real = recs.filter(_.inputRows > 0)
+        val best = (if (real.nonEmpty) real else recs).maxBy(_.inputRows)
+        streamStats(name) =
+          f"""{"drains":${recs.size},"input_rows":${best.inputRows},"batches":${best.batches},"drain_sec":${best.wallSec}%.3f,"rows_per_sec":${best.rowsPerSec}%.1f,"peak_state_rows":${best.peakStateRows}}"""
+      }
+    }
+    graft.streaming.StreamMetrics.drainLog() // clear anything from warmup
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> measure(name, fn)
+      val st = measure(name, fn)
+      harvestStreams(name)
+      name -> st
     }
     // End-of-suite retry: a query whose window never went clean kept a
     // storm-era number (r5: q49 exhausted maxRuns mid-storm at 49 s min
@@ -198,7 +216,8 @@ object Bench {
     val probeRatio = probeBestSession / ProbeRefSec
     val hostDegraded = probeRatio > ProbeHealthyRatio
     val host = f"""{"probe_ref_sec":$ProbeRefSec,"probe_ref_provenance":"${HostProbe.probeRefProvenance}","probe_best_sec":$probeBestSession%.4f,"probe_best_vs_ref":$probeRatio%.3f,"host_degraded":$hostDegraded,"queries_estimator_degraded":$nDegraded}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"sf":"$sfDir"}"""
+    val streams = streamStats.map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"streams":$streams,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     // The LAST stdout line is a compact (<500 B) summary: the driver
     // captures only a tail of stdout, and r5's single 11 KB line was

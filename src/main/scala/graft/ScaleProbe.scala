@@ -54,7 +54,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // kFrom offsets the copy salt so the warm-up fixture's vocabulary is
-    // disjoint from BOTH timed fixtures' (nothing is accidentally shared)
+    // disjoint from EVERY timed fixture's (nothing is accidentally shared)
     def gen(nCopies: Int, kFrom: Int, out: String): Unit =
       if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
         val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -68,13 +68,6 @@ object ScaleProbe {
           .withColumn("n_chars", length(col("text")).cast("long"))
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
       }
-    val dirW = s"$work/warm"
-    val dir1 = s"$work/x$lo"
-    val dirC = s"$work/x$hi"
-    gen(1, 900, dirW)
-    gen(lo, 0, dir1)
-    gen(hi, 100, dirC)
-
     // Both noise layers (see HostProbe): steal jiffies around each run
     // AND the absolute calibration probe after it — the probe is what
     // caught this probe's own first run recording a 28×-inflated q64
@@ -93,25 +86,68 @@ object ScaleProbe {
       if (p < probeBest) probeBest = p
       (t, stolen > 0.05 || p > HostProbe.ProbeRefSec * HostProbe.HealthyRatio)
     }
+    // block until a 500 ms window passes with <2% steal and the compute
+    // probe at (near-)calibration speed — same defense as Bench's
+    def waitForCleanHost(maxWaitMs: Long): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      while (System.nanoTime() < deadline) {
+        val s0 = HostProbe.stealJiffies()
+        Thread.sleep(500)
+        val frac = if (s0 < 0) 0.0
+          else (HostProbe.stealJiffies() - s0) * 0.01 / (0.5 * nCores)
+        val p = HostProbe.probeOnce()
+        if (p < probeBest) probeBest = p
+        if (frac < 0.02 && p < HostProbe.ProbeRefSec * HostProbe.HealthyRatio) return
+        System.err.println(f"[scale] host degraded (steal ${frac * 100}%.1f%%, probe $p%.3f s) — waiting")
+      }
+    }
 
+    val ratio = hi.toDouble / lo.toDouble
+    final case class QRes(tLo: Double, tHi: Double, dirty: Boolean) {
+      def exp: Double = math.log(tHi / tLo) / math.log(ratio)
+    }
+
+    // A steal/degradation window makes an exponent meaningless, and a
+    // RERUN of the same fixture dirs would hit the per-dir pipeline
+    // memos (signature/token tables) and measure a warm half-query — so
+    // each attempt gets FRESH fixture dirs (generation is untimed; the
+    // warm-up fixture is shared, its salts disjoint from every attempt).
+    // Up to `maxAttempts` full passes; the first all-clean attempt wins,
+    // else the attempt with fewest dirty queries is reported (flagged).
+    val maxAttempts = 3
+    var attempt = 0
+    var best: Map[String, QRes] = Map.empty
+    var bestDirty = Int.MaxValue
+    val dirW = s"$work/warm"
+    gen(1, 900, dirW)
     // untimed warm-up pass: every plan shape compiles and runs once
     // against its own fixture dir — codegen/kernels/shuffle infra hot,
     // timed passes keep their full per-snapshot pipeline cost
     ProbeQueries.foreach(q => timeOnce(q, dirW))
+    while (attempt < maxAttempts && bestDirty > 0) {
+      val dir1 = s"$work/a$attempt/x$lo"
+      val dirC = s"$work/a$attempt/x$hi"
+      // per-attempt salt offsets keep every attempt's vocabulary disjoint
+      gen(lo, 1000 * attempt, dir1)
+      gen(hi, 1000 * attempt + 100, dirC)
+      waitForCleanHost(20000)
+      val t1 = ProbeQueries.map(q => q -> timeOnce(q, dir1)).toMap
+      val tC = ProbeQueries.map(q => q -> timeOnce(q, dirC)).toMap
+      val res = ProbeQueries.map(q =>
+        q -> QRes(t1(q)._1, tC(q)._1, t1(q)._2 || tC(q)._2)).toMap
+      val nDirty = res.values.count(_.dirty)
+      System.err.println(s"[scale] attempt $attempt: $nDirty dirty queries")
+      if (nDirty < bestDirty) { best = res; bestDirty = nDirty }
+      attempt += 1
+    }
 
-    val ratio = hi.toDouble / lo.toDouble
-    val t1 = ProbeQueries.map(q => q -> timeOnce(q, dir1)).toMap
-    val tC = ProbeQueries.map(q => q -> timeOnce(q, dirC)).toMap
     val per = ProbeQueries.map { q =>
-      val ((a, d1), (b, dC)) = (t1(q), tC(q))
-      val exp = math.log(b / a) / math.log(ratio)
-      f"""\"$q\":{"t_lo_sec":$a%.3f,"t_hi_sec":$b%.3f,"exponent":$exp%.3f,"dirty":${d1 || dC}}"""
+      val r = best(q)
+      f"""\"$q\":{"t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"exponent":${r.exp}%.3f,"dirty":${r.dirty}}"""
     }.mkString("{", ",", "}")
-    val worst = ProbeQueries.map { q =>
-      math.log(tC(q)._1 / t1(q)._1) / math.log(ratio)
-    }.max
+    val worst = ProbeQueries.map(q => best(q).exp).max
     val json =
-      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","queries":$per}"""
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"attempts":$attempt,"dirty_queries":$bestDirty,"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","queries":$per}"""
     Files.writeString(Paths.get("scale_out.json"), json + "\n")
     println(json)
     spark.stop()

@@ -39,11 +39,18 @@ object Graph {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint(true)
     require(vertices.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"connectedComponents needs a numeric id column, got ${vertices.schema(idCol).dataType}")
+    // SELF-LOOPS are added once up front: propagation then reads "min
+    // label over src∪self per dst" off ONE join+aggregate — r7 unioned
+    // `labels` into the propagation every round, which both evaluated
+    // the live label plan twice per round and (with a checkpointed
+    // label relation on each side of the union) tripped Union
+    // constraint rewriting at analysis.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
+      .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"))
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -56,21 +63,25 @@ object Graph {
     var done = false
     while (i < maxIter && !done) {
       val t0 = System.nanoTime()
-      val viaEdges = e.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
-        .select(col("e.dst").as("id"), col("l.comp"))
-      // checkpoint BEFORE the self-join below: it both cuts the per-round
-      // lineage and gives the two join sides independent attribute ids
-      // (a self-join on a live union plan trips Catalyst's constraint
-      // propagation)
-      val propagated = labels.select("id", "comp").union(viaEdges)
+      // one join + one partial-agg min per round (self-loops make the
+      // "own label" case just another edge). Checkpoint BEFORE the
+      // self-join below: it cuts the per-round lineage and gives the
+      // two join sides independent attribute ids.
+      val propagated = e.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.comp").as("comp"))
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
       // pointer jump: a label is always itself a vertex id, so the inner
-      // self-join is total; comp := min(comp, comp[comp])
+      // self-join is total; comp := min(comp, comp[comp]). Checkpointed
+      // EAGERLY: without it the self-join executed twice per round —
+      // once under the certificate action and again re-derived as next
+      // round's input (r7 scale probe: q64 was the dedup family's worst
+      // exponent; this halves its per-round join work).
       val next = propagated.as("a")
         .join(propagated.as("b"), col("a.comp") === col("b.id"))
         .select(col("a.id").as("id"),
           least(col("a.comp"), col("b.comp")).as("comp"))
+        .localCheckpoint(true)
       val cert = certificate(next)
       done = cert.compareTo(prev) == 0
       prev = cert

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+/** Per-drain throughput/state instrumentation (VERDICT r7 "next" #6):
+  * every [[StreamIngest.drain]] appends one record — input rows, batch
+  * count, drain wall seconds, and the state store's PEAK row count over
+  * the drain's progress reports (the measured backing for every
+  * "watermark-bounded state" claim). Consumers (Bench) poll the log
+  * between queries to attribute records; the queue is lock-free so
+  * concurrent drains (Verify's thread pool) never block each other. */
+object StreamMetrics {
+  final case class DrainStat(inputRows: Long, batches: Int, wallSec: Double,
+                             peakStateRows: Long) {
+    def rowsPerSec: Double = if (wallSec > 0) inputRows / wallSec else 0.0
+  }
+  private val log = new java.util.concurrent.ConcurrentLinkedQueue[DrainStat]()
+  private[streaming] def record(s: DrainStat): Unit = log.add(s)
+  /** Remove and return every record appended since the last call. */
+  def drainLog(): Seq[DrainStat] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DrainStat]
+    var x = log.poll()
+    while (x != null) { out += x; x = log.poll() }
+    out.toSeq
+  }
+}
+
 /** Streaming ingest — the reference's daily pipeline
   * (services/airflow/dags/spark_streaming.py:45-97) re-expressed as
   * Structured Streaming over a JSON-lines file source:
@@ -110,8 +133,19 @@ object StreamIngest {
     * other streaming query is live. Every drain in the repo must go
     * through here — a bare `.start()` elsewhere reopens the race. */
   def drain(spark: SparkSession)(build: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t0 = System.nanoTime()
     val q = stateLock.synchronized(build)
     q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // best-effort metrics: recentProgress is a bounded in-memory ring
+    // (plenty for AvailableNow drains); a no-op replay reports 0 rows
+    try {
+      val ps = q.recentProgress
+      val rows = ps.map(_.numInputRows).sum
+      val peak = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsTotal)).foldLeft(0L)(math.max)
+      StreamMetrics.record(StreamMetrics.DrainStat(rows, ps.length, wall, peak))
+    } catch { case _: Throwable => () }
     releaseStateAfterDrain(spark)
   }
 
