@@ -82,20 +82,31 @@ object GovernanceQueries {
     // sort, so Catalyst plans a single exchange+sort reused three times.
     // Interval bounds are epoch-µs BIGINTs (the q57 timestamp
     // discipline) — open-ended current rows carry NULL valid_to_us.
-    "q120_scd2" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("valid_from_us", expr("unix_micros(ts)"))
-        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
-        .withColumn("version", row_number().over(w).cast(LongType))
-        .withColumn("is_current", col("valid_to_us").isNull)
-        .select(col("user_id"), col("event_type").as("state"),
-          col("valid_from_us"), col("valid_to_us"), col("version"),
-          col("is_current"))
-        .orderBy("user_id", "version")
+    "q120_scd2" -> ((s, dir) => scd2History(s, dir).orderBy("user_id", "version")),
+
+    // ── G79: SCD2 point-in-time lookup (feature-store correctness) ─────
+    // The join that makes G65's dimension USEFUL: each purchase event
+    // resolved against the user's state valid AT that event's time —
+    // the point-in-time-correct feature lookup that prevents label
+    // leakage in training data. Composed from the library's own
+    // operators: the q120 history feeds ops/Relational.asOfJoin (union +
+    // carry-forward window — ONE user_id shuffle, no per-row interval
+    // scan, no theta join). The (version, state) struct payload makes
+    // exact-timestamp ties resolve to the HIGHEST version — identical
+    // to interval containment over the [from, to) tiling, which the
+    // oracle states directly as a containment join.
+    "q134_scd2_lookup" -> ((s, dir) => {
+      val ch = scd2History(s, dir)
+        .select(col("user_id"), col("valid_from_us"),
+          struct(col("version"), col("state")).as("vs"))
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      graft.ops.Relational.asOfJoin(p, ch, Seq("user_id"),
+          col("ts_us"), col("valid_from_us"), col("vs"), "vsx")
+        .select(col("event_id"), col("user_id"),
+          col("vsx.state").as("state_at"), col("vsx.version").as("version_at"))
+        .orderBy("event_id")
     }),
 
     // ── G66: CDC merge-upsert ──────────────────────────────────────────
@@ -380,6 +391,39 @@ object GovernanceQueries {
     })
   )
 
+  /** G65's SCD2 dimension build (shared by q120 and q134's lookup). */
+  private[graft] def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_from_us", expr("unix_micros(ts)"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"), col("version"),
+        col("is_current"))
+  }
+
+  /** SCD2 CTE mirror of [[scd2History]] — shared by the q120/q134 oracles. */
+  private val scd2Cte: String =
+    """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      |             LAG(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS prev FROM events),
+      |     c AS (SELECT user_id, event_type, ts, event_id FROM s
+      |           WHERE prev IS NULL OR prev <> event_type),
+      |     scd AS (SELECT user_id, event_type AS state,
+      |       epoch_ns(ts) // 1000 AS valid_from_us,
+      |       LEAD(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+      |         ORDER BY ts, event_id) AS valid_to_us,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |         ORDER BY ts, event_id) AS BIGINT) AS version,
+      |       LEAD(ts) OVER (PARTITION BY user_id
+      |         ORDER BY ts, event_id) IS NULL AS is_current
+      |     FROM c)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q118_pii_scrub" ->
@@ -402,20 +446,19 @@ object GovernanceQueries {
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q120_scd2" ->
-      """WITH s AS (SELECT user_id, event_type, ts, event_id,
-        |             LAG(event_type) OVER (PARTITION BY user_id
-        |               ORDER BY ts, event_id) AS prev FROM events),
-        |     c AS (SELECT user_id, event_type, ts, event_id FROM s
-        |           WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id, event_type AS state,
-        |       epoch_ns(ts) // 1000 AS valid_from_us,
-        |       LEAD(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) AS valid_to_us,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) AS BIGINT) AS version,
-        |       LEAD(ts) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM c ORDER BY user_id, version""".stripMargin,
+      (scd2Cte + "\nSELECT * FROM scd ORDER BY user_id, version"),
+
+    "q134_scd2_lookup" ->
+      (scd2Cte +
+        """,
+          |     p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+          |           FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, scd.state AS state_at,
+          |       scd.version AS version_at
+          |FROM p JOIN scd ON p.user_id = scd.user_id
+          |  AND scd.valid_from_us <= p.ts_us
+          |  AND (scd.valid_to_us IS NULL OR p.ts_us < scd.valid_to_us)
+          |ORDER BY event_id""".stripMargin),
 
     "q121_merge_upsert" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,

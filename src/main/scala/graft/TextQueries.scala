@@ -270,6 +270,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ── G78: boilerplate coverage (corpus-repeated n-grams) ────────────
+    // The C4/RefinedWeb-style boilerplate signal: a 3-gram appearing in
+    // ≥5 DISTINCT documents is template text (headers, nav, license
+    // blurbs); each doc reports how much of its distinct-gram mass is
+    // such boilerplate. Rides the memoized [[gramTable]] snapshot (built
+    // once per corpus, shared with q24/q82): explode → gram-keyed
+    // doc-frequency aggregate (map-side combine) → gram-keyed equi-join
+    // back → doc-keyed aggregate. The shuffle carries (gram, doc_id)
+    // pairs, never text; corpus-shaped vocab ⇒ shuffle join, and the
+    // whole plan is the q119 family's proven linear shape.
+    "q133_boilerplate" -> ((s, dir) => {
+      val x = gramTable(s, dir).select(col("doc_id"), explode(col("g")).as("gram"))
+      // gramTable's g is distinct-per-doc, so plain COUNT is doc-frequency
+      val f = x.groupBy("gram").agg(count(lit(1)).as("df"))
+      x.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_e4", expr("n_boiler * 10000 div n_grams"))
+        .select("doc_id", "n_grams", "n_boiler", "boiler_e4")
+        .orderBy("doc_id")
+    }),
+
     // SimHash (16-bit for the oracle-matched variant): per-token hash bit
     // votes folded per document by the native simhash16 kernel — no
     // explode, no vote-sum shuffle; the operator is a scan-side
@@ -487,6 +510,22 @@ object TextQueries {
          |       CAST(sum_c2 * 1000000 // (n_toks * n_toks) AS BIGINT) AS simpson_e6,
          |       CAST(top_cnt * 10000 // n_toks AS BIGINT) AS top_share_e4
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q133_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |     d AS (SELECT doc_id,
+         |             list_distinct(list_transform(range(1, len(toks)-1),
+         |               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS g
+         |           FROM t WHERE len(toks) >= 3),
+         |     x AS (SELECT doc_id, UNNEST(g) AS gram FROM d),
+         |     f AS (SELECT gram, COUNT(*) AS df FROM x GROUP BY gram),
+         |     j AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |             SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS n_boiler
+         |           FROM x JOIN f USING(gram) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(n_boiler AS BIGINT) AS n_boiler,
+         |       CAST(n_boiler * 10000 // n_grams AS BIGINT) AS boiler_e4
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "q25_simhash" -> {
       val v = sqlTokenHash16("tok")

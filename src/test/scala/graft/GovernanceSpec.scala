@@ -159,6 +159,27 @@ class GovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 point-in-time lookup: one row per purchase, state valid at event time") {
+    val out = run("q134_scd2_lookup")
+    val purchases = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    assert(out.count() == purchases.count(), "every purchase resolves exactly once")
+    assert(out.filter(out("state_at").isNull || out("version_at").isNull).count() == 0)
+    // re-join against the history: the resolved version's interval must
+    // contain the purchase timestamp (the containment definition)
+    val hist = GovernanceQueries.scd2History(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("version").as("version_at"),
+        org.apache.spark.sql.functions.col("valid_from_us"),
+        org.apache.spark.sql.functions.col("valid_to_us"))
+    val p = purchases.selectExpr("event_id", "unix_micros(ts) AS ts_us")
+    val bad = out.join(hist, Seq("user_id", "version_at")).join(p, "event_id")
+      .filter(org.apache.spark.sql.functions.col("ts_us") < org.apache.spark.sql.functions.col("valid_from_us") ||
+        (org.apache.spark.sql.functions.col("valid_to_us").isNotNull &&
+          org.apache.spark.sql.functions.col("ts_us") >= org.apache.spark.sql.functions.col("valid_to_us")))
+    assert(bad.count() == 0, "resolved interval must contain the purchase ts")
+  }
+
   test("q125 stratified sample: exact quota per stratum, deterministic across runs") {
     val a = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val b = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -138,6 +138,15 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 boilerplate: shares bounded by 1e4; boiler grams never exceed total grams") {
+    val rows = SparkEntry.queries("q133_boilerplate")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b, e4) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(b <= n && e4 <= 10000L && e4 == b * 10000 / n)
+    }
+  }
+
   test("q132 kmeans step: every vector assigned exactly once; centroids well-formed") {
     val df = SparkEntry.queries("q132_kmeans_step")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
