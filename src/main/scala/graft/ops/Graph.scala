@@ -76,7 +76,12 @@ object Graph {
       // EAGERLY: without it the self-join executed twice per round —
       // once under the certificate action and again re-derived as next
       // round's input (r7 scale probe: q64 was the dedup family's worst
-      // exponent; this halves its per-round join work).
+      // exponent; this halves its per-round join work). One jump per
+      // round is the measured optimum here: a double-jump variant (two
+      // chained checkpointed self-joins per round) was tried in r8 and
+      // tripled checkpoint-storage pressure — per-round time exploded
+      // ~50× past round 10 on the 16-copy fixture while barely cutting
+      // the round count (the convergence tail is breadth, not depth).
       val next = propagated.as("a")
         .join(propagated.as("b"), col("a.comp") === col("b.id"))
         .select(col("a.id").as("id"),
