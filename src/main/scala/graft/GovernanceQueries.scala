@@ -212,36 +212,36 @@ object GovernanceQueries {
     // Orphan-FK counts for every edge of the star schema in one
     // manifest — the data-quality gate a warehouse runs before
     // publishing a snapshot. The three lineitem edges share ONE fact
-    // scan (r7 read it once per edge): each row explodes to an
-    // (edge, key) pair, the pairs LEFT-join the rel-tagged union of
-    // distinct parents, and a single conditional aggregate yields
-    // n_child + n_orphans per edge — at 100 TB one fact pass beats
-    // three even when each dim would broadcast, and the (rel, k) join
-    // key keeps the parent shuffle balanced across edges. A
-    // 100 TB-parent edge swaps in the q110 Bloom-prune
-    // (`ops/Bloom.antiJoin`) with the identical verdict. Output is
+    // scan (r7 read it once per edge): three BROADCAST left-outer
+    // marker joins chain inside a single codegen pipeline over that
+    // scan (distinct parent keys broadcast; no explode fan-out, no
+    // fact shuffle — an earlier r8 cut exploded to (edge, key) rows
+    // and paid a 3×-row shuffle join that broadcasts beat at every
+    // measured SF), then ONE 1-row conditional aggregate unstacks into
+    // the per-edge manifest. A 100 TB-parent edge that can't broadcast
+    // swaps in the q110 Bloom-prune (`ops/Bloom.antiJoin`) or the
+    // (edge, key)-shuffle form with the identical verdict. Output is
     // |edges| rows, never data-shaped. Single-scan shape is
     // spec-asserted (GovernanceSpec).
     "q124_fk_audit" -> ((s, dir) => {
-      def edge(rel: String, k: String) =
-        struct(lit(rel).as("rel"), col(k).as("k"))
-      val liKeys = Tables.lineitem(s, dir)
-        .select(explode(array(
-          edge("lineitem->orders", "l_orderkey"),
-          edge("lineitem->part", "l_partkey"),
-          edge("lineitem->supplier", "l_suppkey"))).as("e"))
-        .select(col("e.rel").as("rel"), col("e.k").as("k"))
-      def parent(df: DataFrame, rel: String, k: String) =
-        df.select(lit(rel).as("rel"), col(k).as("k"))
-      val parents = parent(Tables.orders(s, dir), "lineitem->orders", "o_orderkey")
-        .unionByName(parent(Tables.part(s, dir), "lineitem->part", "p_partkey"))
-        .unionByName(parent(Tables.supplier(s, dir), "lineitem->supplier", "s_suppkey"))
-        .distinct()
-        .withColumn("hit", lit(1))
-      val liAudit = liKeys.join(parents, Seq("rel", "k"), "left_outer")
-        .groupBy("rel")
+      def keys(df: DataFrame, k: String, as: String) =
+        broadcast(df.select(col(k).as(as)).distinct())
+      val liAudit = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(keys(Tables.orders(s, dir), "o_orderkey", "ok"),
+          col("l_orderkey") === col("ok"), "left_outer")
+        .join(keys(Tables.part(s, dir), "p_partkey", "pk"),
+          col("l_partkey") === col("pk"), "left_outer")
+        .join(keys(Tables.supplier(s, dir), "s_suppkey", "sk"),
+          col("l_suppkey") === col("sk"), "left_outer")
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          sum(when(col("ok").isNull, 1L).otherwise(0L)).as("orph_o"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("orph_p"),
+          sum(when(col("sk").isNull, 1L).otherwise(0L)).as("orph_s"))
+        .selectExpr("""stack(3,
+          'lineitem->orders',   n_child, orph_o,
+          'lineitem->part',     n_child, orph_p,
+          'lineitem->supplier', n_child, orph_s) AS (rel, n_child, n_orphans)""")
       // orders->customer: different child table — the broadcast-dim
       // anti-join shape stands alone
       val ordOrphans = Tables.orders(s, dir).select(col("o_custkey").as("k"))
@@ -373,6 +373,25 @@ object GovernanceQueries {
           min(when(!col("a"), col("v6"))).as("vb6"))
         .withColumn("delta6", col("vb6") - col("va6"))
         .orderBy("event_type", "d")
+    }),
+
+    // ── G80: bottom-k sketch sample (custom Catalyst aggregate) ────────
+    // q125's exact stratified sample re-planned for 100 TB: the rank
+    // window sorts every stratum; `bottomk_md5` (plans/Aggregates.scala,
+    // a TypedImperativeAggregate) keeps only the k smallest-md5 values
+    // per group in an O(k) heap that partial-aggregates MAP-SIDE and
+    // merges associatively — k rows per (mapper, stratum) cross the
+    // wire instead of the stratum. Same deterministic pseudo-random
+    // total order as q125 (md5 of the id string), so the oracle states
+    // the rank-window definition and green proves sketch ≡ sort.
+    "q135_bottomk_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(expr("bottomk_md5(cast(doc_id as string), 8)").as("vs"))
+        .select(col("lang"), posexplode(col("vs")).as(Seq("p", "doc")))
+        .select(col("lang"), (col("p") + 1).cast(LongType).as("pos"),
+          col("doc").cast(LongType).as("doc_id"))
+        .orderBy("lang", "pos")
     }),
 
     "q126_token_drift" -> ((s, dir) => {
@@ -601,6 +620,15 @@ object GovernanceQueries {
         |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
         |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
         |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+
+    "q135_bottomk_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |                        CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos
+        |           FROM documents)
+        |SELECT lang, pos, doc_id FROM r WHERE pos <= 8
+        |ORDER BY lang, pos""".stripMargin,
 
     "q126_token_drift" ->
       s"""WITH t AS (SELECT doc_id % 2 = 0 AS a,

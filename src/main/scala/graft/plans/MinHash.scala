@@ -635,6 +635,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: ngrams_all(arrayCol, n) with a literal int n")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bottomk_md5"),
+      new ExpressionInfo(classOf[BottomKMd5].getName, "bottomk_md5"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(k: Int, IntegerType)) => BottomKMd5(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: bottomk_md5(stringCol, k) with a literal int k")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("stop_hits3"),
       new ExpressionInfo(classOf[StopHits3].getName, "stop_hits3"),
       (children: Seq[Expression]) => StopHits3(children.head)))

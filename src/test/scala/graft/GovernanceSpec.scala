@@ -180,6 +180,27 @@ class GovernanceSpec extends AnyFunSuite {
     assert(bad.count() == 0, "resolved interval must contain the purchase ts")
   }
 
+  test("q135 bottom-k sketch aggregates partially (no rank window) and matches q125's order") {
+    val df = run("q135_bottomk_sample")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sketch form must not plan a rank window:\n$plan")
+    // partial (map-side) + final aggregate nodes both carry the function
+    assert("bottomkmd5".r.findAllMatchIn(plan).size >= 2,
+      s"expected partial+final bottomkmd5 aggregates:\n$plan")
+    // value-identical to the window-rank definition on the same order key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("doc_id").cast("string")),
+        org.apache.spark.sql.functions.col("doc_id").cast("string"))
+    val ref = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(org.apache.spark.sql.functions.col("pos") <= 8)
+    assert(df.join(ref, Seq("lang", "pos", "doc_id")).count() == df.count())
+    assert(df.count() == ref.count())
+  }
+
   test("q125 stratified sample: exact quota per stratum, deterministic across runs") {
     val a = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val b = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
