@@ -287,6 +287,45 @@ object PipelineQueries {
       s.read.parquet(s"$work/agg").orderBy("day", "event_type")
     }),
 
+    // §2.9 extension — STREAMING session windows: q57's 30-minute-gap
+    // sessionization executed as a real streaming job over the JSON
+    // envelope source. Complete mode + AvailableNow: the final
+    // micro-batch snapshots the whole session aggregate via foreachBatch
+    // overwrite (the q48 drain-then-snapshot shape for a daily DAG), so
+    // streaming and batch answers are hash-identical — no
+    // watermark-emission boundary to tiptoe around. The long-running
+    // form adds a watermark + append mode and emits sessions as the
+    // watermark closes them; state is per-open-session either way, and
+    // the post-drain release (StreamIngest.drain) hands the memory
+    // back. Oracle = the batch gap-sessionization (same as q57's).
+    "q136_stream_sessions" -> ((s, dir) => {
+      val work = cachedFixture(s"ssess|$dir") { work =>
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        StreamIngest.toJsonLines(ev).write.mode("overwrite").text(s"$work/src")
+        val parsed = StreamIngest.jsonLinesStream(s, s"$work/src", Schemas.eventsEnvelope)
+          .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        StreamIngest.drain(s) {
+          parsed
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("user_id"),
+              unix_micros(col("sw.start")).as("start_us"),
+              unix_micros(col("sw.end")).as("end_us"), col("n"))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(s"$work/sessions")
+            }
+            .start()
+        }
+      }
+      s.read.parquet(s"$work/sessions").orderBy("user_id", "start_us")
+    }),
+
     // §2.9 extension — watermarked stream-stream interval join, run as a
     // REAL streaming job: click and view streams (same envelope source,
     // filtered) joined on user within a 5-minute lookback, drained with
@@ -510,6 +549,22 @@ object PipelineQueries {
     "q48_stream_daily_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // identical to q57's batch definition: streaming session windows must
+    // reproduce the batch gap-sessionization bit for bit
+    "q136_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        |       COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
 
     "q41_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
