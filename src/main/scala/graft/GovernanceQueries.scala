@@ -375,6 +375,39 @@ object GovernanceQueries {
         .orderBy("event_type", "d")
     }),
 
+    // ── G82: CUSUM changepoint detection ───────────────────────────────
+    // Where did the event rate shift? Per event_type, the day whose
+    // cumulative deviation from the overall daily mean is largest — the
+    // classic CUSUM changepoint, kept integer-exact by scaling each
+    // deviation by D (n_day·D − N instead of n_day − N/D, so no
+    // fractional mean). Plan: one (type, day) aggregate (map-side
+    // combine), a 1-row-per-type mean broadcast back, a running-sum
+    // window over ≤|days| rows per type, and an argmax via max_by with
+    // an (abs, earliest-day) total order. The monitor that catches a
+    // pipeline source going quiet or doubling — q126's temporal twin.
+    // Overflow: cusum ≤ N·D — a 10¹²-row type over 10⁴ days sits at
+    // 10¹⁶, inside BIGINT; beyond that scale deviations by D/gcd or
+    // lift to DECIMAL(38,0) (q114's rule).
+    "q137_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val totals = daily.groupBy("event_type")
+        .agg(sum(col("n")).as("ntot"), count(lit(1)).as("d"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.join(broadcast(totals), "event_type")
+        .withColumn("dev_xd", col("n") * col("d") - col("ntot"))
+        .withColumn("cusum_xd", sum(col("dev_xd")).over(w))
+        .groupBy("event_type")
+        .agg(min(col("d")).as("n_days"),
+          max_by(struct(col("day"), col("cusum_xd")),
+            struct(abs(col("cusum_xd")),
+              -datediff(col("day"), lit("1970-01-01")))).as("m"))
+        .select(col("event_type"), col("n_days"),
+          col("m.day").as("drift_day"), col("m.cusum_xd").as("max_cusum_xd"))
+        .orderBy("event_type")
+    }),
+
     // ── G80: bottom-k sketch sample (custom Catalyst aggregate) ────────
     // q125's exact stratified sample re-planned for 100 TB: the rank
     // window sorts every stratum; `bottomk_md5` (plans/Aggregates.scala,
@@ -620,6 +653,25 @@ object GovernanceQueries {
         |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
         |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
         |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+
+    "q137_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |     t AS (SELECT event_type, SUM(n) AS ntot, COUNT(*) AS d
+        |           FROM daily GROUP BY event_type),
+        |     c AS (SELECT daily.event_type, day,
+        |             SUM(n * d - ntot) OVER (PARTITION BY daily.event_type
+        |               ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_xd,
+        |             d
+        |           FROM daily JOIN t ON daily.event_type = t.event_type),
+        |     r AS (SELECT event_type, d AS n_days, day AS drift_day,
+        |             cusum_xd,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |               ORDER BY abs(cusum_xd) DESC, day ASC) AS rn
+        |           FROM c)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, drift_day,
+        |       CAST(cusum_xd AS BIGINT) AS max_cusum_xd
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q135_bottomk_sample" ->
       """WITH r AS (SELECT lang, doc_id,
