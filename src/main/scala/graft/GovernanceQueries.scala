@@ -408,6 +408,38 @@ object GovernanceQueries {
         .orderBy("event_type")
     }),
 
+    // ── G83: χ² independence audit (event_type × day-of-week) ──────────
+    // Is traffic composition stable across the week, or does one event
+    // type cluster on particular days? Pearson's χ² per contingency
+    // cell, kept engine-exact by DECIMAL(38,0) arithmetic: term_e6 =
+    // (obs·N − r·c)²·10⁶ div (N·r·c) — the numerator squares past
+    // BIGINT at ~10⁵ rows, so the q114 decimal-lift rule applies from
+    // the start (DuckDB mirrors in HUGEINT). Row/col/grand totals are
+    // re-aggregated from the |types|·|dows| cell table (never the fact
+    // table) and broadcast back; the only fact-scan work is the first
+    // (type, dow) map-side aggregate. Output is the per-type χ²
+    // contribution — |types| rows, never data-shaped.
+    "q138_chi2_independence" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("obs"))
+      val rows = cells.groupBy("event_type").agg(sum(col("obs")).as("r"))
+      val cols = cells.groupBy("dow").agg(sum(col("obs")).as("c"))
+      val n = cells.agg(sum(col("obs")).as("nn"))
+      cells.join(broadcast(rows), "event_type")
+        .join(broadcast(cols), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("num",
+          col("obs").cast(dec) * col("nn").cast(dec) - col("r").cast(dec) * col("c").cast(dec))
+        .withColumn("term_e6", expr(
+          "cast((num * num * cast(1000000 as decimal(38,0))) div (cast(nn as decimal(38,0)) * cast(r as decimal(38,0)) * cast(c as decimal(38,0))) as bigint)"))
+        .groupBy("event_type")
+        .agg(min(col("r")).as("n_obs"), count(lit(1)).as("n_cells"),
+          sum(col("term_e6")).as("chi2_e6"))
+        .orderBy("event_type")
+    }),
+
     // ── G80: bottom-k sketch sample (custom Catalyst aggregate) ────────
     // q125's exact stratified sample re-planned for 100 TB: the rank
     // window sorts every stratum; `bottomk_md5` (plans/Aggregates.scala,
@@ -653,6 +685,22 @@ object GovernanceQueries {
         |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
         |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
         |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+
+    "q138_chi2_independence" ->
+      """WITH cells AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |                 COUNT(*) AS obs FROM events GROUP BY 1, 2),
+        |     r AS (SELECT event_type, SUM(obs) AS r FROM cells GROUP BY event_type),
+        |     c AS (SELECT dow, SUM(obs) AS c FROM cells GROUP BY dow),
+        |     n AS (SELECT SUM(obs) AS nn FROM cells),
+        |     t AS (SELECT cells.event_type,
+        |             CAST(obs AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.c AS num,
+        |             CAST(nn AS HUGEINT) * r.r * c.c AS den, r.r AS rr
+        |           FROM cells JOIN r ON cells.event_type = r.event_type
+        |                      JOIN c ON cells.dow = c.dow, n)
+        |SELECT event_type, CAST(MIN(rr) AS BIGINT) AS n_obs,
+        |       COUNT(*) AS n_cells,
+        |       CAST(SUM(CAST((num * num * 1000000) // den AS BIGINT)) AS BIGINT) AS chi2_e6
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q137_changepoint" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
