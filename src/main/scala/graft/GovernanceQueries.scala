@@ -408,6 +408,56 @@ object GovernanceQueries {
         .orderBy("event_type")
     }),
 
+    // ── G84: Benford first-digit audit ─────────────────────────────────
+    // Fraud/corruption screen on a numeric column: the distribution of
+    // first significant digits of value vs Benford's law. Digits come
+    // from the BIGINT string form (identical rendering both engines —
+    // no float log10); the Benford expectations are shared e4 literals
+    // (round(log10(1+1/d)·10⁴)), and deviations are plain differences
+    // of exact scaled ints. A 9-row digit spine LEFT-joins the observed
+    // counts so missing digits surface as zeros. One map-side-combining
+    // aggregate over the fact scan; output is always 9 rows.
+    "q139_benford" -> ((s, dir) => {
+      import s.implicits._
+      val benford = Seq(1L -> 3010L, 2L -> 1761L, 3L -> 1249L, 4L -> 969L,
+        5L -> 792L, 6L -> 669L, 7L -> 580L, 8L -> 512L, 9L -> 458L)
+        .toDF("digit", "benford_e4")
+      val v = Tables.events(s, dir)
+        .select(round(col("value") * 1000000).cast(LongType).as("v6"))
+        .filter(col("v6") =!= 0L)
+        .select(substring(abs(col("v6")).cast(StringType), 1, 1).cast(LongType).as("digit"))
+      val obs = v.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val total = v.agg(count(lit(1)).as("n"))
+      benford.join(obs, Seq("digit"), "left_outer")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("share_e4", expr("n_obs * 10000 div n"))
+        .withColumn("dev_e4", col("share_e4") - col("benford_e4"))
+        .select("digit", "n_obs", "share_e4", "benford_e4", "dev_e4")
+        .orderBy("digit")
+    }),
+
+    // ── G85: k-anonymity audit ─────────────────────────────────────────
+    // Before an events extract ships, how identifying is the quasi-id
+    // (event_type, day)? For each event type: group count, groups whose
+    // anonymity set (distinct users) is below k=5, the worst set size,
+    // and the small-group rate. The privacy gate next to q118's PII
+    // scrub: re-identification risk lives in SMALL groups, not in any
+    // single column. Two stacked aggregates (per-quasi-id distinct
+    // users, then per-type rollup) — the distinct is the only
+    // corpus-shaped shuffle; output is |types| rows.
+    "q140_k_anonymity" -> ((s, dir) => {
+      val groups = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("aset"))
+      groups.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("aset") < 5, 1L).otherwise(0L)).as("n_small"),
+          min(col("aset")).as("min_aset"))
+        .withColumn("small_e4", expr("n_small * 10000 div n_groups"))
+        .orderBy("event_type")
+    }),
+
     // ── G83: χ² independence audit (event_type × day-of-week) ──────────
     // Is traffic composition stable across the week, or does one event
     // type cluster on particular days? Pearson's χ² per contingency
@@ -685,6 +735,34 @@ object GovernanceQueries {
         |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
         |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
         |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+
+    "q139_benford" ->
+      """WITH b AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249),
+        |             (4, 969), (5, 792), (6, 669), (7, 580), (8, 512),
+        |             (9, 458)) AS t(digit, benford_e4)),
+        |     v AS (SELECT CAST(substr(CAST(abs(CAST(round(value*1000000) AS BIGINT))
+        |             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM events WHERE CAST(round(value*1000000) AS BIGINT) <> 0),
+        |     o AS (SELECT digit, COUNT(*) AS n_obs FROM v GROUP BY digit),
+        |     n AS (SELECT COUNT(*) AS n FROM v)
+        |SELECT CAST(b.digit AS BIGINT) AS digit,
+        |       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |       CAST(COALESCE(o.n_obs, 0) * 10000 // n.n AS BIGINT) AS share_e4,
+        |       CAST(b.benford_e4 AS BIGINT) AS benford_e4,
+        |       CAST(COALESCE(o.n_obs, 0) * 10000 // n.n - b.benford_e4 AS BIGINT) AS dev_e4
+        |FROM b LEFT JOIN o ON b.digit = o.digit, n
+        |ORDER BY digit""".stripMargin,
+
+    "q140_k_anonymity" ->
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             COUNT(DISTINCT user_id) AS aset
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_groups,
+        |       CAST(SUM(CASE WHEN aset < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |       CAST(MIN(aset) AS BIGINT) AS min_aset,
+        |       CAST(SUM(CASE WHEN aset < 5 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+        |         AS BIGINT) AS small_e4
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q138_chi2_independence" ->
       """WITH cells AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
