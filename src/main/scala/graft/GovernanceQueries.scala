@@ -330,17 +330,20 @@ object GovernanceQueries {
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor60"))
           .withColumn("table_name", lit(name))
+      // md5_60 kernel == conv(substring(md5(s),1,15),16,10) without the
+      // per-row hex materialization + base-16 parse (MinHashKernelSpec
+      // asserts the identity; the oracle keeps the declarative SQL form)
       val li = Tables.lineitem(s, dir)
-        .withColumn("h", conv(substring(md5(concat_ws("|",
+        .withColumn("ser", concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          round(col("l_quantity") * 100).cast(LongType))), 1, 15), 16, 10)
-          .cast(LongType))
+          round(col("l_quantity") * 100).cast(LongType)))
+        .withColumn("h", expr("md5_60(ser)"))
       val o = Tables.orders(s, dir)
-        .withColumn("h", conv(substring(md5(concat_ws("|",
+        .withColumn("ser", concat_ws("|",
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast(LongType))), 1, 15), 16, 10)
-          .cast(LongType))
+          round(col("o_totalprice") * 100).cast(LongType)))
+        .withColumn("h", expr("md5_60(ser)"))
       sum60(li, "lineitem", col("l_returnflag"))
         .unionByName(sum60(o, "orders", col("o_orderstatus")))
         .select("table_name", "grp", "n_rows", "xor60")

@@ -364,6 +364,45 @@ case class SimHash128(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit md5 slice as a BIGINT — value-identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10) :: long` (15 lowercase hex
+  * chars = digest bytes 0..6 plus the high nibble of byte 7), but
+  * computed straight from the digest: no 32-char hex string
+  * materialization, no base-16 string parse per row. The q129 checksum
+  * hashes every row of every audited table — this is its hot path. */
+object Hash60Kernel {
+  private val localMd = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  def h60(s: UTF8String): Long = {
+    val md = localMd.get()
+    md.reset(); md.update(s.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+}
+
+/** `md5_60(str)` → bigint: first 60 bits of md5, the checksum hash. */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_60 needs a string column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash60Kernel.h60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Hash60Kernel.h60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
 /** Single-pass multilingual stopword counter — q19's former plan called
   * one `size(filter(toks, isin(...)))` per language, and array HOF
   * lambdas are CodegenFallback (interpreted per element), so the token
@@ -634,6 +673,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: ngrams_all(arrayCol, n) with a literal int n")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_60"),
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("bottomk_md5"),
       new ExpressionInfo(classOf[BottomKMd5].getName, "bottomk_md5"),

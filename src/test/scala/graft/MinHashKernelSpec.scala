@@ -60,6 +60,15 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(tiny.select(expr("ngrams_all(toks, 2)")).as[Seq[String]].head().isEmpty)
   }
 
+  test("md5_60 equals conv(substring(md5, 1, 15), 16, 10) on real text") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val both = d.select(
+      expr("md5_60(text)").as("k"),
+      expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("r"))
+    assert(both.filter(col("k") =!= col("r")).count() == 0)
+    assert(both.count() == d.count())
+  }
+
   test("stop_hits3 equals the per-list stopwordCount HOFs in one pass") {
     val d = Tables.documents(spark, "/root/testdata/sf0.01")
       .withColumn("toks", tokens(col("text")))
