@@ -411,6 +411,34 @@ object GovernanceQueries {
         .orderBy("event_type")
     }),
 
+    // ── G86: inter-event cadence profile ───────────────────────────────
+    // Per-user temporal cadence: exact moments of the gaps between
+    // consecutive events (count, sum, min, max in µs; the squared sum
+    // lifted to DECIMAL(38,0) — a 30-day gap in µs squares past BIGINT,
+    // q114's rule). The behavioral-bot / SLA signal q115's transition
+    // matrix doesn't see: WHAT follows what vs HOW FAST. ONE shuffle on
+    // user_id (the lag window), then a per-user aggregate reusing the
+    // same partitioning — Catalyst plans a single exchange.
+    "q141_event_cadence" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"), (col("us") - col("prev_us")).as("gap_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).as("sum_gap_us"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum((col("gap_us").cast(dec) * col("gap_us").cast(dec)).cast(dec))
+            .cast(dec).as("sum_gap2"))
+        .withColumn("mean_gap_us", expr("sum_gap_us div n_gaps"))
+        .orderBy("user_id")
+    }),
+
     // ── G84: Benford first-digit audit ─────────────────────────────────
     // Fraud/corruption screen on a numeric column: the distribution of
     // first significant digits of value vs Benford's law. Digits come
@@ -738,6 +766,20 @@ object GovernanceQueries {
         |       MIN(CASE WHEN NOT a THEN v6 END) AS vb6,
         |       MIN(CASE WHEN NOT a THEN v6 END) - MIN(CASE WHEN a THEN v6 END) AS delta6
         |FROM j GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+
+    "q141_event_cadence" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |             LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |     g AS (SELECT user_id, us - prev_us AS gap_us FROM e
+        |           WHERE prev_us IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        |       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |       CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS DECIMAL(38,0)) AS sum_gap2,
+        |       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q139_benford" ->
       """WITH b AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249),

@@ -153,6 +153,43 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // ── G87: embedding centroid drift (feature-drift monitor) ──────────
+    // Has the embedding distribution moved between two snapshots? Per
+    // label, compare the mean vector of the even-id half (snapshot A)
+    // against the odd-id half (B): report the summed squared per-dim
+    // centroid shift and the worst-shifted dimension. Coordinates
+    // reduce to e6 ints at the scan (q132's discipline) and centroid
+    // means are floor-divs of BIGINT sums, so every engine agrees
+    // exactly — the embedding-space twin of q126/q131's drift monitors.
+    // Plan: one (label, side, dim) partial aggregate over the per-dim
+    // explode, a (label, dim) pivot via conditional MIN, a |labels|·d
+    // compare, and a |labels|-row rollup with a max_by argmax.
+    "q142_centroid_drift" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(asDouble(col("embedding"))).as(Seq("p", "e")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).cast("long").as("i"),
+          (col("vec_id") % 2 === 0).as("a"),
+          round(col("e") * 1000000).cast("long").as("v6"))
+      val sums = x.groupBy("label", "a", "i")
+        .agg(sum(col("v6")).as("sv"), count(lit(1)).as("n"))
+      val byDim = sums.groupBy("label", "i")
+        .agg(min(when(col("a"), expr("sv div n"))).as("ca6"),
+          min(when(!col("a"), expr("sv div n"))).as("cb6"),
+          min(when(col("a"), col("n"))).as("na"),
+          min(when(!col("a"), col("n"))).as("nb"))
+      byDim
+        .withColumn("d", col("cb6") - col("ca6"))
+        .groupBy("label")
+        .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+          sum(col("d") * col("d")).as("shift2_sum"),
+          max_by(struct(col("i"), abs(col("d")).as("ad")),
+            struct(abs(col("d")), -col("i"))).as("m"))
+        .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+          col("shift2_sum"), col("m.i").as("top_dim"), col("m.ad").as("top_abs_d"))
+        .orderBy("label")
+    }),
+
     // ── G77: k-means Lloyd step (IVF centroid training) ────────────────
     // The training step behind q38's coarse quantizer: assign every
     // vector to its nearest seed centroid (EXACT scaled-int squared L2 —
@@ -252,6 +289,33 @@ object VectorQueries {
            |SELECT vec_id, cell, ${sqlCosineR6("v", "qe")} AS cos_r
            |FROM cells, q WHERE vec_id != 0 AND cell = qcell
            |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+
+      "q142_centroid_drift" ->
+        """WITH x AS (SELECT vec_id, label,
+          |             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+          |             vec_id % 2 = 0 AS a,
+          |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v6
+          |           FROM embeddings),
+          |     s AS (SELECT label, a, i, SUM(v6) AS sv, COUNT(*) AS n
+          |           FROM x GROUP BY label, a, i),
+          |     d AS (SELECT label, i,
+          |             MIN(CASE WHEN a THEN sv // n END) AS ca6,
+          |             MIN(CASE WHEN NOT a THEN sv // n END) AS cb6,
+          |             MIN(CASE WHEN a THEN n END) AS na,
+          |             MIN(CASE WHEN NOT a THEN n END) AS nb
+          |           FROM s GROUP BY label, i),
+          |     r AS (SELECT label, i, cb6 - ca6 AS dd, na, nb FROM d),
+          |     agg AS (SELECT label, MIN(na) AS n_a, MIN(nb) AS n_b,
+          |               SUM(dd * dd) AS shift2_sum FROM r GROUP BY label),
+          |     top AS (SELECT label, i AS top_dim, abs(dd) AS top_abs_d,
+          |               ROW_NUMBER() OVER (PARTITION BY label
+          |                 ORDER BY abs(dd) DESC, i ASC) AS rn FROM r)
+          |SELECT CAST(agg.label AS BIGINT) AS label,
+          |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          |       CAST(shift2_sum AS BIGINT) AS shift2_sum,
+          |       top.top_dim, CAST(top.top_abs_d AS BIGINT) AS top_abs_d
+          |FROM agg JOIN top ON agg.label = top.label AND top.rn = 1
+          |ORDER BY label""".stripMargin,
 
       "q132_kmeans_step" ->
         s"""WITH x AS (SELECT vec_id,
