@@ -201,6 +201,20 @@ class GovernanceSpec extends AnyFunSuite {
     assert(df.count() == ref.count())
   }
 
+  test("q141 cadence: mean between min and max; gap count = events - users") {
+    val rows = run("q141_event_cadence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sum, mn, mx, mean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(n > 0 && mn >= 0 && mn <= mx && mean >= mn && mean <= mx && sum >= mn * n)
+    }
+    val e = Tables.events(spark, sf)
+    val users = e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == e.count() - users,
+      "every user contributes (events-1) gaps")
+  }
+
   test("q125 stratified sample: exact quota per stratum, deterministic across runs") {
     val a = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val b = run("q125_group_sample").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -147,6 +147,18 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 centroid drift: halves partition each label; shift bounded by worst dim") {
+    val rows = SparkEntry.queries("q142_centroid_drift")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (shift2, topAbs) = (r.getLong(3), r.getLong(5))
+      // the worst dimension's square is part of (and at most) the total
+      assert(topAbs * topAbs <= shift2 && shift2 <= 64L * topAbs * topAbs)
+    }
+  }
+
   test("q132 kmeans step: every vector assigned exactly once; centroids well-formed") {
     val df = SparkEntry.queries("q132_kmeans_step")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
