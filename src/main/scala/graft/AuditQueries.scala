@@ -214,6 +214,88 @@ object AuditQueries {
       deg.groupBy("degree")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
         .orderBy("degree")
+    }),
+
+    // ── G88: count-min sketch accuracy audit ───────────────────────────
+    // The heavy-hitter sketch a 100-TB stream uses when exact per-key
+    // counts can't fit: depth×width counter matrix (4×1024 here), each
+    // row a different md5-derived hash, estimate = min over rows. Both
+    // build and probe are deterministic integer arithmetic, so the audit
+    // is oracle-exact: for the top-20 true heavy keys, estimate − exact
+    // (never negative — CMS only overestimates). Build cost: the per-key
+    // aggregate the pipeline already runs, then a depth-way explode of
+    // |keys| rows into a d×W-cell aggregate (map-side combining to ≤4096
+    // cells per mapper); probe cost: broadcast of the 4096-row sketch.
+    // The audit that decides whether the sketch's ε·N bound is tight
+    // enough to replace the exact count at scale.
+    "q143_cms_accuracy" -> ((s, dir) => {
+      val W = 1024
+      val exact = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val cells = exact
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .withColumn("c",
+          conv(substring(md5(concat(col("r").cast(StringType), lit(":"),
+            col("user_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % W)
+        .groupBy("r", "c").agg(sum(col("n_exact")).as("cell_n"))
+      val top = exact.orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      top.withColumn("r", explode(expr("sequence(0, 3)")))
+        .withColumn("c",
+          conv(substring(md5(concat(col("r").cast(StringType), lit(":"),
+            col("user_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % W)
+        .join(broadcast(cells), Seq("r", "c"))
+        .groupBy("user_id")
+        .agg(min(col("n_exact")).as("n_exact"), min(col("cell_n")).as("n_est"))
+        .withColumn("over_n", col("n_est") - col("n_exact"))
+        .select("user_id", "n_exact", "n_est", "over_n")
+        .orderBy("user_id")
+    }),
+
+    // ── G89: dup-graph triangle census ─────────────────────────────────
+    // Global clustering structure of the near-dup graph: triangle count,
+    // wedge count, and the global clustering coefficient 3·Δ/wedges —
+    // the density signal that separates "chains of borderline pairs"
+    // (CC will over-merge; low GCC) from "tight clique clusters" (safe
+    // to collapse; high GCC). Shape is the degree-oriented algorithm
+    // (Cohen 2009): orient every edge from the (degree, id)-smaller
+    // endpoint, enumerate wedges only at each triangle's smallest-degree
+    // apex, then close them against the undirected pair set — worst-case
+    // O(|E|^1.5) candidate wedges instead of Σdeg² from the naive
+    // neighbor self-join (the oracle keeps the naive a<b<c form: same
+    // answer, which is the point). All joins are equi-joins on doc ids;
+    // nothing here ever touches the corpus itself.
+    "q146_dup_triangles" -> ((s, dir) => {
+      val pairs = FeatureQueries.dupPairsTable(s, dir).select("doc_a", "doc_b")
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val da = deg.select(col("doc_id").as("doc_a"), col("degree").as("deg_a"))
+      val db = deg.select(col("doc_id").as("doc_b"), col("degree").as("deg_b"))
+      // orient: src = (degree, id)-smaller endpoint
+      val oriented = pairs.join(da, "doc_a").join(db, "doc_b")
+        .select(
+          when(struct(col("deg_a"), col("doc_a")) < struct(col("deg_b"), col("doc_b")),
+            col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(struct(col("deg_a"), col("doc_a")) < struct(col("deg_b"), col("doc_b")),
+            col("doc_b")).otherwise(col("doc_a")).as("dst"))
+      val e1 = oriented.select(col("src"), col("dst").as("v"))
+      val e2 = oriented.select(col("src"), col("dst").as("w"))
+      val wedgesAtApex = e1.join(e2, "src").filter(col("v") < col("w"))
+      val closing = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("v"),
+        greatest(col("doc_a"), col("doc_b")).as("w"))
+      val tri = wedgesAtApex.join(closing, Seq("v", "w"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(deg.agg(
+          coalesce(sum(expr("degree * (degree - 1) div 2")), lit(0L)).as("n_wedges")))
+      stats.crossJoin(tri)
+        .withColumn("gcc_e6",
+          when(col("n_wedges") > 0,
+            expr("3 * n_triangles * 1000000 div n_wedges")).otherwise(lit(0L)))
+        .select("n_pairs", "n_wedges", "n_triangles", "gcc_e6")
     })
   )
 
@@ -261,6 +343,47 @@ object AuditQueries {
            |       CASE WHEN SUM(dup) * 10000 // COUNT(*) >= 5000
            |            THEN 'drop' ELSE 'keep' END AS verdict
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q143_cms_accuracy" ->
+      s"""WITH e AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id),
+         |cells AS (
+         |  SELECT r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+         |           CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS c,
+         |         CAST(SUM(n_exact) AS BIGINT) AS cell_n
+         |  FROM e CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         |top AS (SELECT user_id, n_exact FROM e
+         |        ORDER BY n_exact DESC, user_id LIMIT 20),
+         |probe AS (
+         |  SELECT t.user_id, t.n_exact, r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+         |           CAST(t.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS c
+         |  FROM top t CROSS JOIN range(4) tr(r)),
+         |est AS (SELECT p.user_id, MIN(p.n_exact) AS n_exact,
+         |               MIN(cells.cell_n) AS n_est
+         |        FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c
+         |        GROUP BY p.user_id)
+         |SELECT user_id, n_exact, n_est, n_est - n_exact AS over_n
+         |FROM est ORDER BY user_id""".stripMargin,
+
+    "q146_dup_triangles" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q23)),
+         |d AS (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p),
+         |deg AS (SELECT doc_id, COUNT(*) AS degree FROM d GROUP BY doc_id),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |        FROM p p1 JOIN p p2 ON p1.doc_b = p2.doc_a
+         |                  JOIN p p3 ON p3.doc_a = p1.doc_a
+         |                           AND p3.doc_b = p2.doc_b),
+         |w AS (SELECT CAST(COALESCE(SUM(degree * (degree - 1) // 2), 0) AS BIGINT)
+         |        AS n_wedges FROM deg),
+         |np AS (SELECT COUNT(*) AS n_pairs FROM p)
+         |SELECT n_pairs, n_wedges, n_triangles,
+         |       CAST(CASE WHEN n_wedges > 0
+         |            THEN 3 * n_triangles * 1000000 // n_wedges
+         |            ELSE 0 END AS BIGINT) AS gcc_e6
+         |FROM np, w, tri""".stripMargin
+    },
 
     "q116_dup_degree" -> {
       val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")

@@ -73,7 +73,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name subset (dev iteration
+    // only — the driver always runs the full set)
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.tune(
       SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus)
@@ -90,7 +94,9 @@ object Verify {
     // driver-side wall clock well inside any harness timeout
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = results.put(name, dumpOne(spark, sfDir, outDir, name, fn))
       })
