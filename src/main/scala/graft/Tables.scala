@@ -47,11 +47,24 @@ object Tables {
       df.createOrReplaceTempView(name)
     }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads as Long
-    * (see Engine: nanosAsLong). Convert to microsecond TimestampType —
-    * integer `div`, not `/`, because ns-since-epoch exceeds 2^53 and
-    * double division would lose precision. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: TIMESTAMP(NANOS) parquet (Spark reads as Long under
+    * Engine's nanosAsLong) and plain timestamp[us] (Spark reads as
+    * TIMESTAMP_NTZ). Normalise both to microsecond TimestampType in the
+    * UTC session so every downstream query sees one schema. Integer
+    * `div`, not `/`, for the nanos path — ns-since-epoch exceeds 2^53
+    * and double division would lose precision. The NTZ cast is a pure
+    * metadata relabel at UTC (same epoch micros), so it costs nothing
+    * at scan time and keeps parity with the DuckDB oracle's naive
+    * TIMESTAMP reading. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 }
