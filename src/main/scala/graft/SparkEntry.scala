@@ -30,7 +30,8 @@ object SparkEntry {
     relationalQueries ++ TextQueries.queries ++ VectorQueries.queries ++
       PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
       CurationQueries.queries ++ AuditQueries.queries ++
-      BehaviorQueries.queries ++ GovernanceQueries.queries
+      BehaviorQueries.queries ++ GovernanceQueries.queries ++
+      IndexQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -269,7 +270,7 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ MlQueries.oracleSql ++
       FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
       AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
-      GovernanceQueries.oracleSql
+      GovernanceQueries.oracleSql ++ IndexQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->
