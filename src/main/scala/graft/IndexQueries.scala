@@ -180,6 +180,123 @@ object IndexQueries {
           expr("percentile(lat_s, 0.5)").as("p50_s"),
           expr("percentile(lat_s, 0.9)").as("p90_s"),
           expr("percentile(lat_s, 0.99)").as("p99_s"))
+    }),
+
+    // ── G95: integer PageRank over the near-dup graph (3 iterations) ───
+    // Which documents sit at the CENTER of duplication clusters? Degree
+    // (q116) counts neighbors; PageRank weights them by their own
+    // centrality — the canonical-doc-selection signal when a cluster
+    // has hubs. Kept bit-exact: scores are e12-scaled BIGINTs, damping
+    // 85/100 in integer div, contributions pr div deg — every floor is
+    // mirrored in the oracle, so three unrolled iterations hash-match
+    // DuckDB digit-for-digit. Plan shape per iteration: one equi-join
+    // (edges ⋈ scores on src) + one groupBy(dst) — the standard
+    // iterative-join PageRank; at 100 TB the edge list is partitioned
+    // by src and the score table by doc_id, so each iteration is one
+    // co-partitioned shuffle, and iterations don't grow the plan state
+    // (each materialises to the same narrow (node, score) shape).
+    "q150_pagerank" -> ((s, dir) => {
+      val pairs = FeatureQueries.dupPairsTable(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var pr = deg.select(col("src").as("doc_id"), col("deg"))
+        .crossJoin(broadcast(nn))
+        .withColumn("pr", expr("1000000000000 div n"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("doc_id").as("src"), expr("pr div deg").as("share")),
+            Seq("src"))
+          .groupBy("dst").agg(sum("share").as("inflow"))
+        pr = pr.drop("pr")
+          .join(contrib.select(col("dst").as("doc_id"), col("inflow")),
+            Seq("doc_id"), "left")
+          .withColumn("pr", expr(
+            "(15 * (1000000000000 div n)) div 100 + (85 * coalesce(inflow, 0)) div 100"))
+          .drop("inflow")
+      }
+      pr.select(col("doc_id"), col("deg"), col("pr").as("pr_e12"))
+        .orderBy(col("pr_e12").desc, col("doc_id")).limit(50)
+    }),
+
+    // ── G96: sort-key proximity blocking (sorted-neighborhood family) ──
+    // The third candidate-generation strategy beside MinHash banding
+    // (q23, probabilistic) and prefix filtering (q144, exact): block on
+    // PROXIMITY of a locality-sensitive sort key — docs whose simhash16
+    // values lie within δ=256 are candidates, found by bucketing the
+    // key at width δ and joining each doc's bucket against {b−1, b, b+1}
+    // (the distributed form of sorted-neighborhood's sliding window:
+    // O(n·w) candidates, no global sort, boundary pairs caught by the
+    // adjacent-bucket probe). Verification is the same exact-Jaccard
+    // join as q144. Deliberately lossy — recall vs q144's complete
+    // answer is measured in the spec — because at 100 TB the recall/
+    // cost dial (δ) is exactly what a curation run tunes.
+    "q151_simkey_blocking" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), expr("simhash16(toks)").as("sh"))
+      val left = sh.withColumn("b", expr("sh div 256"))
+      val right = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .withColumn("b", explode(expr("array(sh_b div 256 - 1, sh_b div 256, sh_b div 256 + 1)")))
+      val cand = left.join(right, Seq("b"))
+        .filter(col("doc_id") < col("doc_b") && abs(col("sh") - col("sh_b")) <= 256)
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      graft.ops.Dedup.tokenOverlap(cand, TextQueries.tokRows(s, dir), "doc_a", "doc_b")
+        .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
+        .filter(col("j_e6") >= 950000)
+        .select("doc_a", "doc_b", "j_e6")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── G97: language-ID confusion matrix (declared vs predicted) ──────
+    // The audit that closes the loop on q19: cross-tabulate the corpus's
+    // DECLARED lang column against the n-gram heuristic's prediction.
+    // Pure reuse — the q19 operator runs unchanged and one tiny
+    // aggregate lands on top (|langs|×|preds| cells), so the audit adds
+    // zero new corpus-scale work. The off-diagonal mass is the
+    // mislabeled-training-data estimate; 'und' columns are coverage
+    // gaps of the stopword tables (zh/fr here, by construction).
+    "q152_langid_confusion" -> ((s, dir) => {
+      TextQueries.queries("q19_langid")(s, dir)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // ── G98: position-based multi-touch attribution (integer 40/20/40) ─
+    // q100 gives the last touch 100% of the credit; the position-based
+    // (U-shaped) model splits it 40% first / 40% last / 20% spread over
+    // the middle — here in exact basis points: n=1 → 10000, n=2 →
+    // 5000+5000, n≥3 → first 4000+remainder, last 4000, middle
+    // 2000 div (n−2) each (remainder to the first touch so every user's
+    // credits sum to exactly 10000 — spec-asserted). Touches = click/
+    // view at-or-before the user's first purchase, ordered by
+    // (ts, event_id). One user_id shuffle carries the rank window, the
+    // count window and the rollup; output is |event_type| rows.
+    "q153_position_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("fp_us"))
+      val byUser = Window.partitionBy("user_id")
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .join(fp, Seq("user_id"))
+        .filter(col("us") <= col("fp_us"))
+        .withColumn("r", row_number().over(byUser.orderBy(col("us"), col("event_id"))).cast(LongType))
+        .withColumn("n", count(lit(1)).over(byUser))
+      touches
+        .withColumn("credit_bp", expr(
+          """CASE WHEN n = 1 THEN 10000
+            |     WHEN n = 2 THEN 5000
+            |     WHEN r = 1 THEN 4000 + (2000 - (n - 2) * (2000 div (n - 2)))
+            |     WHEN r = n THEN 4000
+            |     ELSE 2000 div (n - 2) END""".stripMargin))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"), sum("credit_bp").as("total_bp"))
+        .orderBy("event_type")
     })
   )
 
@@ -264,6 +381,77 @@ object IndexQueries {
         |       quantile_cont(lat_s, 0.5) AS p50_s,
         |       quantile_cont(lat_s, 0.9) AS p90_s,
         |       quantile_cont(lat_s, 0.99) AS p99_s
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+
+    "q150_pagerank" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      def iter(prev: String, cN: String, iN: String): String =
+        s"""$cN AS (SELECT e.dst AS doc_id, SUM(s.pr // s.deg) AS inflow
+           |        FROM e JOIN $prev s ON s.doc_id = e.src GROUP BY 1),
+           |$iN AS (SELECT d.doc_id, d.deg, d.n,
+           |          (15 * (1000000000000 // d.n)) // 100
+           |          + (85 * COALESCE($cN.inflow, 0)) // 100 AS pr
+           |        FROM $prev d LEFT JOIN $cN USING (doc_id))""".stripMargin
+      s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q23)),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |p0 AS (SELECT doc_id, deg, n, 1000000000000 // n AS pr FROM deg, nn),
+         |${iter("p0", "c1", "i1")},
+         |${iter("i1", "c2", "i2")},
+         |${iter("i2", "c3", "i3")}
+         |SELECT doc_id, deg, CAST(pr AS BIGINT) AS pr_e12
+         |FROM i3 ORDER BY pr_e12 DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    "q151_simkey_blocking" -> {
+      val q25 = TextQueries.oracleSql("q25_simhash")
+      s"""WITH sh AS (SELECT doc_id, simhash16 AS sh FROM ($q25)),
+         |t AS (SELECT doc_id, UNNEST(list_distinct($toks)) AS tok FROM documents),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM sh a JOIN sh b
+         |           ON b.doc_id > a.doc_id AND ABS(a.sh - b.sh) <= 256),
+         |p AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+         |      FROM cand JOIN t ta ON ta.doc_id = cand.doc_a
+         |                JOIN t tb ON tb.doc_id = cand.doc_b AND tb.tok = ta.tok
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        inter * 1000000 // (na.n + nb.n - inter) AS j_e6
+         |      FROM p JOIN n na ON na.doc_id = p.doc_a
+         |             JOIN n nb ON nb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, j_e6 FROM j
+         |WHERE j_e6 >= 950000 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q152_langid_confusion" -> {
+      val q19 = TextQueries.oracleSql("q19_langid")
+      s"""SELECT lang, lang_pred, COUNT(*) AS n_docs FROM ($q19)
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+    },
+
+    "q153_position_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |fp AS (SELECT user_id, MIN(us) AS fp_us FROM e
+        |       WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (SELECT e.user_id, e.event_type, e.us, e.event_id
+        |      FROM e JOIN fp USING (user_id)
+        |      WHERE e.event_type IN ('click', 'view') AND e.us <= fp.fp_us),
+        |r AS (SELECT event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS r,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n
+        |      FROM t),
+        |c AS (SELECT event_type,
+        |        CASE WHEN n = 1 THEN 10000
+        |             WHEN n = 2 THEN 5000
+        |             WHEN r = 1 THEN 4000 + (2000 - (n - 2) * (2000 // (n - 2)))
+        |             WHEN r = n THEN 4000
+        |             ELSE 2000 // (n - 2) END AS credit_bp
+        |      FROM r)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |       CAST(SUM(credit_bp) AS BIGINT) AS total_bp
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

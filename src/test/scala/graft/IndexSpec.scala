@@ -89,6 +89,65 @@ class IndexSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q150 pagerank: ordered, above the damping floor, degree-consistent") {
+    val rows = run("q150_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val pairs = FeatureQueries.dupPairsTable(spark, sf).select("doc_a", "doc_b")
+    val deg = pairs.select(col("doc_a").as("d")).unionAll(pairs.select(col("doc_b").as("d")))
+      .groupBy("d").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = deg.size.toLong
+    assert(rows.length == math.min(50L, n))
+    val floor = (15L * (1000000000000L / n)) / 100L
+    rows.foreach { case (id, d, pr) =>
+      assert(deg(id) == d, s"degree of $id")
+      assert(pr >= floor, s"pr of $id under damping floor")
+    }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq, "sorted desc")
+  }
+
+  test("q151 simkey blocking: finds only true near-dups (subset of complete q144)") {
+    val got = run("q151_simkey_blocking").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val complete = run("q144_prefix_filter_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "blocking should recover some near-identical pairs")
+    assert(got.subsetOf(complete),
+      "every verified blocked pair must be in the complete prefix-filter answer")
+    // the recall dial: report it so a failing tightening shows the number
+    info(s"sort-key blocking recall = ${got.size}/${complete.size}")
+  }
+
+  test("q152 langid confusion: cells tile the corpus and match per-lang totals") {
+    val rows = run("q152_langid_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val langTotals = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._3).sum == langTotals.values.sum, "cells tile the corpus")
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._3).sum == langTotals(lang), s"$lang row total")
+    }
+    assert(rows.map(_._2).toSet.subsetOf(Set("en", "es", "de", "und")))
+  }
+
+  test("q153 attribution: every converting user's credits sum to exactly 10000 bp") {
+    val rows = run("q153_position_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("us").as("fp_us"))
+    val nUsers = e.filter(col("event_type").isin("click", "view"))
+      .join(fp, Seq("user_id")).filter(col("us") <= col("fp_us"))
+      .select("user_id").distinct().count()
+    val nTouches = e.filter(col("event_type").isin("click", "view"))
+      .join(fp, Seq("user_id")).filter(col("us") <= col("fp_us")).count()
+    assert(rows.map(_._2).sum == nTouches, "touch count conserved")
+    assert(rows.map(_._3).sum == 10000L * nUsers,
+      "credit is conserved: 10000 bp per converting user, no rounding leak")
+    assert(rows.map(_._1).toSet.subsetOf(Set("click", "view")))
+  }
+
   test("q149 conversion latency: ordered percentiles over the recomputed cohort") {
     val r = run("q149_conversion_latency").collect()(0)
     val (n, p50, p90, p99) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
