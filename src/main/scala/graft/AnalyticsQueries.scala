@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Modeling-adjacent analytics (round 9): per-group exact OLS trend
+  * fits, value-cutoff RFM segmentation, a selective star join that
+  * exercises the broadcast planner the way a BI workload would, and a
+  * declarative data-contract audit.
+  *
+  * Reference intent: the reference fits per-store LightGBM models and
+  * eyeballs quality in Streamlit (services/training/tasks.py,
+  * web-ui/app/main.py). The operators here are the SQL-exact versions
+  * of the surrounding analytics: trend slopes, user segmentation,
+  * revenue cubes, and the ingest-contract gate its Airflow DAG never
+  * had. House disciplines throughout — scaled-BIGINT/DECIMAL(38,0)
+  * arithmetic with sign-explicit integer division (Spark `div`
+  * truncates toward zero, DuckDB `//` floors; on negatives they
+  * disagree, so every possibly-negative division goes through
+  * sign·(abs div abs), which both engines agree on).
+  */
+object AnalyticsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G99: per-group exact OLS trend (value vs day index) ────────────
+    // Least-squares slope/intercept of daily event value per type, in
+    // closed form over integer sums: m = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), all
+    // terms DECIMAL(38,0) (y is e6-scaled, x is a small day index).
+    // This is U2's trend component re-expressed as ONE declarative
+    // aggregate — no per-key iteration, no driver loop: the corpus
+    // collapses to |type|×|days| daily cells map-side, the five moment
+    // sums partial-aggregate, and the closed form is arithmetic on a
+    // |type|-row table. The fit a 1000-executor cluster can run on
+    // every key it has.
+    "q154_group_ols" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("cast(round(value * 1000000) as bigint)")).as("y6"))
+      val withX = daily.withColumn("x",
+        datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("event_type"))).cast(LongType))
+      withX.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y6").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum(col("x").cast(dec) * col("y6").cast(dec)).as("sxy"))
+        .withColumn("num",
+          col("n_days").cast(dec) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den",
+          col("n_days").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        // sign-explicit: num can be negative, den > 0 for n_days >= 2
+        .withColumn("slope6", expr(
+          "cast(case when num < 0 then -(abs(num) div den) else num div den end as bigint)"))
+        .withColumn("t", col("sy") - col("slope6").cast(dec) * col("sx"))
+        .withColumn("icept6", expr(
+          "cast(case when t < 0 then -(abs(t) div cast(n_days as decimal(38,0))) " +
+            "else t div cast(n_days as decimal(38,0)) end as bigint)"))
+        .select("event_type", "n_days", "slope6", "icept6")
+        .orderBy("event_type")
+    }),
+
+    // ── G100: RFM segmentation by exact value cutoffs ──────────────────
+    // Recency/frequency/monetary quintiles per user. Deliberately NOT
+    // ntile: rank-based quintiles need a global sort per metric (one
+    // partition owns every user). Instead the 20/40/60/80 cutpoints are
+    // computed as exact percentiles (three tiny aggregates) and each
+    // user is bucketed by VALUE comparison — embarrassingly parallel,
+    // and the cutpoint table is the reusable artifact a scoring service
+    // wants anyway. Buckets can be unequal under ties; that is the
+    // documented trade for losing the global sort. Segment code =
+    // r·100 + f·10 + m, 1 = best (most recent / most frequent /
+    // highest spend after the orientation flips).
+    "q155_rfm_segments" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      val mx = e.agg(max("day").as("mx"))
+      val u = e.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1)).as("freq"), sum("v6").as("money6"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency", datediff(col("mx"), col("last_day")).cast(LongType))
+        .select("user_id", "recency", "freq", "money6")
+      val cuts = u.agg(
+        expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+        expr("percentile(freq,    array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+        expr("percentile(money6,  array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+      def bucket(m: String, c: String) = expr(
+        s"1 + cast($m > $c[0] as int) + cast($m > $c[1] as int) " +
+          s"+ cast($m > $c[2] as int) + cast($m > $c[3] as int)")
+      u.crossJoin(broadcast(cuts))
+        // recency: smaller = better, so bucket ascending IS the rank;
+        // freq/money: larger = better, flip to 6 - bucket
+        .withColumn("r", bucket("recency", "rc"))
+        .withColumn("f", lit(6) - bucket("freq", "fc"))
+        .withColumn("m", lit(6) - bucket("money6", "mc"))
+        .withColumn("segment", (col("r") * 100 + col("f") * 10 + col("m")).cast(LongType))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), sum("money6").as("money6_total"))
+        .orderBy("segment")
+    }),
+
+    // ── G101: selective star join (broadcast-planner showcase) ─────────
+    // Revenue by region × order quarter for ONE part brand and ONE
+    // order priority — the canonical BI slice. The plan the spec pins:
+    // the filtered part dim, customer→nation→region chain ALL broadcast
+    // (each far under the threshold after selection); the only shuffle
+    // is lineitem⋈orders on orderkey, and AQE sees the selective dims
+    // first. Filters reach the parquet scans (PushedFilters on p_brand
+    // and o_orderpriority), so the fact table is the only real IO. At
+    // 100 TB this is the shape that makes or breaks a warehouse — one
+    // wide exchange, everything else map-side.
+    "q156_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      val p  = Tables.part(s, dir).filter(col("p_brand") === "Brand#12")
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 4))).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "qtr")
+    }),
+
+    // ── G102: declarative data-contract audit ──────────────────────────
+    // The ingest gate as a query: one scan of events, five conditional
+    // sums (non-negative value, known event type, ts inside the
+    // contract window, positive user id, JSON-object props), unpivoted
+    // to one row per rule via stack(). Zero-violation rows are emitted
+    // too — the audit's job is to prove it LOOKED. At scale this is a
+    // single map-side aggregate (no shuffle at all beyond the final
+    // 5-row gather), which is why it can run on every ingest batch.
+    "q157_contract_audit" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("v_neg"),
+          sum(when(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L)).as("bad_type"),
+          sum(when(col("ts") < to_timestamp(lit("2024-01-01")) ||
+            col("ts") >= to_timestamp(lit("2025-01-01")), 1L).otherwise(0L)).as("bad_ts"),
+          sum(when(col("user_id").isNull || col("user_id") <= 0, 1L).otherwise(0L)).as("bad_user"),
+          sum(when(col("props").isNull || !col("props").startsWith("{"), 1L)
+            .otherwise(0L)).as("bad_props"))
+        .selectExpr("n_rows",
+          "stack(5, 'value_nonnegative', v_neg, 'known_event_type', bad_type, " +
+            "'ts_in_contract_window', bad_ts, 'positive_user_id', bad_user, " +
+            "'props_json_object', bad_props) AS (rule, n_violations)")
+        .select("rule", "n_violations", "n_rows")
+        .orderBy("rule")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q154_group_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(round(value * 1000000) AS BIGINT)) AS y6
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, y6,
+        |        datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x
+        |      FROM daily),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y6 AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(x AS HUGEINT) * y6) AS sxy
+        |      FROM x GROUP BY 1),
+        |f AS (SELECT event_type, n_days,
+        |        n_days * sxy - sx * sy AS num,
+        |        n_days * sxx - sx * sx AS den,
+        |        sx, sy
+        |      FROM m),
+        |g AS (SELECT event_type, n_days, sx, sy,
+        |        CASE WHEN num < 0 THEN -(ABS(num) // den) ELSE num // den END AS slope6
+        |      FROM f),
+        |h AS (SELECT event_type, n_days, slope6,
+        |        sy - slope6 * sx AS t
+        |      FROM g)
+        |SELECT event_type, n_days,
+        |       CAST(slope6 AS BIGINT) AS slope6,
+        |       CAST(CASE WHEN t < 0 THEN -(ABS(t) // CAST(n_days AS HUGEINT))
+        |                 ELSE t // CAST(n_days AS HUGEINT) END AS BIGINT) AS icept6
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    "q155_rfm_segments" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |             CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |mx AS (SELECT MAX(day) AS mx FROM e),
+        |u AS (SELECT user_id,
+        |        datediff('day', MAX(day), (SELECT mx FROM mx)) AS recency,
+        |        COUNT(*) AS freq, SUM(v6) AS money6
+        |      FROM e GROUP BY user_id),
+        |cuts AS (SELECT
+        |    quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(freq,    [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(money6,  [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM u),
+        |b AS (SELECT user_id, money6,
+        |        1 + CAST(recency > rc[1] AS INT) + CAST(recency > rc[2] AS INT)
+        |          + CAST(recency > rc[3] AS INT) + CAST(recency > rc[4] AS INT) AS r,
+        |        6 - (1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+        |          + CAST(freq > fc[3] AS INT) + CAST(freq > fc[4] AS INT)) AS f,
+        |        6 - (1 + CAST(money6 > mc[1] AS INT) + CAST(money6 > mc[2] AS INT)
+        |          + CAST(money6 > mc[3] AS INT) + CAST(money6 > mc[4] AS INT)) AS m
+        |      FROM u, cuts)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+        |       COUNT(*) AS n_users,
+        |       CAST(SUM(money6) AS BIGINT) AS money6_total
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q156_star_join" ->
+      """SELECT r_name, CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey AND p_brand = 'Brand#12'
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |                 AND o_orderpriority = '1-URGENT'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, quarter(o_orderdate)
+        |ORDER BY r_name, qtr""".stripMargin,
+
+    "q157_contract_audit" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS v_neg,
+        |    SUM(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS bad_type,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |          OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS bad_ts,
+        |    SUM(CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0 END) AS bad_user,
+        |    SUM(CASE WHEN props IS NULL OR props NOT LIKE '{%' THEN 1 ELSE 0 END) AS bad_props
+        |  FROM events)
+        |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows FROM (
+        |  SELECT 'value_nonnegative' AS rule, v_neg AS n_violations, n_rows FROM a
+        |  UNION ALL SELECT 'known_event_type', bad_type, n_rows FROM a
+        |  UNION ALL SELECT 'ts_in_contract_window', bad_ts, n_rows FROM a
+        |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
+        |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
+        |ORDER BY rule""".stripMargin
+  )
+}

@@ -42,25 +42,112 @@ object IndexQueries {
     // is Σ over prefix tokens of |postings|² — bounded by the df
     // ordering; the corpus-sized artifacts (token rows, df counts) are
     // things the pipeline (q59, q81) already materialises.
+    // Three stacked PPJoin filters make the candidate join survive a
+    // template-heavy corpus (one prefix filter alone generated ~10⁶
+    // candidates at sf0.1 and took 129 s):
+    //  - prefix:     J ≥ τ pairs MUST share a token in the first
+    //                n−⌈τn⌉+1 rarest tokens;
+    //  - length:     τ·na ≤ nb ≤ na/τ (±5 % at τ=0.95);
+    //  - positional: overlap ≤ 1 + min(na−ra, nb−rb) for a pair's FIRST
+    //                common token, so rows failing
+    //                1+min(na−ra, nb−rb) ≥ α = ⌈τ(na+nb)/(1+τ)⌉ can be
+    //                dropped — the first-common-token row of every
+    //                qualifying pair always passes, so completeness
+    //                holds (Xiao et al.'s ppjoin argument).
+    // Verification joins the surviving pairs to per-doc DISTINCT token
+    // arrays and counts `array_intersect` — O(|cand|) narrow rows, no
+    // per-token fan-out shuffle.
+    // Two more scale moves on top of the three filters, both
+    // semantics-preserving (J depends only on the token SET):
+    //  - exact-dedup first: docs collapse to distinct-token-set groups
+    //    (md5 of the sorted set); the pairwise join runs on SET
+    //    REPRESENTATIVES only and same-set pairs are emitted as J=1
+    //    without any verification — the order production pipelines
+    //    always use (exact pass before near-dup pass);
+    //  - integer vocabulary: tokens become dense int ids ASSIGNED IN
+    //    GLOBAL (df, tok) ORDER, so a set's sorted id array IS its
+    //    rarest-first prefix order — prefix extraction is slice(), the
+    //    candidate join carries ints, and verification intersects int
+    //    arrays (no per-pair string hashing). 129 s → ~7 s at sf0.1.
+    // The vocab window is a single-partition sort of the VOCABULARY
+    // (not the corpus) — at 100 TB vocab ids come from zipWithIndex on
+    // the sorted df table instead; everything else already shuffles on
+    // set-fp/tid only.
     "q144_prefix_filter_join" -> ((s, dir) => {
-      val tr = TextQueries.tokRows(s, dir)
-      val df = tr.groupBy("tok").agg(count(lit(1)).as("df"))
-      val sizes = tr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ranked = tr.join(df, "tok")
-        .withColumn("r", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-      val pref = ranked.join(sizes, "doc_id")
-        .filter(col("r") <= col("n") - expr("(19 * n + 19) div 20") + 1)
-        .select(col("doc_id"), col("tok"))
-      val cand = pref.select(col("doc_id").as("doc_a"), col("tok"))
-        .join(pref.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      graft.ops.Dedup.tokenOverlap(cand, tr, "doc_a", "doc_b")
+      val docSets = Tables.documents(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+            .as("toks"))
+        .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+      val members = docSets.select(col("fp"), col("doc_id"))
+      val reps = docSets
+        .withColumn("rep", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("rep"))
+        .select(col("fp"), col("toks"))
+      val trep = reps.select(col("fp"), explode(col("toks")).as("tok"))
+      val vocab = trep.groupBy("tok").agg(count(lit(1)).as("df"))
+        .withColumn("tid",
+          row_number().over(Window.orderBy(col("df"), col("tok"))).cast(IntegerType))
+        .select("tok", "tid")
+      val rids = trep.join(vocab, Seq("tok"))
+        .groupBy("fp").agg(sort_array(collect_list(col("tid"))).as("ids"))
+        .withColumn("n", size(col("ids")))
+      val pref = rids
+        .select(col("fp"), col("n"),
+          posexplode(expr("slice(ids, 1, n - (19 * n + 19) div 20 + 1)"))
+            .as(Seq("p", "tid")))
+      val cand = pref.select(col("fp").as("fp_a"), col("tid"),
+          (col("p") + 1).as("ra"), col("n").as("na"))
+        .join(pref.select(col("fp").as("fp_b"), col("tid"),
+          (col("p") + 1).as("rb"), col("n").as("nb")), Seq("tid"))
+        .filter(col("fp_a") < col("fp_b"))
+        .filter(col("na") * 20 >= col("nb") * 19 && col("nb") * 20 >= col("na") * 19)
+        .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          expr("(19 * (na + nb) + 38) div 39"))
+        .groupBy("fp_a", "fp_b").agg(min("na").as("na"), min("nb").as("nb"))
+      // Bloom-style prune before the exact intersect: 2048-bit set
+      // bitmaps; popcount(bits_a | bits_b) can only UNDERCOUNT the
+      // union (collisions merge bits, never split), so
+      // na + nb − popcount(OR) is a guaranteed upper bound on the
+      // intersection — any pair whose bound misses α = ⌈τ(na+nb)/(1+τ)⌉
+      // provably fails J ≥ τ and skips verification. 32 long-words per
+      // set vs a ~hundreds-element array intersect per candidate.
+      val bitmaps = rids
+        .select(col("fp"), explode(col("ids")).as("tid"))
+        .withColumn("h", col("tid") % 2048)
+        .groupBy(col("fp"), expr("h div 64").as("slot"))
+        .agg(expr("bit_or(shiftleft(1L, cast(h % 64 as int)))").as("w"))
+        .groupBy("fp").agg(map_from_arrays(collect_list(col("slot")),
+          collect_list(col("w"))).as("wm"))
+        .withColumn("bits", expr(
+          "transform(sequence(0, 31), s -> coalesce(wm[cast(s as bigint)], 0L))"))
+        .select("fp", "bits")
+      val crossSet = cand
+        .join(bitmaps.select(col("fp").as("fp_a"), col("bits").as("ba")), Seq("fp_a"))
+        .join(bitmaps.select(col("fp").as("fp_b"), col("bits").as("bb")), Seq("fp_b"))
+        .withColumn("ub", col("na") + col("nb") - expr(
+          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x | y)), 0L, (acc, v) -> acc + v)"))
+        .filter(col("ub") >= expr("(19 * (na + nb) + 38) div 39"))
+        .join(rids.select(col("fp").as("fp_a"), col("ids").as("ia")), Seq("fp_a"))
+        .join(rids.select(col("fp").as("fp_b"), col("ids").as("ib")), Seq("fp_b"))
+        .withColumn("inter", size(array_intersect(col("ia"), col("ib"))).cast(LongType))
         .withColumn("n_union", col("na") + col("nb") - col("inter"))
         .withColumn("j_e6", expr("inter * 1000000 div n_union"))
         .filter(col("j_e6") >= 950000)
-        .select("doc_a", "doc_b", "inter", "n_union", "j_e6")
+        .join(members.select(col("fp").as("fp_a"), col("doc_id").as("da")), Seq("fp_a"))
+        .join(members.select(col("fp").as("fp_b"), col("doc_id").as("db")), Seq("fp_b"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("inter"), col("n_union"), col("j_e6"))
+      val sameSet = members.join(rids.select(col("fp"), col("n")), Seq("fp"))
+        .select(col("fp"), col("doc_id"), col("n"))
+      val samePairs = sameSet.select(col("fp"), col("doc_id").as("doc_a"), col("n"))
+        .join(sameSet.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n").cast(LongType).as("inter"),
+          col("n").cast(LongType).as("n_union"), lit(1000000L).as("j_e6"))
+      crossSet.unionByName(samePairs)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -243,8 +330,14 @@ object IndexQueries {
       val cand = left.join(right, Seq("b"))
         .filter(col("doc_id") < col("doc_b") && abs(col("sh") - col("sh_b")) <= 256)
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-      graft.ops.Dedup.tokenOverlap(cand, TextQueries.tokRows(s, dir), "doc_a", "doc_b")
-        .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
+      val docToks = Tables.documents(s, dir).select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+      cand
+        .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+        .withColumn("j_e6", expr(
+          "inter * 1000000 div (size(ta) + size(tb) - inter)"))
         .filter(col("j_e6") >= 950000)
         .select("doc_a", "doc_b", "j_e6")
         .orderBy("doc_a", "doc_b")

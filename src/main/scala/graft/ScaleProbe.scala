@@ -38,7 +38,8 @@ import java.nio.file.{Files, Paths}
 object ScaleProbe {
 
   val ProbeQueries = Seq("q21_dedup_exact", "q23_minhash_dup_pairs",
-    "q64_dup_components", "q88_incremental_dedup")
+    "q64_dup_components", "q88_incremental_dedup",
+    "q144_prefix_filter_join", "q151_simkey_blocking")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

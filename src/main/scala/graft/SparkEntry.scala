@@ -31,7 +31,7 @@ object SparkEntry {
       PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
       CurationQueries.queries ++ AuditQueries.queries ++
       BehaviorQueries.queries ++ GovernanceQueries.queries ++
-      IndexQueries.queries
+      IndexQueries.queries ++ AnalyticsQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -270,7 +270,8 @@ object SparkEntry {
       PipelineQueries.oracleSql ++ MlQueries.oracleSql ++
       FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
       AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
-      GovernanceQueries.oracleSql ++ IndexQueries.oracleSql
+      GovernanceQueries.oracleSql ++ IndexQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->

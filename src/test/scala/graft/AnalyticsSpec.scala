@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the analytics surface (AnalyticsQueries,
+  * q154-q157): the OLS closed form agrees with a driver-side exact
+  * recomputation, RFM buckets tile the user base, the star join's plan
+  * broadcasts every dim and pushes both filters into scans, and the
+  * contract audit proves it scanned (zero-violation rows present).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Engine.session("test")
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q154 OLS: slope/intercept match an exact BigInt recomputation per type") {
+    val rows = run("q154_group_ols").collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 1000000) as bigint)")).as("y6"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, g) =>
+      val d0 = g.map(_._2).min
+      val xs = g.map(p => BigInt(java.time.temporal.ChronoUnit.DAYS.between(d0, p._2)))
+      val ys = g.map(p => BigInt(p._3))
+      val n = BigInt(g.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      def sdiv(a: BigInt, b: BigInt) = if (a < 0) -(a.abs / b) else a / b
+      val slope = sdiv(num, den)
+      val icept = sdiv(sy - slope * sx, n)
+      val row = rows.find(_.getString(0) == t).get
+      assert(row.getLong(2) == slope.toLong, s"$t slope")
+      assert(row.getLong(3) == icept.toLong, s"$t intercept")
+    }
+  }
+
+  test("q155 RFM: buckets tile the user base; money conserved; codes well-formed") {
+    val rows = run("q155_rfm_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = Tables.events(spark, sf)
+    val nUsers = e.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers, "every user lands in exactly one segment")
+    val totalMoney = e.select(sum(expr("cast(round(value * 1000000) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalMoney, "monetary mass conserved")
+    rows.foreach { case (seg, _, _) =>
+      val (r, f, m) = (seg / 100, (seg / 10) % 10, seg % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"segment $seg")
+    }
+  }
+
+  test("q156 star join: all dims broadcast, both filters pushed to scans") {
+    val df = run("q156_star_join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      "part, customer, nation, region must all broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    val formatted = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { df.explain("formatted") }
+      out.toString
+    }
+    assert(formatted.contains("Brand#12"), "p_brand filter pushed into scan")
+    assert(formatted.contains("1-URGENT"), "o_orderpriority filter pushed into scan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
+  test("q157 contract audit: five rules, full-scan denominator, counts match recomputation") {
+    val rows = run("q157_contract_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5, "one row per declared rule")
+    val e = Tables.events(spark, sf)
+    val nRows = e.count()
+    val expected = Map(
+      "value_nonnegative" -> e.filter(col("value") < 0).count(),
+      "known_event_type" -> e.filter(!col("event_type").isin(
+        "click", "view", "purchase", "signup", "error")).count(),
+      "ts_in_contract_window" -> e.filter(col("ts") < to_timestamp(lit("2024-01-01")) ||
+        col("ts") >= to_timestamp(lit("2025-01-01"))).count(),
+      "positive_user_id" -> e.filter(col("user_id").isNull || col("user_id") <= 0).count(),
+      "props_json_object" -> e.filter(col("props").isNull ||
+        !col("props").startsWith("{")).count())
+    rows.foreach { case (rule, viol, n) =>
+      assert(n == nRows, s"$rule: denominator is the full scan")
+      assert(viol == expected(rule), s"$rule: violation count matches recomputation")
+    }
+    // the fixture ships real violations (user_id=0 rows) — the audit must see them
+    assert(expected("positive_user_id") > 0, "fixture is known-dirty on user_id")
+  }
+}
