@@ -160,8 +160,44 @@ object AnalyticsQueries {
             "'props_json_object', bad_props) AS (rule, n_violations)")
         .select("rule", "n_violations", "n_rows")
         .orderBy("rule")
+    }),
+
+    // ── G104: Z-order layout audit (space-filling-curve clustering) ────
+    // The data-layout move that makes multi-dimensional pruning work at
+    // 100 TB: interleave the bits of (user_id, day) into a Morton code
+    // and cluster files by z-ranges, so a scan filtered on EITHER
+    // dimension prunes ~√-proportionally. This operator computes the
+    // 32-bit z-value (16 bits per dimension, pure integer bit ops —
+    // identical two's-complement semantics in both engines) and audits
+    // the locality guarantee per 4096-wide z-bucket: fixing z's high
+    // bits fixes both dimensions' high bits, so within a bucket the
+    // user span and day span are each provably < 64 (spec-asserted).
+    // The per-bucket (min, max) table IS the file-skipping index a
+    // writer would persist.
+    "q159_zorder_layout" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id").bitwiseAND(65535)).as("x"),
+          expr("cast(datediff(cast(ts as date), date'2024-01-01') & 65535 as bigint)").as("y"))
+        .withColumn("z", expr(sparkZ("x", "y")))
+      e.groupBy(expr("z div 4096").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_user"), max("x").as("max_user"),
+          min("y").as("min_day"), max("y").as("max_day"))
+        .orderBy("z_bucket")
     })
   )
+
+  /** Morton interleave of two 16-bit values, Spark SQL dialect
+    * (shiftleft/shiftright functions). */
+  private def sparkZ(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})").mkString(" + ")
+
+  /** Same interleave, DuckDB dialect (native shift operators). */
+  private def duckZ(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -252,6 +288,16 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'ts_in_contract_window', bad_ts, n_rows FROM a
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q159_zorder_layout" ->
+      s"""WITH e AS (SELECT user_id & 65535 AS x,
+         |             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) & 65535 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, ${duckZ("x", "y")} AS z FROM e)
+         |SELECT z // 4096 AS z_bucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS min_user, MAX(x) AS max_user,
+         |       MIN(y) AS min_day, MAX(y) AS max_day
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -287,6 +287,44 @@ object PipelineQueries {
       s.read.parquet(s"$work/agg").orderBy("day", "event_type")
     }),
 
+    // ── G103: streaming hourly uniques (dedup state → windowed agg) ────
+    // The stateful composition the suite's other streams don't have:
+    // dropDuplicates STATE feeding a windowed aggregate in one query —
+    // streaming can't run countDistinct, so exact per-hour uniques are
+    // expressed as dedup-on-(user, hour) followed by a count, which is
+    // also precisely how an unbounded job bounds its memory (the dedup
+    // state is the distinct set; with a watermark it evicts closed
+    // hours). Complete mode + AvailableNow + foreachBatch snapshot (the
+    // q48 daily-DAG shape) keeps the drain hash-identical to the batch
+    // oracle. State cost: one row per live (user, hour), released after
+    // the drain.
+    "q158_stream_hourly_uniques" -> ((s, dir) => {
+      val work = cachedFixture(s"hourlyuniq|$dir") { work =>
+        val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        StreamIngest.toJsonLines(ev).write.mode("overwrite").text(s"$work/src")
+        val parsed = StreamIngest.jsonLinesStream(s, s"$work/src", Schemas.eventsEnvelope)
+          .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        StreamIngest.drain(s) {
+          parsed
+            .withColumn("hour_start", date_trunc("hour", col("ts")))
+            .dropDuplicates("user_id", "hour_start")
+            .groupBy("hour_start").agg(count(lit(1)).as("n_uniques"))
+            .select(unix_micros(col("hour_start")).as("hour_us"), col("n_uniques"))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("overwrite").parquet(s"$work/agg")
+            }
+            .start()
+        }
+      }
+      s.read.parquet(s"$work/agg").orderBy("hour_us")
+    }),
+
     // §2.9 extension — STREAMING session windows: q57's 30-minute-gap
     // sessionization executed as a real streaming job over the JSON
     // envelope source. Complete mode + AvailableNow: the final
@@ -549,6 +587,11 @@ object PipelineQueries {
     "q48_stream_daily_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q158_stream_hourly_uniques" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |       COUNT(DISTINCT user_id) AS n_uniques
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical to q57's batch definition: streaming session windows must
     // reproduce the batch gap-sessionization bit for bit

@@ -98,4 +98,37 @@ class AnalyticsSpec extends AnyFunSuite {
     // the fixture ships real violations (user_id=0 rows) — the audit must see them
     assert(expected("positive_user_id") > 0, "fixture is known-dirty on user_id")
   }
+
+  test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
+    val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Tables.events(spark, sf)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("hour_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(batch), "stream drain must equal batch countDistinct")
+    assert(got.nonEmpty)
+  }
+
+  test("q159 z-order: z is a bijective interleave; bucket spans provably < 64") {
+    val rows = run("q159_zorder_layout").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sf).count(), "every row lands in a bucket")
+    rows.foreach { r =>
+      val (minU, maxU, minD, maxD) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // z div 4096 fixes bits >= 12 of z, hence bits >= 6 of each dim
+      assert(maxU - minU < 64, s"user span in bucket ${r.getLong(0)}")
+      assert(maxD - minD < 64, s"day span in bucket ${r.getLong(0)}")
+    }
+    // bijectivity: interleave then de-interleave round-trips on a sample
+    def z(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    def unz(v: Long): (Long, Long) =
+      ((0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).sum,
+        (0 until 16).map(i => ((v >> (2 * i + 1)) & 1L) << i).sum)
+    for (x <- Seq(0L, 1L, 63L, 255L, 65535L); y <- Seq(0L, 2L, 64L, 30L))
+      assert(unz(z(x, y)) == ((x, y)), s"roundtrip ($x, $y)")
+  }
 }
