@@ -269,6 +269,71 @@ object IndexQueries {
           expr("percentile(lat_s, 0.99)").as("p99_s"))
     }),
 
+    // ── G105: idf-weighted Jaccard over the kept dup pairs ─────────────
+    // Unweighted Jaccard scores a stopword match and a rare-term match
+    // identically; the weighted form Σ_{A∩B}w / (Σ_A w + Σ_B w − Σ_{A∩B}w)
+    // with w(tok) = ⌊N·10⁶/df⌋ (q119's integer-idf rule) re-scores the
+    // SAME pair snapshot q23 landed, so the audit costs O(|pairs|·|doc|)
+    // — candidates stay banded, never all-pairs. Pairs whose weighted
+    // score drops far below the unweighted one are template matches
+    // (shared boilerplate carried the overlap) — the signal a curation
+    // run uses to keep real near-dups and release template siblings.
+    "q160_weighted_jaccard" -> ((s, dir) => {
+      val pairs = FeatureQueries.dupPairsTable(s, dir).select("doc_a", "doc_b", "j_e6")
+      val tr = TextQueries.tokRows(s, dir)
+      val nn = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+      val w = tr.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nn))
+        .withColumn("w", expr("(nn * 1000000) div df"))
+        .select("tok", "w")
+      val tw = tr.join(w, Seq("tok"))
+      val docW = tw.groupBy("doc_id").agg(sum("w").as("sw"))
+      val interW = pairs.select("doc_a", "doc_b")
+        .join(tw.select(col("doc_id").as("doc_a"), col("tok"), col("w")), Seq("doc_a"))
+        .join(tw.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy("doc_a", "doc_b").agg(sum("w").as("iw"))
+      pairs
+        .join(interW, Seq("doc_a", "doc_b"), "left")
+        .join(docW.select(col("doc_id").as("doc_a"), col("sw").as("swa")), Seq("doc_a"))
+        .join(docW.select(col("doc_id").as("doc_b"), col("sw").as("swb")), Seq("doc_b"))
+        .withColumn("iw", coalesce(col("iw"), lit(0L)))
+        .withColumn("wj_e6", expr("iw * 1000000 div (swa + swb - iw)"))
+        .select(col("doc_a"), col("doc_b"), col("j_e6"), col("wj_e6"),
+          (col("j_e6") - col("wj_e6")).as("template_gap_e6"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── G106: time-windowed conversion funnel ──────────────────────────
+    // q99 counts stage reachability over all time; the product-analytics
+    // form constrains each hop to a window: first click → first view
+    // within 7 days of THAT click → first purchase within 7 days of THAT
+    // view (greedy first-qualifying chain, the standard funnel
+    // semantics). Three skinny per-user min-aggregates chained by
+    // conditional joins — each stage collapses map-side before its
+    // join, so the wide event scan never shuffles. Output is one row of
+    // stage counts; the drop-off between n_click and n_view_7d is what
+    // a growth team actually reads.
+    "q161_windowed_funnel" -> ((s, dir) => {
+      val W = 7L * 86400L * 1000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val fc = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val fv = e.filter(col("event_type") === "view")
+        .join(fc, Seq("user_id"))
+        .filter(col("us") >= col("c_us") && col("us") <= col("c_us") + W)
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("us") >= col("v_us") && col("us") <= col("v_us") + W)
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      e.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(fc.agg(count(lit(1)).as("n_click")))
+        .crossJoin(fv.agg(count(lit(1)).as("n_view_7d")))
+        .crossJoin(fp.agg(count(lit(1)).as("n_purchase_7d")))
+        .select("n_users", "n_click", "n_view_7d", "n_purchase_7d")
+    }),
+
     // ── G95: integer PageRank over the near-dup graph (3 iterations) ───
     // Which documents sit at the CENTER of duplication clusters? Degree
     // (q116) counts neighbors; PageRank weights them by their own
@@ -475,6 +540,49 @@ object IndexQueries {
         |       quantile_cont(lat_s, 0.9) AS p90_s,
         |       quantile_cont(lat_s, 0.99) AS p99_s
         |FROM l""".stripMargin,
+
+    "q160_weighted_jaccard" -> {
+      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b, j_e6 FROM ($q23)),
+         |t AS (SELECT doc_id, UNNEST(list_distinct($toks)) AS tok FROM documents),
+         |nn AS (SELECT COUNT(*) AS nn FROM documents),
+         |w AS (SELECT tok, (nn * 1000000) // COUNT(*) AS w
+         |      FROM t, nn GROUP BY tok, nn),
+         |tw AS (SELECT doc_id, t.tok, w FROM t JOIN w ON w.tok = t.tok),
+         |dw AS (SELECT doc_id, SUM(w) AS sw FROM tw GROUP BY doc_id),
+         |iw AS (SELECT p.doc_a, p.doc_b, SUM(ta.w) AS iw
+         |       FROM p JOIN tw ta ON ta.doc_id = p.doc_a
+         |              JOIN tw tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+         |       GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.j_e6,
+         |       CAST(COALESCE(iw.iw, 0) * 1000000 //
+         |         (wa.sw + wb.sw - COALESCE(iw.iw, 0)) AS BIGINT) AS wj_e6,
+         |       CAST(p.j_e6 - COALESCE(iw.iw, 0) * 1000000 //
+         |         (wa.sw + wb.sw - COALESCE(iw.iw, 0)) AS BIGINT) AS template_gap_e6
+         |FROM p LEFT JOIN iw USING (doc_a, doc_b)
+         |       JOIN dw wa ON wa.doc_id = p.doc_a
+         |       JOIN dw wb ON wb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    },
+
+    "q161_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |fc AS (SELECT user_id, MIN(us) AS c_us FROM e
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |fv AS (SELECT e.user_id, MIN(e.us) AS v_us
+        |       FROM e JOIN fc USING (user_id)
+        |       WHERE e.event_type = 'view'
+        |         AND e.us >= fc.c_us AND e.us <= fc.c_us + 604800000000
+        |       GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, MIN(e.us) AS p_us
+        |       FROM e JOIN fv USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.us >= fv.v_us AND e.us <= fv.v_us + 604800000000
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+        |       (SELECT COUNT(*) FROM fc) AS n_click,
+        |       (SELECT COUNT(*) FROM fv) AS n_view_7d,
+        |       (SELECT COUNT(*) FROM fp) AS n_purchase_7d""".stripMargin,
 
     "q150_pagerank" -> {
       val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")

@@ -148,6 +148,28 @@ class IndexSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.subsetOf(Set("click", "view")))
   }
 
+  test("q160 weighted jaccard: bounded, identical-set pairs stay 1.0, gap consistent") {
+    val rows = run("q160_weighted_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nPairs = FeatureQueries.dupPairsTable(spark, sf).count()
+    assert(rows.length == nPairs, "re-scores exactly the kept pair snapshot")
+    rows.foreach { case (a, b, j, wj, gap) =>
+      assert(wj >= 0 && wj <= 1000000, s"($a,$b) wj in [0,1]")
+      assert(gap == j - wj, s"($a,$b) gap consistency")
+      if (j == 1000000) assert(wj == 1000000, s"($a,$b) identical sets stay 1.0 weighted")
+    }
+  }
+
+  test("q161 windowed funnel: stage counts monotone, click stage matches recount") {
+    val r = run("q161_windowed_funnel").collect()(0)
+    val (u, c, v, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(u >= c && c >= v && v >= p, "funnel is monotone")
+    assert(p >= 0 && c > 0)
+    val clickers = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(c == clickers, "stage 1 = distinct clicking users")
+  }
+
   test("q149 conversion latency: ordered percentiles over the recomputed cohort") {
     val r = run("q149_conversion_latency").collect()(0)
     val (n, p50, p90, p99) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
