@@ -162,6 +162,42 @@ object AnalyticsQueries {
         .orderBy("rule")
     }),
 
+    // ── G107: log₂-bucket histogram sketch (mergeable, float-free) ─────
+    // The fixed-size distribution sketch a 100-TB monitor keeps per
+    // key: bucket = ⌊log₂(v6)⌋ computed as length(bin(v6))−1 — pure
+    // integer/string ops, so the "log" is exact and identical in both
+    // engines (no float log2 at the bucket edge). ≤64 buckets per key,
+    // map-side combining, associative merges across any partitioning —
+    // the structure behind HdrHistogram-style percentile monitors. The
+    // per-bucket (min, max) makes each bucket's range claim auditable.
+    "q162_log_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"))
+        .withColumn("bucket", (length(expr("bin(v6)")) - 1).cast(LongType))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("v6").as("min_v6"), max("v6").as("max_v6"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── G108: fulfillment-latency distribution (classic BI slice) ──────
+    // Days from order to line-item ship, histogrammed per order
+    // priority — the operational-latency read every TPC-H-shaped
+    // warehouse serves. One fact-fact equi-join (lineitem⋈orders on
+    // orderkey, the co-partitionable exchange) then a two-key count;
+    // integer datediff, no floats anywhere.
+    "q163_ship_latency" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lat_days",
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast(LongType))
+        .groupBy("o_orderpriority", "lat_days")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority", "lat_days")
+    }),
+
     // ── G104: Z-order layout audit (space-filling-curve clustering) ────
     // The data-layout move that makes multi-dimensional pruning work at
     // 100 TB: interleave the bits of (user_id, day) into a Morton code
@@ -289,6 +325,23 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q162_log_histogram" ->
+      """WITH v AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v6
+        |           FROM events WHERE value > 0),
+        |b AS (SELECT event_type, v6,
+        |        CAST(length(bin(v6)) - 1 AS BIGINT) AS bucket FROM v)
+        |SELECT event_type, bucket, COUNT(*) AS n,
+        |       MIN(v6) AS min_v6, MAX(v6) AS max_v6
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q163_ship_latency" ->
+      """SELECT o_orderpriority,
+        |       CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |         CAST(l_shipdate AS DATE)) AS BIGINT) AS lat_days,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, lat_days""".stripMargin,
 
     "q159_zorder_layout" ->
       s"""WITH e AS (SELECT user_id & 65535 AS x,

@@ -99,6 +99,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(expected("positive_user_id") > 0, "fixture is known-dirty on user_id")
   }
 
+  test("q162 log histogram: buckets tile [2^b, 2^(b+1)), counts conserve the scan") {
+    val rows = run("q162_log_histogram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nPos = Tables.events(spark, sf).filter(col("value") > 0).count()
+    assert(rows.map(_._3).sum == nPos, "every positive value lands in one bucket")
+    rows.foreach { case (t, b, _, lo, hi) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"$t bucket $b: [$lo,$hi] inside [2^$b, 2^${b + 1})")
+    }
+  }
+
+  test("q163 ship latency: non-negative lags, counts conserve the join") {
+    val rows = run("q163_ship_latency").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the synthetic fixture's ship dates are independent of order dates —
+    // the histogram's extremes must match a direct recomputation (masking
+    // negative lags would be a bug)
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("lat"))
+      .agg(min("lat"), max("lat")).collect()(0)
+    assert(rows.map(_._2).min == direct.getLong(0), "min lag matches")
+    assert(rows.map(_._2).max == direct.getLong(1), "max lag matches")
+    val joined = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows.map(_._3).sum == joined, "histogram mass = joined row count")
+    assert(rows.map(_._1).toSet.size == 5, "all five priorities present")
+  }
+
   test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
     val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
