@@ -198,6 +198,82 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "lat_days")
     }),
 
+    // ── G109: top-k event trigram mining (sequential patterns) ─────────
+    // The 3-step behavioral motifs q115's pairwise transition matrix
+    // can't see (A→B→C ≠ A→B plus B→C when the middle step matters).
+    // One user_id exchange carries both lead() windows; the trigram
+    // count aggregate map-side combines to ≤|types|³ cells regardless
+    // of corpus size, then top-20 is a TakeOrdered — no global sort.
+    "q164_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("e2", lead("e1", 1).over(w))
+        .withColumn("e3", lead("e1", 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
+    // ── G110: Horvitz–Thompson estimate audit (sample → population) ────
+    // Can the 1-in-10 deterministic hash sample (q75's md5 discipline)
+    // stand in for the full scan? The HT estimator inflates each
+    // sampled row by 1/p; this audit computes the estimate AND its
+    // exact error per event type in one pass over the full table
+    // (conditional sums, no second scan). At 100 TB the sample is what
+    // dashboards query; err_e4 is the committed accuracy contract, and
+    // because the sample is hash-deterministic the audit is exactly
+    // reproducible — no RNG to argue with.
+    "q165_ht_estimate" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"),
+          (expr("conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10)")
+            .cast(LongType) % 10).as("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("v6").as("exact_v6"),
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_sampled"),
+          (sum(when(col("h") === 0, col("v6")).otherwise(0L)) * 10).as("est_v6"))
+        .withColumn("err_e4", expr(
+          "abs(est_v6 - exact_v6) * 10000 div exact_v6"))
+        .select("event_type", "n_rows", "n_sampled", "exact_v6", "est_v6", "err_e4")
+        .orderBy("event_type")
+    }),
+
+    // ── G111: lag-1 autocorrelation of the daily series (exact sums) ───
+    // Is yesterday's volume predictive of today's? Per event type the
+    // (x_t, x_{t+1}) pairs come from one lead() window over the ≤|days|
+    // daily-count rows; all five moment sums are DECIMAL(38,0)-exact
+    // and only the final Pearson formula drops to doubles (ONE
+    // deterministic double expression on exact inputs — the q67 rule,
+    // so DuckDB reproduces the float bit-for-bit). The whole query
+    // costs one map-side daily aggregate + a window over a tiny series.
+    "q166_lag_autocorr" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pairs = daily.withColumn("y", lead("x", 1).over(w))
+        .filter(col("y").isNotNull)
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).cast(dec)).as("sxy"),
+          sum((col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0))).cast(dec)).as("sxx"),
+          sum((col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0))).cast(dec)).as("syy"))
+        .select(col("event_type"), col("n"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+            .as("r_lag1"))
+        .orderBy("event_type")
+    }),
+
     // ── G104: Z-order layout audit (space-filling-curve clustering) ────
     // The data-layout move that makes multi-dimensional pruning work at
     // 100 TB: interleave the bits of (user_id, day) into a Morton code
@@ -325,6 +401,52 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q164_event_trigrams" ->
+      """WITH e AS (SELECT user_id, event_type AS e1, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |t AS (SELECT e1,
+        |        LEAD(e1, 1) OVER w AS e2, LEAD(e1, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM t
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "q165_ht_estimate" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 1000000) AS BIGINT) AS v6,
+        |             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+        |               AS BIGINT) % 10 AS h
+        |           FROM events)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       CAST(SUM(v6) AS BIGINT) AS exact_v6,
+        |       CAST(SUM(CASE WHEN h = 0 THEN v6 ELSE 0 END) * 10 AS BIGINT) AS est_v6,
+        |       CAST(ABS(SUM(CASE WHEN h = 0 THEN v6 ELSE 0 END) * 10 - SUM(v6))
+        |         * 10000 // SUM(v6) AS BIGINT) AS err_e4
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q166_lag_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 COUNT(*) AS x
+        |               FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |        LEAD(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |      FROM daily),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |        SUM(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_lag1
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q162_log_histogram" ->
       """WITH v AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v6

@@ -131,6 +131,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.size == 5, "all five priorities present")
   }
 
+  test("q164 trigrams: counts non-increasing, alphabet closed, mass bounded") {
+    val rows = run("q164_event_trigrams").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq, "sorted desc")
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { case (a, b, c, n) =>
+      assert(types(a) && types(b) && types(c) && n > 0)
+    }
+    // total trigram mass = sum over users of max(0, n_events - 2)
+    val mass = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => math.max(0L, r.getLong(1) - 2)).sum
+    assert(rows.map(_._4).sum <= mass, "top-20 can't exceed total mass")
+  }
+
+  test("q165 HT estimate: inflation arithmetic exact, sample subset of scan") {
+    val rows = run("q165_ht_estimate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, ns, exact, est, err) =>
+      assert(ns <= n, s"$t: sample within scan")
+      assert(est % 10 == 0, s"$t: estimate is 10x an integer sum")
+      assert(err == (est - exact).abs * 10000 / exact, s"$t: err formula")
+    }
+    val direct = Tables.events(spark, sf)
+      .filter(expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint) % 10 = 0"))
+      .count()
+    assert(rows.map(_._3).sum == direct, "sampled row count matches direct filter")
+  }
+
+  test("q166 lag-1 autocorrelation: defined and within [-1, 1] per type") {
+    val rows = run("q166_lag_autocorr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, n, cor) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      assert(n >= 2, s"$t: needs at least two day pairs")
+      assert(!cor.isNaN && cor >= -1.0 && cor <= 1.0, s"$t: r=$cor")
+    }
+  }
+
   test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
     val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
