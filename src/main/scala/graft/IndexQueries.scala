@@ -32,16 +32,14 @@ object IndexQueries {
     // probabilistically. Prefix filtering is the published exact
     // technique: order every doc's distinct tokens by ascending global
     // document frequency (rarest first), keep only the first
-    // n − ⌈τ·n⌉ + 1 tokens (τ = 0.95; this synthetic corpus is template-generated and over half of ALL pairs clear 0.6, so the interesting dedup cut is "near-identical"), and any pair with J ≥ τ MUST
-    // share a prefix token — so the equi-join on prefix tokens is a
-    // complete candidate generator whose fan-out is driven by RARE
-    // tokens (tiny posting lists), not stopwords. Verify = one
-    // (doc, tok) shuffle computing exact intersections on candidates
-    // only. The oracle is the naive all-pairs form: same answer set,
-    // which is exactly the completeness claim. Scale: candidate count
-    // is Σ over prefix tokens of |postings|² — bounded by the df
-    // ordering; the corpus-sized artifacts (token rows, df counts) are
-    // things the pipeline (q59, q81) already materialises.
+    // n − ⌈τ·n⌉ + 1 tokens (τ = 0.95: this synthetic corpus is
+    // template-generated and over half of ALL pairs clear J = 0.6, so
+    // the interesting dedup cut is "near-identical"), and any pair
+    // with J ≥ τ MUST share a prefix token — the equi-join on prefix
+    // tokens is a complete candidate generator whose fan-out is driven
+    // by RARE tokens, not stopwords. The oracle is the naive all-pairs
+    // form: same answer set, which is exactly the completeness claim
+    // (the spec also set-equates against an in-Spark naive join).
     // Three stacked PPJoin filters make the candidate join survive a
     // template-heavy corpus (one prefix filter alone generated ~10⁶
     // candidates at sf0.1 and took 129 s):
