@@ -274,6 +274,69 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // ── G112: CMS join-cardinality estimate audit (sketch dot product) ─
+    // Join size |A ⋈ B| = Σ_u cA(u)·cB(u) is what an optimizer needs
+    // BEFORE running the join; the count-min inner product
+    // min_r Σ_c cmsA[r][c]·cmsB[r][c] estimates it from two 4×1024
+    // sketches that never see each other's rows (the shape used when A
+    // and B live on different clusters). Both sketch builds are the
+    // q143 pipeline (md5-row hashing, map-side cell aggregates); both
+    // estimate and exact are integer arithmetic, so the audit row —
+    // exact, estimate, overestimate — is oracle-exact. CMS inner
+    // products only overestimate; the spec asserts it.
+    "q167_join_cardinality_sketch" -> ((s, dir) => {
+      val W = 1024
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mm = e.agg(min("us").as("lo"), max("us").as("hi"))
+      val halves = e.crossJoin(broadcast(mm))
+        .withColumn("h", when(col("us") * 2 <= col("lo") + col("hi"), 1).otherwise(2))
+        .groupBy("h", "user_id").agg(count(lit(1)).as("cnt"))
+      def cms(h: Int) = halves.filter(col("h") === h)
+        .withColumn("r", explode(expr("sequence(0, 3)")))
+        .withColumn("c",
+          conv(substring(md5(concat(col("r").cast(StringType), lit(":"),
+            col("user_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % W)
+        .groupBy("r", "c").agg(sum("cnt").as(s"n$h"))
+      val exact = halves.filter(col("h") === 1)
+        .select(col("user_id"), col("cnt").as("c1"))
+        .join(halves.filter(col("h") === 2)
+          .select(col("user_id"), col("cnt").as("c2")), Seq("user_id"))
+        .agg(coalesce(sum(expr("c1 * c2")), lit(0L)).as("exact_join"))
+      val est = cms(1).join(cms(2), Seq("r", "c"))
+        .groupBy("r").agg(sum(expr("n1 * n2")).as("dot"))
+        .agg(min("dot").as("est_join"))
+      exact.crossJoin(est)
+        .withColumn("over_n", col("est_join") - col("exact_join"))
+        .select("exact_join", "est_join", "over_n")
+    }),
+
+    // ── G113: watermark sizing from measured out-of-orderness ──────────
+    // How late does this stream actually run? Using arrival order
+    // (event_id) per type, delay(e) = max(0, running-max(ts) − ts(e))
+    // is each event's lateness behind the high-water mark at its
+    // arrival. The p95/p99/max of that distribution IS the watermark a
+    // streaming job should declare (q48/q136/q158 currently guess).
+    // One (type)-partitioned running-max window + exact percentiles —
+    // the measurement that turns 'withWatermark(\"10 minutes\")' from
+    // folklore into a fitted number.
+    "q168_watermark_sizing" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("hwm", max("us").over(w))
+        .withColumn("delay_s", expr("greatest(hwm - us, 0L) div 1000000"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("delay_s") > 0, 1L).otherwise(0L)).as("n_late"),
+          expr("percentile(delay_s, 0.95)").as("p95_s"),
+          expr("percentile(delay_s, 0.99)").as("p99_s"),
+          max("delay_s").as("max_s"))
+        .orderBy("event_type")
+    }),
+
     // ── G104: Z-order layout audit (space-filling-curve clustering) ────
     // The data-layout move that makes multi-dimensional pruning work at
     // 100 TB: interleave the bits of (user_id, day) into a Morton code
@@ -401,6 +464,46 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q167_join_cardinality_sketch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mm AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+        |h AS (SELECT user_id, CASE WHEN us*2 <= lo+hi THEN 1 ELSE 2 END AS h,
+        |        COUNT(*) AS cnt
+        |      FROM e, mm GROUP BY 1, 2),
+        |c1 AS (SELECT r,
+        |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |           CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS c,
+        |         CAST(SUM(cnt) AS BIGINT) AS n1
+        |       FROM h CROSS JOIN range(4) t(r) WHERE h = 1 GROUP BY 1, 2),
+        |c2 AS (SELECT r,
+        |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |           CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS c,
+        |         CAST(SUM(cnt) AS BIGINT) AS n2
+        |       FROM h CROSS JOIN range(4) t(r) WHERE h = 2 GROUP BY 1, 2),
+        |ex AS (SELECT CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS exact_join
+        |       FROM h a JOIN h b ON a.user_id = b.user_id
+        |       WHERE a.h = 1 AND b.h = 2),
+        |est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join FROM (
+        |          SELECT c1.r, SUM(n1 * n2) AS dot
+        |          FROM c1 JOIN c2 ON c2.r = c1.r AND c2.c = c1.c
+        |          GROUP BY 1))
+        |SELECT exact_join, est_join, est_join - exact_join AS over_n
+        |FROM ex, est""".stripMargin,
+
+    "q168_watermark_sizing" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT event_type,
+        |        GREATEST(MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |                               ROWS UNBOUNDED PRECEDING) - us, 0)
+        |          // 1000000 AS delay_s
+        |      FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN delay_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       quantile_cont(delay_s, 0.95) AS p95_s,
+        |       quantile_cont(delay_s, 0.99) AS p99_s,
+        |       CAST(MAX(delay_s) AS BIGINT) AS max_s
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q164_event_trigrams" ->
       """WITH e AS (SELECT user_id, event_type AS e1, epoch_us(ts) AS us, event_id

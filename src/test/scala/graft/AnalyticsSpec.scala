@@ -171,6 +171,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 join-cardinality sketch: estimate never undershoots, exact matches recount") {
+    val r = run("q167_join_cardinality_sketch").collect()(0)
+    val (exact, est, over) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(over >= 0, "CMS inner product can only overestimate")
+    assert(est == exact + over)
+    val e = Tables.events(spark, sf).select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val mm = e.agg(min("us"), max("us")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val h = e.withColumn("h", when(col("us") * 2 <= lo + hi, 1).otherwise(2))
+      .groupBy("h", "user_id").count()
+    val direct = h.filter(col("h") === 1).select(col("user_id"), col("count").as("c1"))
+      .join(h.filter(col("h") === 2).select(col("user_id"), col("count").as("c2")), Seq("user_id"))
+      .agg(coalesce(sum(expr("c1 * c2")), lit(0L))).collect()(0).getLong(0)
+    assert(exact == direct, "exact join size matches the direct two-half recount")
+  }
+
+  test("q168 watermark sizing: ordered percentiles, late fraction bounded") {
+    val rows = run("q168_watermark_sizing").collect()
+    assert(rows.nonEmpty)
+    val perType = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (t, n, late, p95, p99, mx) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(n == perType(t), s"$t: full scan")
+      assert(late <= n && late >= 0, s"$t: late fraction bounded")
+      assert(p95 <= p99 && p99 <= mx.toDouble, s"$t: percentiles ordered")
+      assert(mx >= 0)
+    }
+  }
+
   test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
     val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
