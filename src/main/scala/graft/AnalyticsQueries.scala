@@ -337,6 +337,88 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // ── G114: grouped top-k WITH ties (dense_rank semantics) ───────────
+    // q04/q135 are row_number top-k (exactly k rows, ties broken); the
+    // "top 3 order values per priority, including every order that ties
+    // them" read needs dense_rank ≤ k — a different operator: output
+    // size is data-dependent and the rank window must see equal values
+    // as equal. Same single hash-shuffle window shape as q53; the
+    // difference IS the semantics, which the oracle pins.
+    "q169_topk_with_ties" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", dense_rank().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    }),
+
+    // ── G115: ratio-to-report (share-of-total within hierarchy) ────────
+    // Each nation's share of its region's revenue — the windowed
+    // ratio-to-report every BI layer serves. The revenue cube is tiny
+    // after aggregation, so the share window costs nothing; shares are
+    // e6-scaled integer division over DECIMAL-exact sums (no float
+    // ratios), and per-region shares provably sum to ≤ 10⁶ with the
+    // floor-rounding remainder (spec-asserted).
+    "q170_ratio_to_report" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast(DecimalType(38, 4)).as("revenue"))
+      val w = Window.partitionBy("r_name")
+      rev
+        .withColumn("region_revenue", sum("revenue").over(w).cast(DecimalType(38, 4)))
+        // exact integer ratio: e4 units lifted to DECIMAL(38,0) so neither
+        // engine routes the division through doubles
+        .withColumn("share_e6", expr(
+          "cast((cast(revenue * 10000 as decimal(38,0)) * 1000000) div " +
+            "cast(region_revenue * 10000 as decimal(38,0)) as bigint)"))
+        .select("r_name", "n_name", "revenue", "region_revenue", "share_e6")
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ── G116: Merkle-style bucket reconciliation (anti-entropy) ────────
+    // How two replicas of a 100-TB table find their diff without
+    // shipping rows: bucket every row by key hash, exchange per-bucket
+    // checksums (order-independent SUM of row digests — commutative, so
+    // partitioning never matters), recurse only into buckets that
+    // disagree. This operator runs one round: the base events table vs
+    // a deterministically mutated replica (drop ~1/97 of rows, perturb
+    // ~1/89 of values — the corruption fixture), and reports per-bucket
+    // row counts + checksum agreement. The bucket fan-out (64) is the
+    // tree arity a real anti-entropy protocol tunes.
+    "q171_merkle_reconcile" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      val hmod = (m: Int) => expr(
+        s"cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % $m")
+      val replica = base
+        .filter(hmod(97) =!= 0)
+        .withColumn("v6", when(hmod(89) === 0, col("v6") + 1).otherwise(col("v6")))
+      def digest(df: DataFrame, n: String, c: String) = df
+        .withColumn("bucket", expr("event_id % 64"))
+        .withColumn("rh", expr(
+          "cast(conv(substring(md5(concat(cast(event_id as string), ':', " +
+            "cast(user_id as string), ':', cast(v6 as string))), 1, 12), 16, 10) as bigint)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(n),
+          sum(col("rh").cast(DecimalType(38, 0))).as(c))
+      digest(base, "n_base", "ck_base")
+        .join(digest(replica, "n_replica", "ck_replica"), Seq("bucket"), "full")
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+          (coalesce(col("ck_base"), lit(0).cast(DecimalType(38, 0))) ===
+            coalesce(col("ck_replica"), lit(0).cast(DecimalType(38, 0))))
+            .as("in_sync"))
+        .orderBy("bucket")
+    }),
+
     // ── G104: Z-order layout audit (space-filling-curve clustering) ────
     // The data-layout move that makes multi-dimensional pruning work at
     // 100 TB: interleave the bits of (user_id, day) into a Morton code
@@ -464,6 +546,59 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q169_topk_with_ties" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC) AS BIGINT) AS rk
+        |FROM orders QUALIFY rk <= 3
+        |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+
+    "q170_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |s AS (SELECT r_name, n_name, revenue,
+        |        CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DECIMAL(38,4))
+        |          AS region_revenue
+        |      FROM rev)
+        |SELECT r_name, n_name, revenue, region_revenue,
+        |       CAST(CAST(revenue * 10000 AS HUGEINT) * 1000000 //
+        |         CAST(region_revenue * 10000 AS HUGEINT) AS BIGINT) AS share_e6
+        |FROM s ORDER BY r_name, n_name""".stripMargin,
+
+    "q171_merkle_reconcile" ->
+      """WITH base AS (SELECT event_id, user_id,
+        |                CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |rep AS (SELECT event_id, user_id,
+        |          CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) % 89 = 0 THEN v6 + 1 ELSE v6 END AS v6
+        |        FROM base
+        |        WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |                AS BIGINT) % 97 <> 0),
+        |db AS (SELECT event_id % 64 AS bucket, COUNT(*) AS n_base,
+        |         SUM(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |           CAST(user_id AS VARCHAR) || ':' || CAST(v6 AS VARCHAR)), 1, 12)
+        |           AS BIGINT)) AS ck_base
+        |       FROM base GROUP BY 1),
+        |dr AS (SELECT event_id % 64 AS bucket, COUNT(*) AS n_replica,
+        |         SUM(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |           CAST(user_id AS VARCHAR) || ':' || CAST(v6 AS VARCHAR)), 1, 12)
+        |           AS BIGINT)) AS ck_replica
+        |       FROM rep GROUP BY 1)
+        |SELECT COALESCE(db.bucket, dr.bucket) AS bucket,
+        |       COALESCE(n_base, 0) AS n_base,
+        |       COALESCE(n_replica, 0) AS n_replica,
+        |       COALESCE(ck_base, 0) = COALESCE(ck_replica, 0) AS in_sync
+        |FROM db FULL JOIN dr ON dr.bucket = db.bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q167_join_cardinality_sketch" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

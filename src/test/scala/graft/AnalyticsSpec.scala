@@ -202,6 +202,52 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q169 top-k with ties: every priority's distinct top-3 prices, all ties kept") {
+    val rows = run("q169_topk_with_ties").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byPrio = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    byPrio.foreach { case (prio, orders) =>
+      val top3prices = orders.map(_._3).distinct.sorted(Ordering[Double].reverse).take(3).toSet
+      val expected = orders.filter(o => top3prices(o._3)).map(_._2).toSet
+      val got = rows.filter(_._1 == prio).map(_._2).toSet
+      assert(got == expected, s"$prio: dense-rank top-3 must include every tie")
+    }
+  }
+
+  test("q170 ratio to report: shares bounded, region totals exact, floor remainder tight") {
+    val rows = run("q170_ratio_to_report").collect()
+      .map(r => (r.getString(0), r.getDecimal(2), r.getDecimal(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, g) =>
+      val total = g.head._3
+      assert(math.abs(g.map(_._2.doubleValue).sum - total.doubleValue) < 0.01,
+        s"$region: nation revenues tile the region total")
+      val shareSum = g.map(_._4).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - g.length,
+        s"$region: floor-rounded shares sum to 1e6 minus at most one ulp per nation")
+    }
+  }
+
+  test("q171 merkle reconcile: corruption localised to exactly the mutated buckets") {
+    val rows = run("q171_merkle_reconcile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 64, "full bucket fan-out")
+    val e = Tables.events(spark, sf).select(col("event_id"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint)"))
+    val touched = e.filter(col("h") % 97 === 0 || col("h") % 89 === 0)
+      .select(expr("event_id % 64")).collect().map(_.getLong(0)).toSet
+    rows.foreach { case (b, nb, nr, sync) =>
+      assert(nb >= nr, s"bucket $b: replica only drops rows")
+      if (sync) assert(!touched(b) && nb == nr, s"bucket $b claims sync but was touched")
+      else assert(touched(b), s"bucket $b claims divergence but was never mutated")
+    }
+    assert(rows.exists(!_._4), "the corruption fixture must produce divergent buckets")
+  }
+
   test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
     val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
