@@ -419,6 +419,35 @@ object AnalyticsQueries {
         .orderBy("bucket")
     }),
 
+    // ── G117: Theil–Sen robust trend (median of pairwise slopes) ───────
+    // q154's OLS snaps to outlier days; the Theil–Sen estimator —
+    // median over all pairwise slopes (y_j−y_i)/(x_j−x_i) — shrugs off
+    // up to 29% corruption. The pair explosion is per TYPE over the
+    // DAILY series (≤|days|² pairs of pre-aggregated rows, not corpus
+    // rows), so the self-join is bounded no matter the corpus size.
+    // Slopes are e6-scaled with sign-explicit integer division; the
+    // median is the one interpolated-percentile double at the end
+    // (q13 pairing).
+    "q172_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("cast(round(value * 1000000) as bigint)")).as("y"))
+        .withColumn("x",
+          datediff(col("day"),
+            min(col("day")).over(Window.partitionBy("event_type"))).cast(LongType))
+        .select("event_type", "x", "y")
+      val a = daily.select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
+      val b = daily.select(col("event_type"), col("x").as("xj"), col("y").as("yj"))
+      a.join(b, Seq("event_type")).filter(col("xj") > col("xi"))
+        .withColumn("s_e6", expr(
+          "case when yj - yi < 0 then -((abs(yj - yi) * 1000000) div (xj - xi)) " +
+            "else ((yj - yi) * 1000000) div (xj - xi) end"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(s_e6, 0.5)").as("slope_e6_med"))
+        .orderBy("event_type")
+    }),
+
     // ── G104: Z-order layout audit (space-filling-curve clustering) ────
     // The data-layout move that makes multi-dimensional pruning work at
     // 100 TB: interleave the bits of (user_id, day) into a Morton code
@@ -546,6 +575,22 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'positive_user_id', bad_user, n_rows FROM a
         |  UNION ALL SELECT 'props_json_object', bad_props, n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+
+    "q172_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 SUM(CAST(round(value * 1000000) AS BIGINT)) AS y
+        |               FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type, y,
+        |        datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x
+        |      FROM daily),
+        |p AS (SELECT a.event_type,
+        |        CASE WHEN b.y - a.y < 0
+        |             THEN -((ABS(b.y - a.y) * 1000000) // (b.x - a.x))
+        |             ELSE ((b.y - a.y) * 1000000) // (b.x - a.x) END AS s_e6
+        |      FROM x a JOIN x b ON b.event_type = a.event_type AND b.x > a.x)
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |       quantile_cont(s_e6, 0.5) AS slope_e6_med
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q169_topk_with_ties" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

