@@ -31,7 +31,8 @@ object SparkEntry {
       PipelineQueries.queries ++ MlQueries.queries ++ FeatureQueries.queries ++
       CurationQueries.queries ++ AuditQueries.queries ++
       BehaviorQueries.queries ++ GovernanceQueries.queries ++
-      IndexQueries.queries ++ AnalyticsQueries.queries
+      IndexQueries.queries ++ AnalyticsQueries.queries ++
+      WarehouseQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -271,7 +272,7 @@ object SparkEntry {
       FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
       AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
       GovernanceQueries.oracleSql ++ IndexQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ WarehouseQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->

@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.sqlTokens
+import graft.functions.VectorFunctions.asDouble
+
+/** Warehouse/retrieval operators (round 9, second wave): longest-streak
+  * gaps-and-islands, exact weighted median, positional phrase retrieval,
+  * a materialized-aggregate navigator, time-weighted averages, and the
+  * embedding Gram matrix.
+  *
+  * Reference intent: the reference's analytics stop at per-store daily
+  * sums read back from Postgres (services/backend/api/routers/sales.py);
+  * these are the warehouse-grade operators the same data demands once it
+  * no longer fits one Postgres: engagement streaks a marketing query
+  * would segment on, order-statistics that respect weights, phrase
+  * search over the document corpus, rollup-reuse correctness, and the
+  * d×d second-moment matrix every PCA/whitening step starts from. House
+  * disciplines: scaled-BIGINT/DECIMAL(38,0) arithmetic, sign-explicit
+  * integer division, and one wide shuffle per operator where the data
+  * shape allows.
+  */
+object WarehouseQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G118: longest consecutive-day streak (gaps-and-islands max) ────
+    // q50 sessionizes by time gap; this is the calendar twin every
+    // retention analysis wants: the longest run of consecutive ACTIVE
+    // DAYS per user, rolled up to a streak-length histogram. Islands by
+    // the classic rank trick — day − row_number() is constant exactly
+    // within a consecutive run — so the whole operator is one user_id
+    // exchange: the distinct collapses (user, day) map-side, the window
+    // rides the same partitioning, and both trailing groupBys
+    // re-aggregate within it. Output is ≤|days| rows no matter the
+    // corpus size.
+    "q173_longest_streak" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", expr(
+          "date_sub(day, cast(row_number() over (partition by user_id order by day) as int))"))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("longest"))
+        .groupBy("longest").agg(count(lit(1)).as("n_users"))
+        .orderBy("longest")
+    }),
+
+    // ── G119: exact weighted median (quantity-weighted price) ──────────
+    // percentile() weights every row equally; a unit-price statistic
+    // over line items must weight by quantity. Lower weighted median:
+    // the smallest price whose cumulative quantity reaches half the
+    // total — exact, order-statistic semantics, no interpolation.
+    // Plan: the corpus collapses to DISTINCT (flag, price) cells with
+    // summed weights map-side FIRST (the shuffle carries |distinct
+    // prices| rows, not line items), then one flag-partitioned sort
+    // window computes the cumulative weight and the total rides the
+    // same exchange (same-key window, q120 discipline). Prices and
+    // quantities as e2 ints.
+    "q174_weighted_median" -> ((s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("p2"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("q2"))
+        .groupBy("flag", "p2").agg(sum("q2").as("w"))
+      val byFlag = Window.partitionBy("flag")
+      cells
+        .withColumn("cum", sum("w").over(byFlag.orderBy("p2")))
+        .withColumn("tot", sum("w").over(byFlag))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("flag")
+        .agg(min("p2").as("wmedian_p2"), min("tot").as("total_q2"))
+        .orderBy("flag")
+    }),
+
+    // ── G120: positional phrase retrieval (adjacent-term posting join) ─
+    // q148's boolean retrieval answers "docs containing BOTH terms";
+    // phrase search needs POSITIONS: "table hash" matches only where
+    // the terms are adjacent in order. The positional posting list —
+    // (doc, position) per term — is the index structure; the phrase is
+    // an equi-join of the two term lists on (doc, pos+1). The term
+    // filters sit UNDER the explode's projection, so only the two
+    // terms' posting rows ever shuffle — corpus text never moves. The
+    // same join chain extends to k-term phrases (k−1 equi-joins) and to
+    // NEAR/k windows (range condition on the position delta).
+    "q175_phrase_retrieval" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+      val a = t.filter(col("tok") === "table").select(col("doc_id"), col("pos"))
+      val b = t.filter(col("tok") === "hash")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occur"))
+        .orderBy("doc_id")
+    }),
+
+    // ── G121: aggregate navigator (rollup answered from a cube MV) ─────
+    // The warehouse-correctness claim behind every materialized view:
+    // a COARSER rollup (month × type) answered from a FINER landed
+    // aggregate (day × type) must equal the answer computed from the
+    // raw corpus, because SUM/COUNT re-aggregate associatively (COUNT
+    // re-aggregates as SUM of partial counts; COUNT DISTINCT would NOT
+    // — that is exactly what this audit would catch). The daily cell
+    // table lands once per snapshot (cachedFixture = the MV), the
+    // monthly query reads |days|·|types| rows instead of the corpus,
+    // and the audit joins the direct answer in. At 100 TB the MV read
+    // is ~10⁴× smaller than the fact scan — this operator is WHY
+    // aggregate tables exist, stated as a verifiable equality.
+    "q176_agg_navigator" -> ((s, dir) => {
+      val work = PipelineQueries.cachedFixture(s"dailymv|$dir") { work =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 1000000) as bigint)")).as("v6"))
+          .write.mode("overwrite").parquet(s"$work/daily")
+      }
+      val fromMv = s.read.parquet(s"$work/daily")
+        .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(sum("n").as("n_mv"), sum("v6").as("v6_mv"))
+      val direct = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_direct"),
+          sum(expr("cast(round(value * 1000000) as bigint)")).as("v6_direct"))
+      fromMv.join(direct, Seq("event_type", "month"))
+        .withColumn("consistent",
+          col("n_mv") === col("n_direct") && col("v6_mv") === col("v6_direct"))
+        .orderBy("event_type", "month")
+    }),
+
+    // ── G122: time-weighted average (piecewise-constant integration) ───
+    // A plain AVG over irregular events over-weights bursts; the
+    // operational metric (TWAP / mean-value-over-time) holds each value
+    // until the next observation and integrates: Σ v·Δt / Σ Δt. Exact:
+    // microsecond deltas from one type-partitioned (us, event_id) sort
+    // window, v6·Δt products summed in DECIMAL(38,0) (µs spans × e6
+    // values overflow BIGINT at ~10⁴ rows), sign-explicit final
+    // division. The last event per type carries no interval (nothing to
+    // hold until) — standard TWAP endpoint convention, same in the
+    // oracle.
+    "q177_twap" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"))
+        .withColumn("nxt", lead("us", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("d", col("nxt") - col("us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("d").cast(dec)).as("span_us"),
+          sum(col("v6").cast(dec) * col("d").cast(dec)).as("vt"))
+        .withColumn("twap_e6", expr(
+          "cast(case when vt < 0 then -(abs(vt) div span_us) " +
+            "else vt div span_us end as bigint)"))
+        .select(col("event_type"), col("n_intervals"),
+          col("span_us").cast(LongType).as("span_us"), col("twap_e6"))
+        .orderBy("event_type")
+    }),
+
+    // ── G123: embedding Gram matrix (second moments, PCA front door) ───
+    // XᵀX over the corpus — the d×d matrix every PCA / whitening /
+    // covariance step starts from. Declarative shape: per-dim explode
+    // to (vec, i, v6), self-join ON vec_id with j ≥ i (upper triangle —
+    // the matrix is symmetric), then a (i, j) aggregate; the join is
+    // co-partitioned on vec_id (one exchange each side) and the
+    // d(d+1)/2-key aggregate partial-combines map-side. Entries are
+    // exact: e6 coords ⇒ e12 products, summed in DECIMAL(38,0) (BIGINT
+    // dies at ~10⁶ vectors; DECIMAL holds to 10²⁶). At a billion
+    // vectors the explode-join becomes a per-partition outer-product
+    // TypedImperativeAggregate (q135's pattern) with d² fixed state —
+    // same 2080-row output, zero row fan-out; the declarative form IS
+    // the semantics spec for it.
+    "q178_gram_matrix" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("p", "e")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+          round(col("e") * 1000000).cast("long").as("v6"))
+      val a = x.select(col("vec_id"), col("i"), col("v6").as("vi"))
+      val b = x.select(col("vec_id"), col("i").as("j"), col("v6").as("vj"))
+      a.join(b, Seq("vec_id")).filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("vi").cast(dec) * col("vj").cast(dec)).as("gram_e12"))
+        .orderBy("i", "j")
+    })
+  )
+
+  private val toks = sqlTokens("text")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q173_longest_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id,
+        |        day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |                   AS INT) AS grp
+        |      FROM d),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2),
+        |u AS (SELECT user_id, MAX(len) AS longest FROM runs GROUP BY 1)
+        |SELECT longest, COUNT(*) AS n_users
+        |FROM u GROUP BY longest ORDER BY longest""".stripMargin,
+
+    "q174_weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p2,
+        |         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, p2,
+        |        SUM(w) OVER (PARTITION BY flag ORDER BY p2
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(w) OVER (PARTITION BY flag) AS tot
+        |      FROM cells)
+        |SELECT flag, MIN(p2) AS wmedian_p2, CAST(MIN(tot) AS BIGINT) AS total_q2
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q175_phrase_retrieval" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |x AS (SELECT doc_id, unnest(toks) AS tok,
+         |             generate_subscripts(toks, 1) AS pos
+         |      FROM t)
+         |SELECT a.doc_id, COUNT(*) AS n_occur
+         |FROM (SELECT doc_id, pos FROM x WHERE tok = 'table') a
+         |JOIN (SELECT doc_id, pos FROM x WHERE tok = 'hash') b
+         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "q176_agg_navigator" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |         SUM(CAST(round(value * 1000000) AS BIGINT)) AS v6
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT event_type, strftime(day, '%Y-%m') AS month,
+        |         CAST(SUM(n) AS BIGINT) AS n_mv, CAST(SUM(v6) AS BIGINT) AS v6_mv
+        |       FROM daily GROUP BY 1, 2),
+        |direct AS (SELECT event_type, strftime(ts, '%Y-%m') AS month,
+        |             COUNT(*) AS n_direct,
+        |             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |               AS v6_direct
+        |           FROM events GROUP BY 1, 2)
+        |SELECT mv.event_type, mv.month, n_mv, v6_mv, n_direct, v6_direct,
+        |       n_mv = n_direct AND v6_mv = v6_direct AS consistent
+        |FROM mv JOIN direct
+        |  ON direct.event_type = mv.event_type AND direct.month = mv.month
+        |ORDER BY mv.event_type, mv.month""".stripMargin,
+
+    "q177_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |             CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |l AS (SELECT event_type, v6, us,
+        |        LEAD(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS nxt
+        |      FROM e),
+        |g AS (SELECT event_type, COUNT(*) AS n_intervals,
+        |        SUM(CAST(nxt - us AS HUGEINT)) AS span_us,
+        |        SUM(CAST(v6 AS HUGEINT) * (nxt - us)) AS vt
+        |      FROM l WHERE nxt IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals, CAST(span_us AS BIGINT) AS span_us,
+        |       CAST(CASE WHEN vt < 0 THEN -(ABS(vt) // span_us)
+        |                 ELSE vt // span_us END AS BIGINT) AS twap_e6
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q178_gram_matrix" ->
+      """WITH x AS (SELECT vec_id,
+        |             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+        |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |               AS BIGINT) AS v6
+        |           FROM embeddings)
+        |SELECT a.i, b.i AS j, COUNT(*) AS n_vecs,
+        |       SUM(CAST(a.v6 AS HUGEINT) * b.v6) AS gram_e12
+        |FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
