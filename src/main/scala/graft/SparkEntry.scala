@@ -32,7 +32,7 @@ object SparkEntry {
       CurationQueries.queries ++ AuditQueries.queries ++
       BehaviorQueries.queries ++ GovernanceQueries.queries ++
       IndexQueries.queries ++ AnalyticsQueries.queries ++
-      WarehouseQueries.queries
+      WarehouseQueries.queries ++ EvalQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -272,7 +272,8 @@ object SparkEntry {
       FeatureQueries.oracleSql ++ CurationQueries.oracleSql ++
       AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
       GovernanceQueries.oracleSql ++ IndexQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ WarehouseQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ WarehouseQueries.oracleSql ++
+      EvalQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->
