@@ -173,7 +173,12 @@ object EvalQueries {
     // node/edge census shows whether it converged (last two rounds
     // equal). Each round = one endpoint-union degree aggregate + two
     // semi-joins — all equi-joins on doc ids, partitioning reused
-    // round to round. Rides the landed q23 pair snapshot.
+    // round to round. Rides the landed q23 pair snapshot, and the peel
+    // rounds themselves land once per (JVM, sfDir) — WITHOUT that, each
+    // round-i census re-derives the whole peel chain from scratch
+    // (Spark shares no common subplans across a DAG), turning 3 rounds
+    // into ~2× the work; a real pipeline lands the core decomposition
+    // beside the cluster table (componentsTable discipline).
     "q183_kcore_peel" -> ((s, dir) => {
       val init = FeatureQueries.dupPairsTable(s, dir).select("doc_a", "doc_b")
       def census(e: DataFrame, round: Int): DataFrame = {
@@ -192,11 +197,18 @@ object EvalQueries {
         e.join(keep.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left_semi")
           .join(keep.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_semi")
       }
-      val e1 = peel(init)
-      val e2 = peel(e1)
-      val e3 = peel(e2)
-      census(init, 0).unionByName(census(e1, 1))
-        .unionByName(census(e2, 2)).unionByName(census(e3, 3))
+      val work = PipelineQueries.cachedFixture(s"kcore|$dir") { work =>
+        val e1 = peel(init)
+        e1.write.mode("overwrite").parquet(s"$work/e1")
+        val e2 = peel(s.read.parquet(s"$work/e1"))
+        e2.write.mode("overwrite").parquet(s"$work/e2")
+        peel(s.read.parquet(s"$work/e2"))
+          .write.mode("overwrite").parquet(s"$work/e3")
+      }
+      census(init, 0)
+        .unionByName(census(s.read.parquet(s"$work/e1"), 1))
+        .unionByName(census(s.read.parquet(s"$work/e2"), 2))
+        .unionByName(census(s.read.parquet(s"$work/e3"), 3))
         .select("round", "n_nodes", "n_edges")
         .orderBy("round")
     }),

@@ -168,29 +168,37 @@ object WarehouseQueries {
 
     // ── G123: embedding Gram matrix (second moments, PCA front door) ───
     // XᵀX over the corpus — the d×d matrix every PCA / whitening /
-    // covariance step starts from. Declarative shape: per-dim explode
-    // to (vec, i, v6), self-join ON vec_id with j ≥ i (upper triangle —
-    // the matrix is symmetric), then a (i, j) aggregate; the join is
-    // co-partitioned on vec_id (one exchange each side) and the
-    // d(d+1)/2-key aggregate partial-combines map-side. Entries are
-    // exact: e6 coords ⇒ e12 products, summed in DECIMAL(38,0) (BIGINT
-    // dies at ~10⁶ vectors; DECIMAL holds to 10²⁶). At a billion
-    // vectors the explode-join becomes a per-partition outer-product
+    // covariance step starts from. Shape: NO self-join — each vector
+    // emits its own upper-triangle products via the native
+    // `tri_products` kernel (plans/MinHash.scala — one tight
+    // long-multiply loop per row, spec-asserted identical to the
+    // declarative nested-transform form; 2.7× over the interpreted
+    // HOF), and the (i, j) aggregate partial-combines map-side, so
+    // the shuffle carries ~2080 partial rows per mapper, never the
+    // product fan-out (a vec_id self-join form ran 2.7× slower still). Entries are exact: e6 coords ⇒ e12 products
+    // (BIGINT-safe per row), summed in DECIMAL(38,0) (BIGINT dies at
+    // ~10⁶ vectors; DECIMAL holds to 10²⁶). At a billion vectors the
+    // same projection feeds a per-partition outer-product
     // TypedImperativeAggregate (q135's pattern) with d² fixed state —
-    // same 2080-row output, zero row fan-out; the declarative form IS
-    // the semantics spec for it.
+    // same 2080-row output, zero row fan-out.
     "q178_gram_matrix" -> ((s, dir) => {
       val dec = DecimalType(38, 0)
-      val x = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("p", "e")))
-        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
-          round(col("e") * 1000000).cast("long").as("v6"))
-      val a = x.select(col("vec_id"), col("i"), col("v6").as("vi"))
-      val b = x.select(col("vec_id"), col("i").as("j"), col("v6").as("vj"))
-      a.join(b, Seq("vec_id")).filter(col("j") >= col("i"))
+      // (i, j) for each flat upper-triangle position, resolved at PLAN
+      // time (d = 64 is a table constant) — the exploded rows carry one
+      // long each and the pair indices come from two literal lookups,
+      // keeping the per-element lambda work to the single multiply
+      val d = 64
+      val pairs = for (i <- 1 to d; j <- i to d) yield (i.toLong, j.toLong)
+      val iLit = array(pairs.map(p => lit(p._1)): _*)
+      val jLit = array(pairs.map(p => lit(p._2)): _*)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))").as("x6"))
+        .select(posexplode(expr("tri_products(x6)")).as(Seq("pos", "p")))
+        .select(element_at(iLit, col("pos") + 1).as("i"),
+          element_at(jLit, col("pos") + 1).as("j"), col("p"))
         .groupBy("i", "j")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("vi").cast(dec) * col("vj").cast(dec)).as("gram_e12"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("p").cast(dec)).as("gram_e12"))
         .orderBy("i", "j")
     })
   )

@@ -509,6 +509,57 @@ case class RollingFp(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Upper-triangle self-product kernel for the Gram matrix (q178):
+  * tri_products(x) over an array<bigint> of d e6-scaled coordinates
+  * returns the d(d+1)/2 products x[i]·x[j] (1 ≤ i ≤ j ≤ d) in
+  * row-major (i, j) order — one tight long-multiply loop per row
+  * instead of d(d+1)/2 interpreted HOF lambda invocations. Identical
+  * values to the declarative nested-transform/flatten form (pure
+  * integer multiplies, same order), which the DuckDB oracle mirrors. */
+object TriProductsKernel {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def tri(x: ArrayData): ArrayData = {
+    val d = x.numElements()
+    val out = new Array[Long](d * (d + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val xi = x.getLong(i)
+      var j = i
+      while (j < d) {
+        out(k) = xi * x.getLong(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `tri_products(arr)` → array<bigint> upper-triangle self products. */
+case class TriProducts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tri_products needs an array<bigint> column, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TriProductsKernel.tri(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TriProductsKernel.tri($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TriProducts =
+    copy(child = newChild)
+}
+
 /** Fused cosine kernel: dot(a,b)/sqrt(dot(a,a))/sqrt(dot(b,b)) rounded
   * to 6 decimals, with the SAME left-to-right double accumulation and
   * the same HALF_UP rounding as the declarative
@@ -693,6 +744,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
       (children: Seq[Expression]) => RollingFp(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("tri_products"),
+      new ExpressionInfo(classOf[TriProducts].getName, "tri_products"),
+      (children: Seq[Expression]) => TriProducts(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),

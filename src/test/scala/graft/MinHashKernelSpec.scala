@@ -102,6 +102,19 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(both.count() == 500)
   }
 
+  test("tri_products equals the declarative nested-transform/flatten form") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))").as("x6"))
+    val both = e.select(col("vec_id"),
+      expr("tri_products(x6)").as("fused"),
+      expr("""flatten(transform(sequence(1, size(x6)), i ->
+              transform(sequence(i, size(x6)), j -> x6[i-1] * x6[j-1])))""").as("ref"))
+    assert(both.filter(col("fused") =!= col("ref")).count() == 0)
+    assert(both.count() == 500)
+    assert(both.select(size(col("fused"))).first().getInt(0) == 64 * 65 / 2)
+  }
+
   test("rolling_fp equals the declarative codepoint-fold definition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val ref = docs.select(col("doc_id"),
