@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 /** Maintenance / graph / sketch operators (round 9, seventh wave):
   * incremental materialized-view maintenance, bounded Bellman–Ford
   * relaxation over the weighted dup graph, the feature-hashing
-  * collision census, dynamic partition overwrite, and HLL
-  * set-operation estimates.
+  * collision census, dynamic partition overwrite, and KMV
+  * distinct-sketch set operations.
   *
   * Reference intent: the reference recomputes everything nightly from
   * scratch (train_predict_to_db_dag) — affordable at 1k stores,
@@ -132,31 +132,41 @@ object MaintQueries {
         .orderBy("day")
     }),
 
-    // ── G149: HLL set-operation estimates (union/intersection) ─────────
-    // Sketches answer set algebra without re-scanning: |A∩B| =
-    // |A|+|B|−|A∪B| by inclusion-exclusion over three HLL counts (the
-    // union sketch is just HLL over the concatenated stream — HLL's
-    // defining mergeability). At these cardinalities the HLL++ sparse
-    // representation is exact (q49's rule), so the estimate AND the
-    // exact intersection agree and the whole audit is hash-gated; at
-    // 10⁹ users the same query returns ±rsd estimates from three
-    // fixed-memory sketches while the exact arm becomes the expensive
-    // path you no longer run.
-    "q204_hll_setops" -> ((s, dir) => {
+    // ── G149: KMV distinct sketch + set algebra (union/intersection) ──
+    // Sketches answer set algebra without re-scanning. HLL's estimator
+    // is engine-private (Spark's HLL++ read 1,494 and 1,501 for 1,500
+    // true uniques at rsd .02/.005 — not oracle-able), so the sketch
+    // here is KMV (k-minimum-values, Bar-Yossef et al. '02): keep the
+    // k = 256 smallest md5 hashes per set (the bottomk_md5
+    // TypedImperativeAggregate — O(k) state, map-side partials,
+    // associative merge), estimate |S| = (k−1)·2⁶⁰ div h_k over the
+    // md5_60 slice — PURE INTEGER arithmetic both engines reproduce
+    // digit-for-digit, hash-gated at any cardinality while remaining
+    // genuinely approximate (1,500 uniques estimate from 256 hashes).
+    // Union sketch = bottom-k of the concatenated stream (KMV's
+    // defining mergeability); |A∩B| by inclusion-exclusion; the exact
+    // intersection rides along as the audit.
+    "q204_kmv_setops" -> ((s, dir) => {
+      val K = 256
       val e = Tables.events(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"), col("user_id"))
-      val est = e.agg(
-        approx_count_distinct(when(col("event_type") === "click", col("user_id")), 0.02)
-          .as("n_click"),
-        approx_count_distinct(when(col("event_type") === "purchase", col("user_id")), 0.02)
-          .as("n_purchase"),
-        approx_count_distinct(col("user_id"), 0.02).as("est_union"))
-        .withColumn("est_inter", col("n_click") + col("n_purchase") - col("est_union"))
-      val exact = e.groupBy("user_id")
+        .select(col("event_type"), col("user_id").cast(StringType).as("u"))
+      def kmv(df: DataFrame, name: String): DataFrame = df
+        .select(col("u")).distinct()
+        .agg(expr(s"bottomk_md5(u, $K)").as("bk"))
+        .select(expr(
+          s"""CASE WHEN size(bk) < $K THEN cast(size(bk) as bigint)
+             | ELSE cast((cast(${K - 1} as decimal(38,0)) * 1152921504606846976)
+             |   div array_max(transform(bk, v -> md5_60(v))) as bigint)
+             | END""".stripMargin).as(name))
+      val ec = kmv(e.filter(col("event_type") === "click"), "est_click")
+      val ep = kmv(e.filter(col("event_type") === "purchase"), "est_purchase")
+      val eu = kmv(e, "est_union")
+      val exact = e.groupBy("u")
         .agg(countDistinct("event_type").as("k")).filter(col("k") === 2)
         .agg(count(lit(1)).as("exact_inter"))
-      est.crossJoin(exact)
+      ec.crossJoin(ep).crossJoin(eu).crossJoin(exact)
+        .withColumn("est_inter", col("est_click") + col("est_purchase") - col("est_union"))
         .withColumn("inter_err", col("est_inter") - col("exact_inter"))
     })
   )
@@ -234,23 +244,39 @@ object MaintQueries {
         |         AS sum_v6
         |FROM e, cut GROUP BY day ORDER BY day""".stripMargin,
 
-    "q204_hll_setops" ->
-      """WITH e AS (SELECT event_type, user_id FROM events
+    "q204_kmv_setops" ->
+      """WITH e AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
         |           WHERE event_type IN ('click', 'purchase')),
+        |ka AS (SELECT MAX(h) AS hk, COUNT(*) AS kk FROM (
+        |         SELECT CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+        |         FROM (SELECT DISTINCT u FROM e WHERE event_type = 'click')
+        |         ORDER BY md5(u) LIMIT 256)),
+        |kb AS (SELECT MAX(h) AS hk, COUNT(*) AS kk FROM (
+        |         SELECT CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+        |         FROM (SELECT DISTINCT u FROM e WHERE event_type = 'purchase')
+        |         ORDER BY md5(u) LIMIT 256)),
+        |ku AS (SELECT MAX(h) AS hk, COUNT(*) AS kk FROM (
+        |         SELECT CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+        |         FROM (SELECT DISTINCT u FROM e)
+        |         ORDER BY md5(u) LIMIT 256)),
         |est AS (SELECT
-        |          COUNT(DISTINCT CASE WHEN event_type = 'click'
-        |                              THEN user_id END) AS n_click,
-        |          COUNT(DISTINCT CASE WHEN event_type = 'purchase'
-        |                              THEN user_id END) AS n_purchase,
-        |          COUNT(DISTINCT user_id) AS est_union
-        |        FROM e),
+        |    CASE WHEN ka.kk < 256 THEN ka.kk
+        |         ELSE CAST((255::HUGEINT * 1152921504606846976) // ka.hk AS BIGINT)
+        |    END AS est_click,
+        |    CASE WHEN kb.kk < 256 THEN kb.kk
+        |         ELSE CAST((255::HUGEINT * 1152921504606846976) // kb.hk AS BIGINT)
+        |    END AS est_purchase,
+        |    CASE WHEN ku.kk < 256 THEN ku.kk
+        |         ELSE CAST((255::HUGEINT * 1152921504606846976) // ku.hk AS BIGINT)
+        |    END AS est_union
+        |  FROM ka, kb, ku),
         |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
-        |        SELECT user_id FROM e GROUP BY user_id
+        |        SELECT u FROM e GROUP BY u
         |        HAVING COUNT(DISTINCT event_type) = 2))
-        |SELECT n_click, n_purchase, est_union,
-        |       n_click + n_purchase - est_union AS est_inter,
+        |SELECT est_click, est_purchase, est_union,
+        |       est_click + est_purchase - est_union AS est_inter,
         |       exact_inter,
-        |       n_click + n_purchase - est_union - exact_inter AS inter_err
+        |       est_click + est_purchase - est_union - exact_inter AS inter_err
         |FROM est, x""".stripMargin
   )
 }

@@ -79,11 +79,21 @@ class MaintSpec extends AnyFunSuite {
     }
   }
 
-  test("q204 HLL set ops: sparse-exact at this cardinality, error zero") {
-    val r = run("q204_hll_setops").collect()(0)
-    assert(r.getAs[Long]("inter_err") == 0L)
+  test("q204 KMV set ops: exact below k, estimates recompute from the hash order") {
+    val r = run("q204_kmv_setops").collect()(0)
+    val e = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "user_id").distinct()
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val users = e.map(_._2).distinct
+    // 150 users at this SF < k = 256: every sketch holds its whole set
+    assert(users.length < 256)
+    val clicks = e.filter(_._1 == "click").map(_._2).distinct.length.toLong
+    val purchases = e.filter(_._1 == "purchase").map(_._2).distinct.length.toLong
+    assert(r.getAs[Long]("est_click") == clicks)
+    assert(r.getAs[Long]("est_purchase") == purchases)
+    assert(r.getAs[Long]("est_union") == users.length.toLong)
     assert(r.getAs[Long]("est_inter") == r.getAs[Long]("exact_inter"))
-    assert(r.getAs[Long]("est_union") <=
-      r.getAs[Long]("n_click") + r.getAs[Long]("n_purchase"))
+    assert(r.getAs[Long]("inter_err") == 0L)
   }
 }
