@@ -478,6 +478,21 @@ object IndexQueries {
     (s.read.parquet(s"$work/members"), s.read.parquet(s"$work/rids"))
   }
 
+  /** Materialized q144 output (the complete exact-pair snapshot), one
+    * build per (JVM, sfDir) — the dupPairsTable discipline applied to
+    * the exact join, for audits (q197) that consume the full answer
+    * without re-running the pairwise phase. The set-table dependency is
+    * resolved BEFORE entering the memo (nested computeIfAbsent throws
+    * "Recursive update" — see componentsTable). */
+  private[graft] def ppjPairsTable(s: SparkSession, dir: String): DataFrame = {
+    ppjSetTables(s, dir)
+    val work = PipelineQueries.cachedFixture(s"ppjpairs|$dir") { work =>
+      queries("q144_prefix_filter_join")(s, dir)
+        .write.mode("overwrite").parquet(s"$work/pairs")
+    }
+    s.read.parquet(s"$work/pairs")
+  }
+
   private val toks = sqlTokens("text")
 
   def oracleSql: Map[String, String] = Map(

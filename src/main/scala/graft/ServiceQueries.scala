@@ -114,16 +114,17 @@ object ServiceQueries {
         .orderBy(col("n_orders").desc, col("cust")).limit(1).select("cust")
       val owned = items.join(broadcast(target), Seq("cust"))
         .select("pk").distinct()
-      val basket = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
-      val co = basket.select(col("okey"), col("pk").as("pa"))
-        .join(basket.select(col("okey"), col("pk").as("pb")), Seq("okey"))
-        .filter(col("pa") =!= col("pb"))
-      co.join(broadcast(owned.withColumnRenamed("pk", "pa")), Seq("pa"), "left_semi")
-        .join(broadcast(owned.withColumnRenamed("pk", "pb")), Seq("pb"), "left_anti")
-        .groupBy("pb")
-        .agg(count(lit(1)).as("score"), countDistinct(col("pa")).as("n_owned_links"))
-        .select(col("pb").as("part"), col("score"), col("n_owned_links"))
+      // ride the landed co-occurrence matrix (LakeQueries.basketTables);
+      // both orientations of each undirected (pa < pb, co) row
+      val co = LakeQueries.basketTables(s, dir)._2
+      val directed = co.select(col("pa").as("own"), col("pb").as("part"), col("co"))
+        .unionByName(co.select(col("pb").as("own"), col("pa").as("part"), col("co")))
+      directed
+        .join(broadcast(owned.withColumnRenamed("pk", "own")), Seq("own"), "left_semi")
+        .join(broadcast(owned.withColumnRenamed("pk", "part")), Seq("part"), "left_anti")
+        .groupBy("part")
+        .agg(sum("co").as("score"), count(lit(1)).as("n_owned_links"))
+        .select(col("part"), col("score"), col("n_owned_links"))
         .orderBy(col("score").desc, col("part"))
         .limit(10)
     }),
