@@ -69,10 +69,13 @@ object WarehouseQueries {
           expr("cast(round(l_extendedprice * 100) as bigint)").as("p2"),
           expr("cast(round(l_quantity * 100) as bigint)").as("q2"))
         .groupBy("flag", "p2").agg(sum("q2").as("w"))
-      val byFlag = Window.partitionBy("flag")
+      // totals as a |flags|-row broadcast instead of a second full-
+      // partition window pass over the cell table (one sort window is
+      // unavoidable for the cumulative weight; the total is not)
+      val totals = cells.groupBy("flag").agg(sum("w").as("tot"))
       cells
-        .withColumn("cum", sum("w").over(byFlag.orderBy("p2")))
-        .withColumn("tot", sum("w").over(byFlag))
+        .withColumn("cum", sum("w").over(Window.partitionBy("flag").orderBy("p2")))
+        .join(broadcast(totals), Seq("flag"))
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("flag")
         .agg(min("p2").as("wmedian_p2"), min("tot").as("total_q2"))
