@@ -187,7 +187,7 @@ object Bench {
         val real = recs.filter(_.inputRows > 0)
         val best = (if (real.nonEmpty) real else recs).maxBy(_.inputRows)
         streamStats(name) =
-          f"""{"drains":${recs.size},"input_rows":${best.inputRows},"batches":${best.batches},"drain_sec":${best.wallSec}%.3f,"rows_per_sec":${best.rowsPerSec}%.1f,"peak_state_rows":${best.peakStateRows}}"""
+          f"""{"drains":${recs.size},"input_rows":${best.inputRows},"batches":${best.batches},"drain_sec":${best.wallSec}%.3f,"rows_per_sec":${best.rowsPerSec}%.1f,"peak_state_rows":${best.peakStateRows},"dropped_by_watermark":${best.droppedByWatermark}}"""
       }
     }
     graft.streaming.StreamMetrics.drainLog() // clear anything from warmup

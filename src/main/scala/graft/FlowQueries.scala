@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamIngest
+
+/** Flow-semantics operators (round 9, fourteenth wave): stateful
+  * accounting shapes — a floor-clamped running balance via the
+  * reflection identity, HITS hub/authority scoring, a REAL
+  * watermark-drop ledger from a multi-batch streaming drain, and
+  * small-file compaction planning.
+  *
+  * Reference intent: the reference's stream is at-least-once append
+  * with no late-data policy (services/airflow/dags/
+  * spark_streaming.py:79-97) and its storage never compacts; at
+  * 100 TB the late-drop ledger and the compaction plan are the two
+  * jobs that keep a streaming lakehouse correct and fast, and
+  * balance/centrality reads are everyday fact-table analytics.
+  */
+object FlowQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G172: floor-clamped running balance (reflection identity) ──────
+    // Inventory semantics: balance B_t = max(B_{t-1} + x_t, 0) — a
+    // per-row recursive fold, the textbook "windows can't do this"
+    // operator. But the Skorokhod reflection identity closes the
+    // recursion: B_t = S_t − min(0, min_{k≤t} S_k) with S the plain
+    // prefix sum — so the clamped balance is TWO stacked window
+    // functions on ONE (user, time) exchange, no recursion, no
+    // mapGroups, fully parallel per user at any scale. Deltas: a
+    // purchase adds value, an error refunds it (scaled-e6 BIGINT).
+    // The spec re-runs the literal fold; the oracle mirrors the
+    // identity.
+    "q227_capped_balance" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("""cast(round(value * 1000000) as bigint) *
+                 |  (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)"""
+            .stripMargin).as("dx6"))
+        .withColumn("s6", sum("dx6").over(w))
+        .withColumn("floor6", least(lit(0L), min("s6").over(w)))
+        .withColumn("bal6", col("s6") - col("floor6"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_moves"),
+          max("bal6").as("peak_bal6"),
+          // final balance needs no "last row" pick: total sum minus the
+          // deepest prefix-sum dip IS the closing balance (deterministic
+          // aggregate, no order-sensitive last())
+          (sum("dx6") - least(lit(0L), min("s6"))).as("final_bal6"),
+          sum(when(col("bal6") === 0L, 1L).otherwise(0L)).as("n_at_floor"))
+        .orderBy("user_id")
+    }),
+
+    // ── G173: HITS hubs & authorities (2 exact power iterations) ───────
+    // Bipartite centrality on the customer→part purchase graph
+    // (who-bought-what, edge weight = lineitem count): authority(p) =
+    // Σ_c w·hub(c), hub(c) = Σ_p w·auth(p), from hub≡1 — two
+    // unnormalized iterations stay in BIGINT (normalization only
+    // rescales ranks, so the integer variant is exact AND
+    // oracle-able). Each iteration is one broadcast-free equi-join on
+    // the edge table + one aggregate — the same shuffle shape at any
+    // scale; the edge aggregate itself is the only corpus-sized pass.
+    // Complements q150 (PageRank, endogenous links) with the
+    // bipartite two-sided recursion.
+    "q228_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), "l_orderkey")
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("w"))
+      val auth1 = edges.groupBy("p").agg(sum("w").as("a1"))
+      val hub1 = edges.join(auth1, "p")
+        .groupBy("c").agg(sum(expr("w * a1")).as("h1"))
+      val auth2 = edges.join(hub1, "c")
+        .groupBy("p").agg(sum(expr("w * h1")).as("a2"))
+      auth2.join(auth1, "p")
+        .select(col("p"), col("a1"), col("a2"))
+        .orderBy(col("a2").desc, col("p").asc)
+        .limit(20)
+    }),
+
+    // ── G174: watermark late-drop ledger (multi-batch streaming) ───────
+    // The append-mode drain q29/q48/q136 could not show: REAL late-data
+    // drops. Three deterministic micro-batches (file source,
+    // maxFilesPerTrigger=1, mtime-ordered): each batch is a time-third
+    // of events; hash-picked 10% stragglers arrive TWO batches late
+    // (with the final batch). Two batches matters — since the
+    // multi-stateful-operator fix, Spark filters late input against
+    // the PREVIOUS micro-batch's watermark ("late events" watermark)
+    // while evicting state with the CURRENT one, so a one-batch-late
+    // row is never dropped; a two-batch-late row faces wm =
+    // max(ts through batch k−2) − delay and IS dropped (verified
+    // against this build: the one-batch variant drops zero rows). The
+    // ledger (day, n_accepted) is bit-replayable: the oracle
+    // recomputes both watermark sequences relationally (ms floor,
+    // EventTimeStats convention) — accepted iff window_end > wm_late
+    // of the row's batch, emitted iff window_end ≤ final eviction wm —
+    // proving the engine's late SEMANTICS, not just measuring delay
+    // (q168). The spec additionally asserts numRowsDroppedByWatermark
+    // > 0 from the progress metrics — drops really happened in the
+    // state operator.
+    "q229_late_drop_ledger" -> ((s, dir) => {
+      val work = PipelineQueries.cachedFixture(s"lateledger|$dir") { work =>
+        val ev = Tables.events(s, dir).select(
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        val Array(t0, t1) = ev.agg(min("us"), max("us")).collect()
+          .flatMap(r => Array(r.getLong(0), r.getLong(1) + 1))
+        val third = (t1 - t0) / 3
+        val tagged = ev
+          .withColumn("third", least(expr(s"(us - $t0) div $third"), lit(2L)))
+          .withColumn("straggler",
+            expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint) % 10 = 0"))
+          // stragglers arrive two batches late (capped at the last batch)
+          .withColumn("batch", least(col("third") +
+            when(col("straggler"), 2L).otherwise(0L), lit(2L)))
+        val src = new java.io.File(s"$work/src"); src.mkdirs()
+        (0 to 2).foreach { b =>
+          val scratch = s"$work/.b$b"
+          StreamIngest.toJsonLines(
+            tagged.filter(col("batch") === b).select("us", "event_id"))
+            .coalesce(1).write.mode("overwrite").text(scratch)
+          val part = new java.io.File(scratch).listFiles()
+            .find(f => f.getName.startsWith("part-")).get
+          val dest = new java.io.File(src, f"b$b%d.txt")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + b * 600000L) // strict mtime order
+        }
+        val parsed = StreamIngest.parseEnvelope(
+          s.readStream.format("text")
+            .option("maxFilesPerTrigger", "1") // one file per micro-batch
+            .load(s"$work/src"),
+          StructType(Seq(StructField("us", LongType), StructField("event_id", LongType))))
+          .withColumn("ts", timestamp_micros(col("us")))
+        StreamIngest.drain(s) {
+          parsed
+            .withWatermark("ts", "7 days")
+            .groupBy(window(col("ts"), "1 day").as("wnd"))
+            .agg(count(lit(1)).as("n_accepted"))
+            .select(unix_micros(col("wnd.start")).as("day_us"), col("n_accepted"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$work/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.write.mode("append").parquet(s"$work/out")
+            }
+            .start()
+        }
+      }
+      s.read.parquet(s"$work/out").orderBy("day_us")
+    }),
+
+    // ── G175: small-file compaction planning (OPTIMIZE binning) ────────
+    // The lakehouse maintenance read: given the per-month file ledger
+    // of q226's layout, plan sequential next-fit compaction bins of
+    // ~50k rows — order-preserving (month sort survives, so time
+    // predicates still prune after the rewrite), single window cumsum,
+    // and the plan is pure metadata: the planner never touches row
+    // data, exactly how OPTIMIZE scales to a 100-TB table. Output: one
+    // row per planned output file with its month span and fill.
+    "q230_compaction_bins" -> ((s, dir) => {
+      val target = 50000L
+      val perMonth = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perMonth
+        .withColumn("cum_before", sum("n_rows").over(w) - col("n_rows"))
+        .withColumn("bin", expr(s"cum_before div $target"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_inputs"), sum("n_rows").as("n_rows"),
+          min("month").as("from_month"), max("month").as("to_month"))
+        .withColumn("fill_e4", expr(s"n_rows * 10000 div $target"))
+        .orderBy("bin")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q227_capped_balance" ->
+      """WITH d AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value * 1000000) AS BIGINT) *
+        |               (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END) AS dx6
+        |           FROM events WHERE event_type IN ('purchase', 'error')),
+        |s AS (SELECT user_id, ts, event_id, dx6,
+        |        SUM(dx6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS s6
+        |      FROM d),
+        |b AS (SELECT user_id, dx6, s6,
+        |        s6 - LEAST(0, MIN(s6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS UNBOUNDED PRECEDING)) AS bal6
+        |      FROM s)
+        |SELECT user_id, COUNT(*) AS n_moves,
+        |       CAST(MAX(bal6) AS BIGINT) AS peak_bal6,
+        |       CAST(SUM(dx6) - LEAST(0, MIN(s6)) AS BIGINT) AS final_bal6,
+        |       CAST(SUM(CASE WHEN bal6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_floor
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q228_hits" ->
+      """WITH e AS (SELECT o.o_custkey AS c, l.l_partkey AS p, COUNT(*) AS w
+        |           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |           GROUP BY 1, 2),
+        |a1 AS (SELECT p, SUM(w) AS a1 FROM e GROUP BY p),
+        |h1 AS (SELECT e.c, SUM(e.w * a1.a1) AS h1 FROM e JOIN a1 USING (p) GROUP BY e.c),
+        |a2 AS (SELECT e.p, SUM(e.w * h1.h1) AS a2 FROM e JOIN h1 USING (c) GROUP BY e.p)
+        |SELECT a2.p, CAST(a1.a1 AS BIGINT) AS a1, CAST(a2.a2 AS BIGINT) AS a2
+        |FROM a2 JOIN a1 USING (p)
+        |ORDER BY a2.a2 DESC, a2.p LIMIT 20""".stripMargin,
+
+    // replays BOTH engine watermark sequences: wm_late for batch k =
+    // max event-time ms of batches ≤ k−2, minus 7 days (late input
+    // filtered against the PREVIOUS batch's watermark), floored at 0
+    // (initial watermark); a row survives iff its day-window end (ms)
+    // > wm_late of its batch; a window emits iff end ≤ the final
+    // eviction watermark (global max − 7 days).
+    "q229_late_drop_ledger" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us, event_id,
+        |             (SELECT MIN(epoch_us(ts)) FROM events) AS t0,
+        |             (SELECT MAX(epoch_us(ts)) + 1 FROM events) AS t1
+        |           FROM events),
+        |tagged AS (SELECT us,
+        |    LEAST((us - t0) // ((t1 - t0) // 3), 2) +
+        |      (CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+        |                   AS BIGINT) % 10 = 0 THEN 2 ELSE 0 END) AS raw_batch
+        |  FROM b),
+        |t2 AS (SELECT us, LEAST(raw_batch, 2) AS batch,
+        |         (us // 86400000000) * 86400000000 AS day_us,
+        |         ((us // 86400000000) + 1) * 86400000000 AS wend_us
+        |       FROM tagged),
+        |wm AS (SELECT batch,
+        |         GREATEST(COALESCE(MAX(MAX(us // 1000)) OVER (ORDER BY batch
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |           - 7 * 86400000, 0), 0) AS wm_late_ms,
+        |         MAX(MAX(us // 1000)) OVER (ORDER BY batch) - 7 * 86400000
+        |           AS wm_after_ms
+        |       FROM t2 GROUP BY batch),
+        |final_wm AS (SELECT MAX(wm_after_ms) AS f FROM wm),
+        |kept AS (SELECT t2.day_us, t2.wend_us FROM t2 JOIN wm USING (batch)
+        |         WHERE t2.wend_us // 1000 > wm.wm_late_ms)
+        |SELECT day_us, COUNT(*) AS n_accepted
+        |FROM kept, final_wm WHERE wend_us // 1000 <= final_wm.f
+        |GROUP BY day_us ORDER BY day_us""".stripMargin,
+
+    "q230_compaction_bins" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_rows
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT month, n_rows,
+        |        SUM(n_rows) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+        |          - n_rows AS cum_before
+        |      FROM m)
+        |SELECT CAST(cum_before // 50000 AS BIGINT) AS bin,
+        |       COUNT(*) AS n_inputs, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |       MIN(month) AS from_month, MAX(month) AS to_month,
+        |       CAST(SUM(n_rows) * 10000 // 50000 AS BIGINT) AS fill_e4
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

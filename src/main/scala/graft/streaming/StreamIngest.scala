@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.StructType
   * concurrent drains (Verify's thread pool) never block each other. */
 object StreamMetrics {
   final case class DrainStat(inputRows: Long, batches: Int, wallSec: Double,
-                             peakStateRows: Long) {
+                             peakStateRows: Long, droppedByWatermark: Long = 0L) {
     def rowsPerSec: Double = if (wallSec > 0) inputRows / wallSec else 0.0
   }
   private val log = new java.util.concurrent.ConcurrentLinkedQueue[DrainStat]()
@@ -144,7 +144,9 @@ object StreamIngest {
       val rows = ps.map(_.numInputRows).sum
       val peak = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten
         .map(_.numRowsTotal)).foldLeft(0L)(math.max)
-      StreamMetrics.record(StreamMetrics.DrainStat(rows, ps.length, wall, peak))
+      val dropped = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsDroppedByWatermark)).sum
+      StreamMetrics.record(StreamMetrics.DrainStat(rows, ps.length, wall, peak, dropped))
     } catch { case _: Throwable => () }
     releaseStateAfterDrain(spark)
   }
