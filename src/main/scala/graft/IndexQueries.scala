@@ -73,14 +73,31 @@ object IndexQueries {
     // set-fp/tid only.
     "q144_prefix_filter_join" -> ((s, dir) => {
       val (members, rids) = ppjSetTables(s, dir)
+      // The prefix table is SMALL (AQE coalesces its shuffle to 1
+      // partition) but the self-join's OUTPUT is the candidate-pair
+      // explosion, and it is SKEWED: the hottest prefix token's pairs
+      // all land in one task (AQE sizes partitions by join INPUT, so
+      // neither coalescing nor skew-join sees it — without this the
+      // whole pairwise phase ran in a single 2.6 s task). Standard 2-D
+      // salt: the left side carries sa = hash(fp) mod 8, the right side
+      // replicates 8× (trivial — the prefix table is tiny), the join
+      // key becomes (tid, sa), and a numbered repartition pins the
+      // exchange at 64 so one hot token spreads across 8 tasks. The
+      // salt is engine-internal (Spark murmur hash) — it never touches
+      // the result, so the oracle is unaffected.
       val pref = rids
         .select(col("fp"), col("n"),
           posexplode(expr("slice(ids, 1, n - (19 * n + 19) div 20 + 1)"))
             .as(Seq("p", "tid")))
-      val cand = pref.select(col("fp").as("fp_a"), col("tid"),
+      val prefA = pref.select(col("fp").as("fp_a"), col("tid"),
           (col("p") + 1).as("ra"), col("n").as("na"))
-        .join(pref.select(col("fp").as("fp_b"), col("tid"),
-          (col("p") + 1).as("rb"), col("n").as("nb")), Seq("tid"))
+        .withColumn("sa", pmod(hash(col("fp_a")), lit(8)))
+        .repartition(64, col("tid"), col("sa"))
+      val prefB = pref.select(col("fp").as("fp_b"), col("tid"),
+          (col("p") + 1).as("rb"), col("n").as("nb"))
+        .withColumn("sa", explode(expr("sequence(0, 7)")))
+        .repartition(64, col("tid"), col("sa"))
+      val cand = prefA.join(prefB, Seq("tid", "sa"))
         .filter(col("fp_a") < col("fp_b"))
         .filter(col("na") * 20 >= col("nb") * 19 && col("nb") * 20 >= col("na") * 19)
         .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
