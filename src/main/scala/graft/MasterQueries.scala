@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Master-data operators (round 9, twenty-first wave): field-wise
+  * golden-record survivorship, the top-k merge-safety audit, and a
+  * bitemporal as-of resolution.
+  *
+  * Reference intent: the reference keeps whatever row arrived last
+  * (db_utils.py's append-only tables) and never reconciles; an MDM
+  * pipeline merges duplicate clusters field-by-field, a distributed
+  * top-k must PROVE its per-partition merge is lossless, and a
+  * regulated warehouse answers "what did we believe on date T about
+  * the price valid on date V". Exact integers; every rule
+  * deterministic.
+  */
+object MasterQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G199: golden-record survivorship (field-wise cluster merge) ────
+    // q79 keeps one WHOLE row per dup cluster; real MDM merges
+    // field-wise: longest text wins the content field, the cluster's
+    // modal language wins lang (ties → alphabetical min), provenance
+    // keeps the minimum source id, sizes sum. One pass over the landed
+    // cluster table: min_by/max_by with composite tiebreak structs, a
+    // (comp, lang) pre-aggregate for the mode so the corpus shuffle
+    // carries pre-combined counts. Components are LSH-bounded small,
+    // so no hot cluster at scale.
+    "q254_golden_record" -> ((s, dir) => {
+      val cc = FeatureQueries.componentsTable(s, dir)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val joined = cc.join(docs, "doc_id")
+      val langMode = joined.groupBy("comp", "lang")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("comp")
+        .agg(min_by(col("lang"), struct(-col("cnt"), col("lang"))).as("lang_mode"))
+      joined.groupBy("comp")
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("doc_id"), struct(-col("n_chars"), col("doc_id"))).as("text_doc_id"),
+          max("n_chars").as("text_chars"),
+          min("source").as("src_min"),
+          sum("n_chars").as("total_chars"))
+        .join(langMode, "comp")
+        .select("comp", "n_members", "text_doc_id", "text_chars",
+          "lang_mode", "src_min", "total_chars")
+        .orderBy("comp")
+    }),
+
+    // ── G200: top-k merge-safety audit (distributed order statistics) ──
+    // The algebra TakeOrdered relies on: the union of per-partition
+    // top-k lists CONTAINS the global top-k. Stated as data: top-5
+    // orders by (price, key) within each of 8 hash buckets, merged and
+    // re-topped, side-by-side with the direct global top-5 — the rank
+    // ledger proves element-wise equality (spec asserts all_equal).
+    // This is the combiner-correctness certificate for every
+    // distributed leaderboard in the engine; the bucket phase is one
+    // partial aggregate per partition at scale.
+    "q255_topk_merge_audit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("v_c"))
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(cast(k as string)), 1, 2), 16, 10) as bigint) % 8"))
+      val wB = Window.partitionBy("bucket").orderBy(col("v_c").desc, col("k").asc)
+      val merged = o.withColumn("rb", row_number().over(wB))
+        .filter(col("rb") <= 5)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select(col("rk"), col("k").as("merged_k"), col("v_c").as("merged_v_c"))
+      val direct = o.withColumn("rk", row_number().over(
+          Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select(col("rk"), col("k").as("direct_k"), col("v_c").as("direct_v_c"))
+      merged.join(direct, "rk")
+        .withColumn("equal", col("merged_k") === col("direct_k") &&
+          col("merged_v_c") === col("direct_v_c"))
+        .orderBy("rk")
+    }),
+
+    // ── G201: bitemporal as-of resolution (valid time × transaction
+    // time) ──
+    // q120/q134's SCD2 tracks ONE time axis; regulated reporting needs
+    // two: "the price valid on V=2024-02-15, as the system knew it on
+    // T=2024-02-20". The version table derives RELATIONALLY (both
+    // engines generate identical rows — no file fixture): 3 valid
+    // periods per sampled part, hash-chosen versions corrected 10 days
+    // after first recording (old tx row closed, corrected row opened).
+    // Resolution is two interval predicates pushed into the scan — at
+    // scale this is the same partition-pruned read as any SCD lookup,
+    // with tx_from/tx_to as just another column pair. The answer
+    // proves corrections are visible (T past the correction) while the
+    // uncorrected history stays reproducible at earlier T.
+    "q256_bitemporal_asof" -> ((s, dir) => {
+      val versions = Tables.part(s, dir)
+        .filter(expr("p_partkey % 100 < 2"))
+        .select(col("p_partkey"),
+          expr("cast(round(p_retailprice * 100) as bigint)").as("base_c"))
+        .withColumn("i", explode(expr("sequence(0, 2)")))
+        .withColumn("valid_from", expr("date_add(date '2024-01-01', cast(i * 30 as int))"))
+        .withColumn("valid_to", expr("date_add(date '2024-01-01', cast((i + 1) * 30 as int))"))
+        .withColumn("corrected", expr(
+          "cast(conv(substring(md5(concat(cast(p_partkey as string), ':', cast(i as string))), 1, 2), 16, 10) as bigint) % 3 = 0"))
+        .withColumn("tx0", expr("date_add(date '2024-01-01', cast(i * 30 - 5 as int))"))
+      val originals = versions.select(col("p_partkey"), col("i"),
+        col("valid_from"), col("valid_to"),
+        expr("base_c + i * 100").as("price_c"),
+        col("tx0").as("tx_from"),
+        when(col("corrected"), expr("date_add(tx0, 10)"))
+          .otherwise(lit("9999-12-31").cast(DateType)).as("tx_to"),
+        lit(false).as("is_correction"))
+      val corrections = versions.filter(col("corrected"))
+        .select(col("p_partkey"), col("i"),
+          col("valid_from"), col("valid_to"),
+          expr("base_c + i * 100 + 55").as("price_c"),
+          expr("date_add(tx0, 10)").as("tx_from"),
+          lit("9999-12-31").cast(DateType).as("tx_to"),
+          lit(true).as("is_correction"))
+      val v = lit("2024-02-15").cast(DateType); val t = lit("2024-02-20").cast(DateType)
+      originals.unionByName(corrections)
+        .filter(col("valid_from") <= v && v < col("valid_to") &&
+          col("tx_from") <= t && t < col("tx_to"))
+        .select(col("p_partkey"), col("i").cast(LongType).as("version"),
+          col("price_c"), col("is_correction"))
+        .orderBy("p_partkey")
+        .limit(20)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q254_golden_record" -> {
+      s"""${FeatureQueries.ccCte},
+         |cc AS (SELECT id AS doc_id, lbl AS comp FROM l${FeatureQueries.CcRounds}),
+         |j AS (SELECT cc.comp, d.doc_id, d.lang, d.source, d.n_chars
+         |      FROM cc JOIN documents d USING (doc_id)),
+         |lm AS (SELECT comp, lang, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+         |lmr AS (SELECT comp, lang AS lang_mode,
+         |          ROW_NUMBER() OVER (PARTITION BY comp
+         |            ORDER BY cnt DESC, lang ASC) AS rn
+         |        FROM lm),
+         |tx AS (SELECT comp, doc_id AS text_doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY comp
+         |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |       FROM j)
+         |SELECT j.comp, COUNT(*) AS n_members,
+         |       MAX(tx.text_doc_id) AS text_doc_id,
+         |       CAST(MAX(j.n_chars) AS BIGINT) AS text_chars,
+         |       MAX(lmr.lang_mode) AS lang_mode,
+         |       MIN(j.source) AS src_min,
+         |       CAST(SUM(j.n_chars) AS BIGINT) AS total_chars
+         |FROM j
+         |JOIN (SELECT comp, text_doc_id FROM tx WHERE rn = 1) tx USING (comp)
+         |JOIN (SELECT comp, lang_mode FROM lmr WHERE rn = 1) lmr USING (comp)
+         |GROUP BY j.comp ORDER BY j.comp""".stripMargin
+    },
+
+    "q255_topk_merge_audit" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS v_c,
+        |             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+        |               AS BIGINT) % 8 AS bucket
+        |           FROM orders),
+        |pb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+        |         ORDER BY v_c DESC, k ASC) AS rb FROM o),
+        |merged AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v_c DESC, k ASC)
+        |             AS BIGINT) AS rk, k AS merged_k, v_c AS merged_v_c
+        |           FROM pb WHERE rb <= 5
+        |           QUALIFY rk <= 5),
+        |direct AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v_c DESC, k ASC)
+        |             AS BIGINT) AS rk, k AS direct_k, v_c AS direct_v_c
+        |           FROM o QUALIFY rk <= 5)
+        |SELECT rk, merged_k, merged_v_c, direct_k, direct_v_c,
+        |       merged_k = direct_k AND merged_v_c = direct_v_c AS equal
+        |FROM merged JOIN direct USING (rk) ORDER BY rk""".stripMargin,
+
+    "q256_bitemporal_asof" ->
+      """WITH base AS (SELECT p_partkey,
+        |                CAST(round(p_retailprice * 100) AS BIGINT) AS base_c
+        |              FROM part WHERE p_partkey % 100 < 2),
+        |vs AS (SELECT base.*, UNNEST(range(0, 3)) AS i FROM base),
+        |vv AS (SELECT p_partkey, i, base_c,
+        |         DATE '2024-01-01' + CAST(i * 30 AS INT) AS valid_from,
+        |         DATE '2024-01-01' + CAST((i + 1) * 30 AS INT) AS valid_to,
+        |         CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':' ||
+        |           CAST(i AS VARCHAR)), 1, 2) AS BIGINT) % 3 = 0 AS corrected,
+        |         DATE '2024-01-01' + CAST(i * 30 - 5 AS INT) AS tx0
+        |       FROM vs),
+        |rows_all AS (
+        |  SELECT p_partkey, i, valid_from, valid_to, base_c + i * 100 AS price_c,
+        |         tx0 AS tx_from,
+        |         CASE WHEN corrected THEN tx0 + 10 ELSE DATE '9999-12-31' END AS tx_to,
+        |         FALSE AS is_correction
+        |  FROM vv
+        |  UNION ALL
+        |  SELECT p_partkey, i, valid_from, valid_to, base_c + i * 100 + 55,
+        |         tx0 + 10, DATE '9999-12-31', TRUE
+        |  FROM vv WHERE corrected)
+        |SELECT p_partkey, CAST(i AS BIGINT) AS version,
+        |       CAST(price_c AS BIGINT) AS price_c, is_correction
+        |FROM rows_all
+        |WHERE valid_from <= DATE '2024-02-15' AND DATE '2024-02-15' < valid_to
+        |  AND tx_from <= DATE '2024-02-20' AND DATE '2024-02-20' < tx_to
+        |ORDER BY p_partkey LIMIT 20""".stripMargin
+  )
+}
