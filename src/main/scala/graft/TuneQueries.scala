@@ -73,22 +73,33 @@ object TuneQueries {
     // curve: candidates you pay vs recall you buy.
     "q262_lsh_tuning" -> ((s, dir) => {
       val sigs = TextQueries.sigTable(s, dir)
-      def config(r: Int): DataFrame = {
+      // ALL 14 (config, band) keys explode from each signature row in
+      // one projection, so the whole sweep is ONE groupBy + one 3-row
+      // re-aggregate — not 14 separate aggregates (the first cut
+      // scheduled 14 tiny jobs and paid ~0.2 s overhead each)
+      val keyStructs = Seq(1, 2, 4).flatMap { r =>
         val b = 8 / r
-        val bandCols = (0 until b).map(bi =>
-          concat_ws("_", (0 until r).map(ri => col(s"s${bi * r + ri}")): _*).as(s"band$bi"))
-        val banded = sigs.select((col("doc_id") +: bandCols): _*)
-        val mass = (0 until b).map { bi =>
-          banded.groupBy(col(s"band$bi")).agg(count(lit(1)).as("m"))
-            .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("pairs"))
-        }.reduce(_.unionByName(_)).agg(sum("pairs").as("cand_mass"))
+        (0 until b).map { bi =>
+          struct(lit(r.toLong).as("r"), lit(bi.toLong).as("bi"),
+            concat_ws("_", (0 until r).map(ri => col(s"s${bi * r + ri}")): _*).as("key"))
+        }
+      }
+      val mass = sigs
+        .select(explode(array(keyStructs: _*)).as("e"))
+        .select(col("e.r").as("r"), col("e.bi").as("bi"), col("e.key").as("key"))
+        .groupBy("r", "bi", "key").agg(count(lit(1)).as("m"))
+        .groupBy("r").agg(sum(expr("m * (m - 1) div 2")).as("cand_mass"))
+      def theory(r: Int): (Long, Long) = {
+        val b = 8 / r
         val p20r = math.pow(20, r).toLong; val p19r = math.pow(19, r).toLong
         val num = BigInt(p20r - p19r).pow(b); val den = BigInt(20).pow(r * b)
-        val pE6 = 1000000L - (BigInt(1000000) * num / den).toLong
-        mass.select(lit(r.toLong).as("r"), lit(b.toLong).as("b"),
-          col("cand_mass"), lit(pE6).as("p_catch_e6"))
+        (b.toLong, 1000000L - (BigInt(1000000) * num / den).toLong)
       }
-      config(1).unionByName(config(2)).unionByName(config(4))
+      val th = s.createDataFrame(Seq(1L, 2L, 4L).map { r =>
+        val (b, p) = theory(r.toInt); (r, b, p)
+      }).toDF("r", "b", "p_catch_e6")
+      mass.join(broadcast(th), "r")
+        .select("r", "b", "cand_mass", "p_catch_e6")
         .orderBy("r")
     }),
 
