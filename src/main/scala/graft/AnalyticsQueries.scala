@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * exercises the broadcast planner the way a BI workload would, and a
   * declarative data-contract audit.
   *
-  * Reference intent: the reference fits per-store LightGBM models and
-  * eyeballs quality in Streamlit (services/training/tasks.py,
-  * web-ui/app/main.py). The operators here are the SQL-exact versions
+  * Reference intent: the reference fits per-store Prophet models and
+  * eyeballs quality in Streamlit
+  * (services/training-service/app/train_utils.py:24-35,
+  * services/web-ui/app/main.py). The operators here are the SQL-exact versions
   * of the surrounding analytics: trend slopes, user segmentation,
   * revenue cubes, and the ingest-contract gate its Airflow DAG never
   * had. House disciplines throughout — scaled-BIGINT/DECIMAL(38,0)

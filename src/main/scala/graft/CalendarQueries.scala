@@ -84,10 +84,13 @@ object CalendarQueries {
         .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
         .withColumn("half", expr("cast(doc_id % 2 as int)"))
         .groupBy("half", "tok").agg(count(lit(1)).as("n"))
+      // top-20 per half via TakeOrderedAndProject (orderBy().limit —
+      // per-partition heaps), rank attached AFTER the limit over the 20
+      // survivors — never an unpartitioned window over the vocab table.
       def top(h: Int) = toks.filter(col("half") === h)
+        .orderBy(col("n").desc, col("tok").asc).limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n").desc, col("tok").asc)).cast(LongType))
-        .filter(col("rk") <= 20)
       val a = top(0).select(col("tok"), col("n").as("n_a"), col("rk").as("rk_a"))
       val b = top(1).select(col("tok"), col("n").as("n_b"), col("rk").as("rk_b"))
       a.join(b, Seq("tok"), "full_outer")

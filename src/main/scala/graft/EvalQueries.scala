@@ -14,8 +14,10 @@ import graft.functions.VectorFunctions.{asDouble, cosineR6, sqlCosineR6}
   * graph, and a leakage-safe churn label builder.
   *
   * Reference intent: the reference's eval loop is a per-store metric
-  * table eyeballed in Streamlit (services/training/tasks.py computes
-  * RMSE/MAPE per fold); these operators are the corpus-scale versions
+  * table eyeballed in Streamlit
+  * (services/training-service/app/train_utils.py:94-121 computes
+  * RMSE/MAPE per walk-forward fold); these operators are the
+  * corpus-scale versions
   * of the judgment calls around that loop — is the compressed index
   * still finding the right neighbors, which weekday drives the
   * forecast's seasonality, how well does engagement rank predict
@@ -136,22 +138,26 @@ object EvalQueries {
     }),
 
     // ── G127: decile calibration / gain chart (ranking-quality audit) ──
-    // Does engagement rank predict conversion? Users ranked by click
-    // count into NTILE(10) deciles (the window runs over PRE-AGGREGATED
-    // per-user rows under a deterministic (clicks desc, user_id) total
-    // order — |users| rows, not the corpus; at 10⁹ users swap in q155's
-    // broadcast-cutpoint bucketing, same output contract), then per
-    // decile: conversion rate and lift vs the base rate, both exact e4
-    // rationals. The gain chart every targeting model is judged by,
-    // stated as a query.
+    // Does engagement rank predict conversion? Users bucketed by click
+    // count into exact NTILE(10) deciles under the deterministic
+    // (clicks desc, user_id) total order. User grain is corpus-scale,
+    // so the bucketing is Relational.distributedNtile (range-repartition
+    // + partition-major contiguous ids + the exact NTILE size formula),
+    // NOT `ntile() OVER (ORDER BY …)` — that unpartitioned window would
+    // funnel every user through ONE task. Bit-identical output, every
+    // stage parallel. Then per decile: conversion rate and lift vs the
+    // base rate, both exact e4 rationals. The gain chart every targeting
+    // model is judged by, stated as a query.
     "q182_decile_calibration" -> ((s, dir) => {
       val dec = DecimalType(38, 0)
       val u = Tables.events(s, dir)
         .groupBy("user_id")
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
-      val ranked = u.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("clicks").desc, col("user_id"))).cast(LongType))
+      val ranked = graft.ops.Relational.distributedNtile(u,
+          Seq(col("clicks").desc, col("user_id").asc), 10,
+          u.agg(count(lit(1)).as("n_total")), "decile")
+        .withColumn("decile", col("decile").cast(LongType))
       val cells = ranked.groupBy("decile")
         .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
       val tot = cells.agg(sum("n_users").as("u_tot"), sum("n_converted").as("c_tot"))

@@ -483,9 +483,16 @@ object IndexQueries {
         .filter(col("doc_id") === col("rep"))
         .select(col("fp"), col("toks"))
       val trep = reps.select(col("fp"), explode(col("toks")).as("tok"))
-      val vocab = trep.groupBy("tok").agg(count(lit(1)).as("df"))
-        .withColumn("tid",
-          row_number().over(Window.orderBy(col("df"), col("tok"))).cast(IntegerType))
+      // rarest-first integer ids WITHOUT an unpartitioned window: the
+      // vocabulary is Heaps'-law-sublinear but still corpus-fed, so the
+      // id assignment is contiguousIds over a range-partitioned sort
+      // (partition-major ids ARE the (df, tok) order) instead of
+      // row_number() OVER (ORDER BY …)'s single-task sort.
+      val vocab = graft.ops.Relational.contiguousIds(
+          trep.groupBy("tok").agg(count(lit(1)).as("df"))
+            .repartitionByRange(32, col("df"), col("tok"))
+            .sortWithinPartitions("df", "tok"), "__r0")
+        .withColumn("tid", (col("__r0") + 1).cast(IntegerType))
         .select("tok", "tid")
       trep.join(vocab, Seq("tok"))
         .groupBy("fp").agg(sort_array(collect_list(col("tid"))).as("ids"))

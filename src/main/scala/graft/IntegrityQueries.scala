@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
   *
   * Reference intent: the reference's train/test discipline is a date
   * cutoff in pandas and its CSV is well-behaved
-  * (services/training/tasks.py, data-producer). At corpus scale the
+  * (services/training-service/app/train_utils.py:94-99 TimeSeriesSplit,
+  * services/data-producer). At corpus scale the
   * split meets the dup graph (near-identical docs landing on both
   * sides of a split leak labels no date cutoff sees) and the CSV
   * meets fields with embedded delimiters — both stated here as

@@ -96,9 +96,11 @@ object MaintQueries {
         .withColumn("bucket", expr(
           "cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint) % 1024"))
         .groupBy("bucket").agg(count(lit(1)).as("n_grams"))
+      // n_vocab is one global scalar (Σ n_grams over buckets = |vocab|);
+      // ride a broadcast 1-row aggregate instead of a SUM() OVER ()
+      // window (identical value, no unpartitioned WindowExec).
       buckets.groupBy("n_grams").agg(count(lit(1)).as("n_buckets"))
-        .withColumn("n_vocab", sum(col("n_grams") * col("n_buckets"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .crossJoin(broadcast(buckets.agg(sum("n_grams").as("n_vocab"))))
         .orderBy("n_grams")
     }),
 

@@ -66,16 +66,21 @@ object MasterQueries {
           expr("cast(round(o_totalprice * 100) as bigint)").as("v_c"))
         .withColumn("bucket", expr(
           "cast(conv(substring(md5(cast(k as string)), 1, 2), 16, 10) as bigint) % 8"))
+      // Both arms end in TakeOrderedAndProject (orderBy().limit(5) —
+      // per-partition heaps + driver merge), with the rank attached
+      // AFTER the limit over the surviving 5 rows (the q221 discipline);
+      // neither arm ever runs an unpartitioned window over the fact
+      // table. The merged arm's bucket phase is a PARTITIONED window.
       val wB = Window.partitionBy("bucket").orderBy(col("v_c").desc, col("k").asc)
       val merged = o.withColumn("rb", row_number().over(wB))
         .filter(col("rb") <= 5)
+        .orderBy(col("v_c").desc, col("k").asc).limit(5)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
-        .filter(col("rk") <= 5)
         .select(col("rk"), col("k").as("merged_k"), col("v_c").as("merged_v_c"))
-      val direct = o.withColumn("rk", row_number().over(
+      val direct = o.orderBy(col("v_c").desc, col("k").asc).limit(5)
+        .withColumn("rk", row_number().over(
           Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
-        .filter(col("rk") <= 5)
         .select(col("rk"), col("k").as("direct_k"), col("v_c").as("direct_v_c"))
       merged.join(direct, "rk")
         .withColumn("equal", col("merged_k") === col("direct_k") &&

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   *
   * Reference intent: the reference trains per-store Prophet models and
   * picks nothing — one config for all 1,115 stores
-  * (services/training/train_utils.py:24-35). At fleet scale the
+  * (services/training-service/app/train_utils.py:24-35). At fleet scale the
   * pipeline itself must select per-key hyperparameters, factorize
   * interaction matrices, and attach uncertainty to every estimate —
   * all stated here as exact-integer relational plans (sign-explicit

@@ -53,8 +53,14 @@ object PathQueries {
     // on positives — never a corpus×parts cross.
     "q249_negative_samples" -> ((s, dir) => {
       val pos = FlowQueries.ratingsTable(s, dir).select("c", "p")
-      val dim = Tables.part(s, dir).select(col("p_partkey"))
-        .withColumn("idx", row_number().over(Window.orderBy("p_partkey")).cast(LongType))
+      // dense 1..N part index via contiguousIds over a range-partitioned
+      // sort — the part dimension grows with SF, so no unpartitioned
+      // row_number window; ids are identical (partition-major = key order).
+      val dim = graft.ops.Relational.contiguousIds(
+          Tables.part(s, dir).select(col("p_partkey"))
+            .repartitionByRange(32, col("p_partkey"))
+            .sortWithinPartitions("p_partkey"), "__r0")
+        .withColumn("idx", (col("__r0") + 1).cast(LongType)).drop("__r0")
       val nParts = dim.count()
       val draws = pos.crossJoin(broadcast(s.range(1, 4).select(col("id").as("j"))))
         .withColumn("idx", expr(

@@ -33,16 +33,21 @@ object PlannerQueries {
     // range (uniformity-within-bucket assumption), in exact cents/e6
     // integers; the actual is counted per bucket in the same pass.
     // The output ledger est-vs-act per bucket is the audit a stats
-    // refresh job would alert on. One sort-based shuffle for ntile
-    // (at 1e12 rows swap ntile for approx_percentile boundaries); one
-    // 16-row aggregate after.
+    // refresh job would alert on. Bucketing is Relational.distributedNtile
+    // — range-repartition + partition-major contiguous ids + the exact
+    // NTILE size formula — NOT `ntile() OVER (ORDER BY …)`, whose
+    // unpartitioned window would sort the whole fact table in ONE task;
+    // bit-identical output, every stage parallel. One 16-row aggregate
+    // after.
     "q224_histogram_selectivity" -> ((s, dir) => {
       val lo = 10000000L; val hi = 25000000L // cents: [100k, 250k)
-      val v = Tables.orders(s, dir)
+      val base = Tables.orders(s, dir)
         .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v_c"),
           col("o_orderkey"))
-        .withColumn("bucket", ntile(16).over(
-          Window.orderBy(col("v_c").asc, col("o_orderkey").asc)).cast(LongType))
+      val v = graft.ops.Relational.distributedNtile(base,
+          Seq(col("v_c").asc, col("o_orderkey").asc), 16,
+          base.agg(count(lit(1)).as("n_total")), "bucket")
+        .withColumn("bucket", col("bucket").cast(LongType))
       v.groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),
           min("v_c").as("lo_c"), max("v_c").as("hi_c"),

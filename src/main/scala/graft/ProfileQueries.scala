@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * concurrency, robust feature scaling, temporal-split leakage, and
   * the CBO column-correlation audit.
   *
-  * Reference intent: the reference's data prep is a pandas groupby in
-  * one process (services/training/tasks.py); these are the
+  * Reference intent: the reference's data prep is a per-(store,
+  * product) pandas filter-and-rename in one process
+  * (services/training-service/app/train_utils.py:56-68,
+  * prep_store_data); these are the
   * whole-corpus preparation and capacity questions that appear the
   * moment the same pipeline runs on shared infrastructure — how many
   * orders are in flight at once, features scaled so outliers can't

@@ -101,7 +101,16 @@ object ReconQueries {
     // step = W/n (systematic PPS, n = 200) — big orders are
     // near-certain picks, small ones proportional. Inclusion probability π = min(1, w·n/W)
     // exact e6; the HT estimator Σ v/π audits itself against the true
-    // total (err_e4 emitted). One sort + one window cumsum; q165's
+    // total (err_e4 emitted). Systematic sampling needs a GLOBAL prefix
+    // sum — the scale-safe form is Relational.prefixSum (range-
+    // repartition on the md5 key, per-partition partial sums, broadcast
+    // partition offsets), never `SUM() OVER (ORDER BY …)`'s single-task
+    // window; the grand total rides a broadcast 1-row aggregate. π_e6
+    // is floor-divided, so adversarially tiny weights (w·n·1e6 < W)
+    // could floor it to 0 — Spark `div` would yield NULL (silently
+    // dropping the HT term) while DuckDB `//` errors; greatest(pi_e6,1)
+    // pins both engines to the same defined value (a no-op at any
+    // TPC-H scale, where every weight clears the floor). q165's
     // Bernoulli design has variance ~1/p — systematic PPS kills it
     // for skewed money data, and the ledger SHOWS that.
     "q266_systematic_pps" -> ((s, dir) => {
@@ -109,17 +118,14 @@ object ReconQueries {
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("w"))
-      val w = Window.orderBy(expr("md5(cast(k as string))"))
-      val cum = base
-        .withColumn("cum", sum("w").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum("w").over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("h", md5(col("k").cast("string")))
+      val cum = graft.ops.Relational.prefixSum(base, Seq(col("h")), "w", "cum")
+        .crossJoin(broadcast(base.agg(sum("w").as("tot"))))
         .withColumn("step", expr(s"tot div $n"))
         .withColumn("picked", expr("cum div step > (cum - w) div step"))
       val sampled = cum.filter(col("picked"))
         .withColumn("pi_e6", least(lit(1000000L), expr(s"w * $n * 1000000 div tot")))
-        .withColumn("ht_term", expr("w * 1000000 div pi_e6"))
+        .withColumn("ht_term", expr("w * 1000000 div greatest(pi_e6, 1)"))
       sampled.agg(count(lit(1)).as("n_sampled"),
           sum("ht_term").as("ht_total_c"),
           max("tot").as("true_total_c"))
@@ -196,9 +202,9 @@ object ReconQueries {
         |        AS pi_e6
         |      FROM s WHERE cum // step > (cum - w) // step)
         |SELECT COUNT(*) AS n_sampled,
-        |       CAST(SUM(w * 1000000 // pi_e6) AS BIGINT) AS ht_total_c,
+        |       CAST(SUM(w * 1000000 // GREATEST(pi_e6, 1)) AS BIGINT) AS ht_total_c,
         |       CAST(MAX(tot) AS BIGINT) AS true_total_c,
-        |       CAST(ABS(SUM(w * 1000000 // pi_e6) - MAX(tot)) * 10000
+        |       CAST(ABS(SUM(w * 1000000 // GREATEST(pi_e6, 1)) - MAX(tot)) * 10000
         |            // MAX(tot) AS BIGINT) AS err_e4
         |FROM p""".stripMargin
   )

@@ -146,7 +146,12 @@ object RobustQueries {
       val tf = Tables.documents(s, dir)
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("tf"))
+      // only ranks ≤ 30 are read, and cum at rank k is the sum of the
+      // top-k rows — so TakeOrdered the top 30 FIRST and run the rank +
+      // prefix-sum windows over those 30 survivors, never an
+      // unpartitioned window over the full vocabulary table.
       val ranked = tf
+        .orderBy(col("tf").desc, col("tok")).limit(30)
         .withColumn("rnk", row_number().over(Window.orderBy(col("tf").desc, col("tok"))))
         .withColumn("cum", sum("tf").over(
           Window.orderBy(col("tf").desc, col("tok"))

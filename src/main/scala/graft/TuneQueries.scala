@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   *
   * Reference intent: the reference hard-codes weekly seasonality,
   * fixed LSH-free dedup, and a single train/test split
-  * (services/training/train_utils.py); at scale the pipeline measures
+  * (services/training-service/app/train_utils.py:24-35,94-114); at
+  * scale the pipeline measures
   * its own period, chooses its banding from the collision economics,
   * and cuts k rotated folds with exact stratum balance. Exact
   * integers throughout.

@@ -236,6 +236,64 @@ object Relational {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Global prefix sum over a total order WITHOUT a single-partition
+    * window — the scale-safe form of `SUM(v) OVER (ORDER BY k ROWS
+    * UNBOUNDED PRECEDING)`, which otherwise collapses the whole input
+    * into one WindowExec task (the canonical 100-TB serialization
+    * point). Classic two-phase distributed scan: range-repartition on
+    * the order keys and sort within partitions (parallel), materialize
+    * once (localCheckpoint — the two passes below would otherwise each
+    * redo the sort), collect ONE Long per partition (partial sums — the
+    * same partition-scalar contract as zipWithIndex/contiguousIds, never
+    * row data), then a second narrow pass adds each partition's
+    * broadcast offset to its local running sum. `value` must be a
+    * BIGINT column already present in `df` under name `valueCol`. */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                asCol: String, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val vIdx = sorted.columns.indexOf(valueCol)
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(asCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Global NTILE over a total order WITHOUT a single-partition window:
+    * global rank via range-repartition + contiguousIds (partition-major
+    * ids ARE the sort order), then the exact NTILE bucket formula —
+    * the first (N mod t) buckets hold ceil(N/t) rows, the rest
+    * floor(N/t) — applied to the 0-based rank. Bit-identical to
+    * `ntile(t) OVER (ORDER BY order…)` in both Spark and DuckDB for any
+    * deterministic total order, but every stage stays parallel.
+    * `nTotal` must be a broadcastable 1-row frame with column
+    * `n_total` (BIGINT). */
+  def distributedNtile(df: DataFrame, order: Seq[Column], t: Int,
+                       nTotal: DataFrame, asCol: String, parts: Int = 32): DataFrame = {
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    contiguousIds(sorted, "__r0")
+      .crossJoin(broadcast(nTotal))
+      .withColumn(asCol, expr(
+        s"""CASE WHEN __r0 < (n_total % $t) * (n_total div $t + 1)
+           |     THEN __r0 div (n_total div $t + 1) + 1
+           |     ELSE (n_total % $t)
+           |          + (__r0 - (n_total % $t) * (n_total div $t + 1))
+           |            div (n_total div $t) + 1 END""".stripMargin))
+      .drop("__r0", "n_total")
+  }
+
   /** W2 — expanding (anchored walk-forward) running aggregate per key,
     * the frame shape behind the reference's TimeSeriesSplit CV
     * (services/training-service/app/train_utils.py:94-114). */

@@ -80,6 +80,80 @@ class FlowSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum <= total)
   }
 
+  test("q229 oracle dependency pin: one-batch-late rows survive the lagged watermark filter") {
+    // The q229 DuckDB oracle hardcodes Spark's multi-stateful-operator
+    // watermark propagation: the late-input filter for micro-batch k
+    // uses the watermark carried over from batches ≤ k−2 (the PREVIOUS
+    // batch's value), while eviction uses the current one. The
+    // consequence the oracle relies on: rows arriving ONE batch late
+    // always clear the two-batch-lagged horizon and are never dropped
+    // (verified when q229 was built). If a Spark upgrade changes the
+    // propagation — e.g. filtering with the CURRENT batch's watermark —
+    // one-batch-late stragglers older than (batch max − 7 days) start
+    // dropping and this test fails with a pointed message, instead of
+    // the change surfacing as an opaque q229 hash mismatch in
+    // attestation.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.streaming.StreamIngest
+    val work = java.nio.file.Files.createTempDirectory("wmpin").toString
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+    val Array(t0, t1) = ev.agg(min("us"), max("us")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1) + 1))
+    val third = (t1 - t0) / 3
+    val tagged = ev
+      .withColumn("third", least(expr(s"(us - $t0) div $third"), lit(2L)))
+      .withColumn("straggler",
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10) as bigint) % 10 = 0"))
+      .withColumn("batch", least(col("third") +
+        when(col("straggler"), 1L).otherwise(0L), lit(2L))) // ONE batch late
+    val src = new java.io.File(s"$work/src"); src.mkdirs()
+    (0 to 2).foreach { b =>
+      val scratch = s"$work/.b$b"
+      StreamIngest.toJsonLines(
+        tagged.filter(col("batch") === b).select("us", "event_id"))
+        .coalesce(1).write.mode("overwrite").text(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      val dest = new java.io.File(src, f"b$b%d.txt")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + b * 600000L)
+    }
+    val parsed = StreamIngest.parseEnvelope(
+      spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(s"$work/src"),
+      StructType(Seq(StructField("us", LongType), StructField("event_id", LongType))))
+      .withColumn("ts", timestamp_micros(col("us")))
+    graft.streaming.StreamMetrics.drainLog() // clear
+    StreamIngest.drain(spark) {
+      parsed
+        .withWatermark("ts", "7 days")
+        .groupBy(window(col("ts"), "1 day").as("wnd"))
+        .agg(count(lit(1)).as("n_accepted"))
+        .select(unix_micros(col("wnd.start")).as("day_us"), col("n_accepted"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(s"$work/out")
+        }
+        .start()
+    }
+    // append mode never emits the still-open trailing windows, so the
+    // emitted total is ≤ corpus by construction; the DROP metric is the
+    // propagation signal.
+    val dropped = graft.streaming.StreamMetrics.drainLog()
+      .map(_.droppedByWatermark).sum
+    assert(dropped == 0,
+      s"Spark's watermark propagation changed: $dropped one-batch-late rows were " +
+        s"dropped by the state operator — the q229 DuckDB oracle's hardcoded " +
+        s"two-batch-lag watermark replay (FlowQueries q229 oracle) must be re-derived")
+    val accepted = spark.read.parquet(s"$work/out")
+      .agg(sum("n_accepted")).collect()(0).getLong(0)
+    assert(accepted <= ev.count(), "emitted windows never exceed the corpus")
+  }
+
   test("q230 compaction bins: order-preserving tiling, conserved rows") {
     val rows = run("q230_compaction_bins").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5)))

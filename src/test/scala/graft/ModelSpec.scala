@@ -47,7 +47,12 @@ class ModelSpec extends AnyFunSuite {
   test("q238 bootstrap CI: interval brackets the point estimate, 100 resamples") {
     val Array(r) = run("q238_bootstrap_ci").collect()
     val (point, lo, hi, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    assert(n == 100, "all hash resamples non-degenerate")
+    // q238 hardcodes order statistics 3 and 98 — the exact 95% band FOR
+    // n_rs = 100. If any resample's hash weights summed to zero it would
+    // be filtered out, n_rs would drop below 100, and ranks 3/98 would
+    // silently correspond to DIFFERENT percentiles (both engines agree,
+    // so attestation can't catch the statistical drift) — this assert can.
+    assert(n == 100, "all 100 hash resamples non-degenerate (ranks 3/98 = exact 95% band)")
     assert(lo <= hi)
     assert(lo <= point && point <= hi,
       "mean-1 resampling weights keep the point estimate inside the 95% band")
