@@ -195,13 +195,39 @@ object Bench {
     // it, so official runs always time the full declared surface
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Suite-scale contention defense (VERDICT r9 "next" #4): the r8→r9
+    // common-subset comparison inflated 16% on untouched queries — the
+    // suspected cause is one JVM accumulating 266 plans' codegen classes
+    // + GC pressure, under which real per-query regressions can hide.
+    // Two measures, both recorded in the artifact:
+    //  - a System.gc() breather every `gcEvery` queries bounds how much
+    //    collectable garbage any query's timed runs inherit;
+    //  - a fixed SENTINEL query (the alphabetically first) is re-timed
+    //    at intervals through the suite; its series is the direct
+    //    suite-position-vs-time curve. A flat series means per-query
+    //    numbers are comparable across rounds regardless of suite size;
+    //    a rising series quantifies exactly the inflation to subtract
+    //    when comparing a query measured early in one round and late in
+    //    another.
+    val gcEvery = 20
+    val sentinelEvery = 50
+    val sentinel = ordered.headOption
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def sentinelTick(pos: Int): Unit = sentinel.foreach { case (sn, sfn) =>
+      val t = timeOnce(sn, sfn)
+      sentinelSeries += ((pos, t))
+    }
+    sentinelTick(0)
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % gcEvery == 0) System.gc()
+      if (idx > 0 && idx % sentinelEvery == 0) sentinelTick(idx)
       val st = measure(name, fn)
       harvestStreams(name)
       name -> st
     }
+    sentinelTick(ordered.size)
     // End-of-suite retry: a query whose window never went clean kept a
     // storm-era number (r5: q49 exhausted maxRuns mid-storm at 49 s min
     // for a 0.29 s query). By suite end the storm has often passed —
@@ -223,7 +249,16 @@ object Bench {
     val hostDegraded = probeRatio > ProbeHealthyRatio
     val host = f"""{"probe_ref_sec":$ProbeRefSec,"probe_ref_provenance":"${HostProbe.probeRefProvenance}","probe_best_sec":$probeBestSession%.4f,"probe_best_vs_ref":$probeRatio%.3f,"host_degraded":$hostDegraded,"queries_estimator_degraded":$nDegraded}"""
     val streams = streamStats.map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"streams":$streams,"sf":"$sfDir"}"""
+    val sentinelJson = sentinel.map { case (sn, _) =>
+      val series = sentinelSeries.map { case (pos, t) => f"""[$pos,$t%.3f]""" }.mkString("[", ",", "]")
+      // drift = final tick vs the session-best tick (the first tick
+      // carries the sentinel's own codegen warmup, so first-vs-last
+      // would understate inflation)
+      val drift = if (sentinelSeries.size >= 2)
+        sentinelSeries.last._2 / sentinelSeries.map(_._2).min else 1.0
+      f"""{"name":"$sn","series_pos_sec":$series,"last_vs_best":$drift%.3f,"gc_every":$gcEvery}"""
+    }.getOrElse("null")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"sentinel":$sentinelJson,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"streams":$streams,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     // The LAST stdout line is a compact (<500 B) summary: the driver
     // captures only a tail of stdout, and r5's single 11 KB line was

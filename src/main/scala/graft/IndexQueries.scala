@@ -377,20 +377,35 @@ object IndexQueries {
     // key at width δ and joining each doc's bucket against {b−1, b, b+1}
     // (the distributed form of sorted-neighborhood's sliding window:
     // O(n·w) candidates, no global sort, boundary pairs caught by the
-    // adjacent-bucket probe). Verification is the same exact-Jaccard
-    // join as q144. Deliberately lossy — recall vs q144's complete
-    // answer is measured in the spec — because at 100 TB the recall/
-    // cost dial (δ) is exactly what a curation run tunes.
+    // adjacent-bucket probe). The 16-bit key SATURATES as the corpus
+    // grows (65536/δ = 256 buckets → per-bucket occupancy, and so
+    // candidate mass, grows quadratically — r9 scale probe: exponent
+    // 0.71, the family's worst), so blocking adds a SECOND plane: a
+    // J ≥ 0.95 pair necessarily has distinct-token counts within ratio
+    // 0.95 (i ≤ min and i ≥ 0.95(a+b−i) force min ≥ 0.95·max), so docs
+    // are co-blocked on floor(ln(n)/ln(1.06)) with ±1 probes
+    // (ln(1/0.95) < ln(1.06) guarantees no true pair spans >1 bucket) —
+    // output-identical, occupancy divided by the corpus's length
+    // diversity. The same bound runs as a cheap scalar pre-filter ahead
+    // of the array-intersect verify. Verification is the same
+    // exact-Jaccard join as q144. Deliberately lossy vs q144's complete
+    // answer (recall measured in the spec) — because at 100 TB the
+    // recall/cost dial (δ) is exactly what a curation run tunes.
     "q151_simkey_blocking" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), expr("simhash16(toks)").as("sh"))
+        .select(col("doc_id"), expr("simhash16(toks)").as("sh"),
+          expr("size(array_distinct(toks))").cast(LongType).as("n"))
+        .withColumn("lb", expr("cast(floor(ln(greatest(n, 1)) / ln(1.06)) as bigint)"))
       val left = sh.withColumn("b", expr("sh div 256"))
-      val right = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val right = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("n").as("n_b"), col("lb").as("lb0"))
         .withColumn("b", explode(expr("array(sh_b div 256 - 1, sh_b div 256, sh_b div 256 + 1)")))
-      val cand = left.join(right, Seq("b"))
-        .filter(col("doc_id") < col("doc_b") && abs(col("sh") - col("sh_b")) <= 256)
+        .withColumn("lb", explode(expr("array(lb0 - 1, lb0, lb0 + 1)")))
+      val cand = left.join(right, Seq("b", "lb"))
+        .filter(col("doc_id") < col("doc_b") && abs(col("sh") - col("sh_b")) <= 256 &&
+          least(col("n"), col("n_b")) * 100 >= greatest(col("n"), col("n_b")) * 95)
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
       val docToks = Tables.documents(s, dir).select(col("doc_id"),
         array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))

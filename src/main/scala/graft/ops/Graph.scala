@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph primitives for corpus curation — the step AFTER
   * near-dup pair generation (q23/q24/q27/q42): pairs are edges, duplicate
@@ -11,89 +10,112 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
-  /** Connected components by min-label propagation.
+  /** Connected components by DELTA-ITERATED min-label propagation with
+    * pull-based pointer jumping.
     *
-    * Each round: every vertex takes the min of its own label and its
-    * neighbors' labels — one equi-join (edges ⋈ labels on src) plus one
-    * groupBy(id).min shuffle — then POINTER-JUMPS (label := label of its
-    * label, a self-join on the label column): path compression halves
-    * chain depth every round, so convergence is O(log diameter) rounds,
-    * not O(diameter). sf0.1 has real >20-deep near-dup chains — plain
-    * propagation visibly stalls there; with jumping the same graphs
-    * close in <10 rounds. Every step is an equi-join/aggregation
-    * partitioned on vertex id, AQE/skew-governed.
+    * Labels only ever decrease, and a vertex's neighbors only need to be
+    * re-examined when ITS label changed — so each round works off the
+    * frontier `delta` (rows whose label changed last round), not the
+    * whole graph:
     *
-    * Two deliberate driver-side scalars per round (documented control-
-    * flow boundary, same class as the forecaster's fold loop): labels
-    * only ever DECREASE, so Σlabels is a convergence certificate — one
-    * decimal agg per round, no row data collected. Lineage is cut per
-    * round with localCheckpoint (on a cluster: a reliable checkpoint
-    * dir); without it the plan tree doubles every round and the 10th
-    * iteration replans 2^10 joins.
+    *   push: edges ⋈ delta(src)          — changed labels flow one hop
+    *   jump: labels ⋈ delta(on comp)     — v whose LABEL changed adopts
+    *                                       its label's new label (path
+    *                                       doubling, pull form)
+    *   merge: labels LEFT JOIN candidates, comp := least — and the rows
+    *          that improved become next round's delta.
     *
-    * `idCol` must be numeric (the certificate sums labels as DECIMAL; a
-    * non-numeric id would cast to null and corrupt the convergence
-    * test) — doc ids are. An empty vertex frame returns immediately
-    * (SUM over zero rows is null, not a certificate).
+    * Near-dup graphs converge with a long tail (the 16-copy scale
+    * fixture runs ~16 rounds, but rounds 5+ change only a handful of
+    * chain vertices): in the non-delta form every one of those tail
+    * rounds re-joined the FULL edge and label tables (the r9 scale probe
+    * measured exponent 0.766 on q64, the dedup family's worst). With the
+    * frontier form the tail joins are delta-sized — AQE sees the
+    * materialized frontier is tiny and broadcasts it, so the full label
+    * table is never shuffled again after the frontier collapses.
+    * Convergence is O(log diameter) rounds as before (push is one hop,
+    * jump doubles compressed-path length; sf0.1 has real >20-deep
+    * near-dup chains where plain one-hop propagation visibly stalls).
+    *
+    * One deliberate driver-side scalar per round (documented control-flow
+    * boundary, same class as the forecaster's fold loop): |delta| — the
+    * loop ends when no label improved. No row data is ever collected.
+    * Lineage is cut per round with localCheckpoint (on a cluster: a
+    * reliable checkpoint dir); without it the plan tree doubles every
+    * round and the 10th iteration replans 2^10 joins.
+    *
+    * Output: one row per vertex, (id, comp) with comp = min vertex id
+    * reachable — identical to the non-delta form (any correct CC yields
+    * this labeling; DuckDB-oracle-gated via q64/q65).
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 30): DataFrame = {
     require(vertices.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"connectedComponents needs a numeric id column, got ${vertices.schema(idCol).dataType}")
-    // SELF-LOOPS are added once up front: propagation then reads "min
-    // label over src∪self per dst" off ONE join+aggregate — r7 unioned
-    // `labels` into the propagation every round, which both evaluated
-    // the live label plan twice per round and (with a checkpointed
-    // label relation on each side of the union) tripped Union
-    // constraint rewriting at analysis.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .union(vertices.select(col(idCol).as("src"), col(idCol).as("dst")))
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"))
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    def certificate(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var prev = certificate(labels)
-    if (prev == null) return labels // zero vertices: nothing to propagate
+    // round-1 frontier: every vertex (its "change" is taking its own id)
+    var delta = labels
+    var deltaCount = delta.count()
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // Checkpointed (RDD-backed) frames report DEFAULT size stats, so
+    // Catalyst would sort-merge-join every round even when the frontier
+    // is 200 rows. The frontier/candidate row counts are already known
+    // driver-side (the per-round convergence scalar), so the hint is
+    // exact, not a guess: broadcast whenever the known count is under
+    // the threshold. 4M rows is right for local[*] (one JVM — a
+    // broadcast is just a shared map); on a multi-executor cluster set
+    // this to the usual ~10MB-equivalent row count.
+    val bcastMaxRows = sys.env.getOrElse("GRAFT_CC_BCAST_ROWS", "4000000").toLong
+    def hint(df: DataFrame, n: Long): DataFrame =
+      if (n <= bcastMaxRows) broadcast(df) else df
     var i = 0
-    var done = false
-    while (i < maxIter && !done) {
+    while (i < maxIter && deltaCount > 0) {
       val t0 = System.nanoTime()
-      // one join + one partial-agg min per round (self-loops make the
-      // "own label" case just another edge). Checkpoint BEFORE the
-      // self-join below: it cuts the per-round lineage and gives the
-      // two join sides independent attribute ids.
-      val propagated = e.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
-        .select(col("e.dst").as("id"), col("l.comp").as("comp"))
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+      val d = hint(delta, deltaCount)
+      // candidates from the frontier only: one-hop push + pull jump.
+      // Contributions from UNCHANGED labels are already folded into
+      // their neighbors (min is idempotent), so skipping them is exact.
+      val push = e.as("e").join(d.as("d"), col("e.src") === col("d.id"))
+        .select(col("e.dst").as("id"), col("d.comp").as("comp"))
+      // jump has TWO directions, both frontier-sized. Pull: v whose
+      // pointer d changed adopts d's new label. Self: a vertex that just
+      // ADOPTED pointer w must read comp(w) once — w may have compressed
+      // BEFORE the adoption, and without this leg v would keep the stale
+      // w forever (the fixpoint would terminate label-inconsistent).
+      val jumpPull = labels.as("l").join(d.as("d"), col("l.comp") === col("d.id"))
+        .select(col("l.id").as("id"), col("d.comp").as("comp"))
+      val jumpSelf = d.as("d").join(labels.as("l"), col("d.comp") === col("l.id"))
+        .select(col("d.id").as("id"), col("l.comp").as("comp"))
+      val cand = push.union(jumpPull).union(jumpSelf)
+        .groupBy("id").agg(min(col("comp")).as("cand"))
         .localCheckpoint(true)
-      // pointer jump: a label is always itself a vertex id, so the inner
-      // self-join is total; comp := min(comp, comp[comp]). Checkpointed
-      // EAGERLY: without it the self-join executed twice per round —
-      // once under the certificate action and again re-derived as next
-      // round's input (r7 scale probe: q64 was the dedup family's worst
-      // exponent; this halves its per-round join work). One jump per
-      // round is the measured optimum here: a double-jump variant (two
-      // chained checkpointed self-joins per round) was tried in r8 and
-      // tripled checkpoint-storage pressure — per-round time exploded
-      // ~50× past round 10 on the 16-copy fixture while barely cutting
-      // the round count (the convergence tail is breadth, not depth).
-      val next = propagated.as("a")
-        .join(propagated.as("b"), col("a.comp") === col("b.id"))
-        .select(col("a.id").as("id"),
-          least(col("a.comp"), col("b.comp")).as("comp"))
-        .localCheckpoint(true)
-      val cert = certificate(next)
-      done = cert.compareTo(prev) == 0
-      prev = cert
-      labels = next
+      val candCount = cand.count()
+      // merge: the known-small candidate table broadcasts against the
+      // label table — the |V| side stays map-side, never shuffled.
+      val mergedPre = labels.as("l")
+        .join(hint(cand, candCount).as("c"), col("l.id") === col("c.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("c.cand"), col("l.comp"))).as("comp"),
+          (coalesce(col("c.cand"), col("l.comp")) < col("l.comp")).as("__chg"))
+      // stats-RESETTING checkpoint: the plain localCheckpoint carries
+      // originStats forward, and in a loop the size estimate COMPOUNDS
+      // (×3 bits per round here — by round 12 the driver spends seconds
+      // per round in BigInteger multiplies inside the stats visitor).
+      // The joins above don't need stats: the broadcast decisions are
+      // made with exact driver-known row counts via hint().
+      val merged = org.apache.spark.sql.GraftCheckpoint.localCheckpointStatsReset(mergedPre)
+      labels = merged.select("id", "comp")
+      delta = merged.filter(col("__chg")).select("id", "comp")
+      deltaCount = delta.count()
       i += 1
       if (debug) System.err.println(
-        f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s cert=$cert done=$done")
+        f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s delta=$deltaCount cand=$candCount")
     }
     labels
   }
