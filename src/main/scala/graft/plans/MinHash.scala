@@ -737,6 +737,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "usage: bottomk_md5(stringCol, k) with a literal int k")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("spacesaving"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "spacesaving"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(k: Int, IntegerType)) => SpaceSavingTopK(v, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: spacesaving(stringCol, k) with a literal int k")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("stop_hits3"),
       new ExpressionInfo(classOf[StopHits3].getName, "stop_hits3"),
       (children: Seq[Expression]) => StopHits3(children.head)))
