@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   */
 object OpsQueries {
 
+  /** Plan-time md5 hex (ring vnode positions are literals, not per-row
+    * work); same digest as SQL md5() so the oracle regenerates the ring. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── G202: change-log compaction (last-writer-wins + tombstones) ────
@@ -144,6 +150,51 @@ object OpsQueries {
         .withColumn("r", expr(
           "cast(num as double) / sqrt(cast(denx as double) * cast(deny as double))"))
         .select(col("n"), col("num"), col("denx"), col("deny"), col("r"))
+    }),
+
+    // ── G217: consistent-hash shard map audit (q272) ───────────────────
+    // The layout question every 1000-executor deployment answers before
+    // it moves a byte: hash documents onto a 4-node × 32-vnode md5 ring
+    // (owner = first vnode clockwise of md5(doc_id), wrapping), then add
+    // a 5th node and measure the REMAP — consistent hashing's whole
+    // point is that only ~1/(n+1) of keys move, vs ~n/(n+1) for mod-n.
+    // The ring is 128/160 plan-time md5 constants (a generated frame,
+    // broadcast); assignment is one broadcast join + min-aggregate per
+    // epoch — the corpus never shuffles on the ring, only on doc_id.
+    // Output: per-node doc counts before/after + the moved-doc count,
+    // ORDER BY node; the spec checks the remap fraction against theory.
+    "q272_consistent_hash" -> ((s, dir) => {
+      def ring(nodes: Int): DataFrame = {
+        import s.implicits._
+        (for { n <- 0 until nodes; v <- 0 until 32 }
+          yield (md5Hex(s"node$n:v$v"), n.toLong))
+          .toDF("pos", "node")
+      }
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      def owners(nodes: Int): DataFrame = {
+        val r = ring(nodes)
+        docs.crossJoin(broadcast(r))
+          .groupBy("doc_id", "h")
+          .agg(
+            min(when(col("pos") >= col("h"), struct(col("pos"), col("node")))).as("cw"),
+            min(struct(col("pos"), col("node"))).as("wrap"))
+          .select(col("doc_id"),
+            coalesce(col("cw.node"), col("wrap.node")).as("owner"))
+      }
+      val before = owners(4).withColumnRenamed("owner", "o4")
+      val after = owners(5).withColumnRenamed("owner", "o5")
+      val both = before.join(after, "doc_id")
+      both.groupBy(col("o4").as("node"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("o4") =!= col("o5"), 1L).otherwise(0L)).as("n_moved"))
+        .join(after.groupBy(col("o5").as("node"))
+          .agg(count(lit(1)).as("n_after")), Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"))
+        .orderBy("node")
     })
   )
 
@@ -242,6 +293,32 @@ object OpsQueries {
          |         sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
          |              CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)) AS r
          |FROM m""".stripMargin
-    }
+    },
+
+    "q272_consistent_hash" ->
+      """WITH ring AS (SELECT md5('node' || CAST(n AS VARCHAR) || ':v' || CAST(vv AS VARCHAR)) AS pos,
+        |                     n AS node
+        |              FROM range(0, 5) t(n), range(0, 32) u(vv)),
+        |r4 AS (SELECT * FROM ring WHERE node < 4),
+        |d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |p4 AS (SELECT d.doc_id,
+        |         COALESCE(MIN(CASE WHEN r.pos >= d.h THEN r.pos END), MIN(r.pos)) AS opos
+        |       FROM d CROSS JOIN r4 r GROUP BY d.doc_id, d.h),
+        |w4 AS (SELECT p4.doc_id, r.node AS o4 FROM p4 JOIN r4 r ON r.pos = p4.opos),
+        |p5 AS (SELECT d.doc_id,
+        |         COALESCE(MIN(CASE WHEN r.pos >= d.h THEN r.pos END), MIN(r.pos)) AS opos
+        |       FROM d CROSS JOIN ring r GROUP BY d.doc_id, d.h),
+        |w5 AS (SELECT p5.doc_id, r.node AS o5 FROM p5 JOIN ring r ON r.pos = p5.opos),
+        |b AS (SELECT w4.doc_id, o4, o5 FROM w4 JOIN w5 USING (doc_id)),
+        |bef AS (SELECT o4 AS node, COUNT(*) AS n_before,
+        |          SUM(CASE WHEN o4 != o5 THEN 1 ELSE 0 END) AS n_moved
+        |        FROM b GROUP BY o4),
+        |aft AS (SELECT o5 AS node, COUNT(*) AS n_after FROM b GROUP BY o5)
+        |SELECT COALESCE(bef.node, aft.node) AS node,
+        |       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+        |       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+        |       CAST(COALESCE(n_moved, 0) AS BIGINT) AS n_moved
+        |FROM bef FULL OUTER JOIN aft ON bef.node = aft.node
+        |ORDER BY node""".stripMargin
   )
 }

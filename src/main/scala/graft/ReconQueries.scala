@@ -131,6 +131,40 @@ object ReconQueries {
           max("tot").as("true_total_c"))
         .withColumn("err_e4", expr(
           "abs(ht_total_c - true_total_c) * 10000 div true_total_c"))
+    }),
+
+    // ── G218: Neyman allocation of a sampling budget (q273) ────────────
+    // q125/q145 split budgets EQUALLY or proportionally; the optimal
+    // (variance-minimizing) design allocates n_h ∝ N_h·σ_h. The whole
+    // computation stays engine-exact: N_h·σ_h = sqrt(N_h·Σy² − (Σy)²)
+    // (the population-variance numerator — one sqrt per STRATUM, on a
+    // DECIMAL exactly converted to double, identical IEEE sqrt/floor in
+    // both engines), and the 1000-unit budget lands by floor-division
+    // plus largest-remainder rounding (rank over the ~|months| stratum
+    // rows — pre-aggregated, never corpus grain), so Σ alloc == budget
+    // EXACTLY. One fact-table aggregate; everything after is arithmetic
+    // on the month-level frame.
+    "q273_neyman_allocation" -> ((s, dir) => {
+      val b = 1000L
+      val st = Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("stratum"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("y"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("nh"), sum("y").as("sy"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      val w = st
+        .withColumn("v", expr(
+          "cast(nh as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"))
+        .withColumn("w", expr("cast(floor(sqrt(cast(v as double))) as bigint)"))
+      val based = w.crossJoin(broadcast(w.agg(sum("w").as("tw"))))
+        .withColumn("base", expr(s"$b * w div tw"))
+        .withColumn("rem", expr(s"($b * w) % tw"))
+      based.crossJoin(broadcast(based.agg((lit(b) - sum("base")).as("k"))))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("stratum").asc)).cast(LongType))
+        .withColumn("alloc", col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
+        .select("stratum", "nh", "w", "alloc")
+        .orderBy("stratum")
     })
   )
 
@@ -206,6 +240,27 @@ object ReconQueries {
         |       CAST(MAX(tot) AS BIGINT) AS true_total_c,
         |       CAST(ABS(SUM(w * 1000000 // GREATEST(pi_e6, 1)) - MAX(tot)) * 10000
         |            // MAX(tot) AS BIGINT) AS err_e4
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    "q273_neyman_allocation" ->
+      """WITH s AS (SELECT strftime(o_orderdate, '%Y-%m') AS stratum,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |           FROM orders),
+        |st AS (SELECT stratum, COUNT(*) AS nh, SUM(y) AS sy,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy
+        |       FROM s GROUP BY stratum),
+        |w AS (SELECT *,
+        |        CAST(FLOOR(SQRT(CAST(CAST(nh AS HUGEINT) * syy
+        |          - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS BIGINT) AS w
+        |      FROM st),
+        |t AS (SELECT SUM(w) AS tw FROM w),
+        |b AS (SELECT stratum, nh, w, 1000 * w // tw AS base, (1000 * w) % tw AS rem
+        |      FROM w, t),
+        |k AS (SELECT 1000 - SUM(base) AS k FROM b),
+        |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rnk, k.k
+        |      FROM b, k)
+        |SELECT stratum, CAST(nh AS BIGINT) AS nh, CAST(w AS BIGINT) AS w,
+        |       CAST(base + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY stratum""".stripMargin
   )
 }

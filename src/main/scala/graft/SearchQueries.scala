@@ -141,6 +141,30 @@ object SearchQueries {
         .agg(min("span").cast(LongType).as("best_span"))
         .orderBy(col("best_span").asc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // ── G216: reciprocal-rank fusion of BM25 × Dirichlet LM (q271) ─────
+    // The standard zero-tuning way to combine heterogeneous rankers
+    // (Cormack et al. 2009): fused score = Σ 1/(60 + rank), here the
+    // exact e6 floor 1000000 div (60 + rk), summed over the two landed
+    // top-20 lists (FULL OUTER on doc_id — a doc ranked by only one
+    // retriever still scores; the absent list contributes 0). The two
+    // input rankings rerun the q221/q222 operators unchanged — at scale
+    // a search tier fuses ranker OUTPUTS (k rows each), so the fusion
+    // itself is a k-row join + TakeOrdered, essentially free. Ties
+    // (identical rank pairs ⇒ identical fused score) break on doc_id.
+    "q271_rrf_fusion" -> ((s, dir) => {
+      val a = queries("q221_bm25")(s, dir).select(col("doc_id"), col("rk").as("rk_a"))
+      val b = queries("q222_dirichlet_lm")(s, dir).select(col("doc_id"), col("rk").as("rk_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_e6", expr(
+          "coalesce(1000000 div (60 + rk_a), 0) + coalesce(1000000 div (60 + rk_b), 0)"))
+        .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+        .limit(10)
+        .withColumn("fused_rk", row_number().over(
+          Window.orderBy(col("rrf_e6").desc, col("doc_id").asc)).cast(LongType))
+        .select("fused_rk", "doc_id", "rk_a", "rk_b", "rrf_e6")
+        .orderBy("fused_rk")
     })
   )
 
@@ -148,49 +172,10 @@ object SearchQueries {
 
   def oracleSql: Map[String, String] = Map(
 
-    "q221_bm25" ->
-      s"""WITH x AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM x GROUP BY doc_id),
-         |c AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM x
-         |       WHERE tok IN ('spark','window','merge') GROUP BY doc_id, tok),
-         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-         |sc AS (SELECT tf.doc_id,
-         |         (1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1) AS idf_e6,
-         |         (1000000 * 22 * tf.tf * c.sum_dl)
-         |           // (10*tf.tf*c.sum_dl + 3*c.sum_dl + 9*dl.dl*c.n_docs) AS tfsat_e6
-         |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), c),
-         |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
-         |          SUM(idf_e6 * tfsat_e6 // 1000000) AS score_e6
-         |        FROM sc GROUP BY doc_id)
-         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-         |       CAST(score_e6 AS BIGINT) AS score_e6,
-         |       CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
-         |FROM agg ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "q221_bm25" -> Bm25OracleSql,
 
-    "q222_dirichlet_lm" ->
-      s"""WITH x AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM x GROUP BY doc_id),
-         |c AS (SELECT COUNT(*) AS c_toks FROM x),
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM x
-         |       WHERE tok IN ('spark','window','merge') GROUP BY doc_id, tok),
-         |ctf AS (SELECT tok, COUNT(*) AS ctf FROM x
-         |        WHERE tok IN ('spark','window','merge') GROUP BY tok),
-         |f AS (SELECT dl.doc_id, ctf.tok,
-         |        (1000000 * (COALESCE(tf.tf, 0) * c.c_toks + 50 * ctf.ctf))
-         |          // ((dl.dl + 50) * c.c_toks) AS f_e6
-         |      FROM dl CROSS JOIN ctf CROSS JOIN c
-         |      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = ctf.tok),
-         |p AS (SELECT doc_id,
-         |        MAX(CASE WHEN tok = 'spark'  THEN f_e6 END) AS f1,
-         |        MAX(CASE WHEN tok = 'window' THEN f_e6 END) AS f2,
-         |        MAX(CASE WHEN tok = 'merge'  THEN f_e6 END) AS f3
-         |      FROM f GROUP BY doc_id)
-         |SELECT doc_id,
-         |       CAST(CAST(f1 AS HUGEINT) * f2 * f3 AS DECIMAL(38,0)) AS score_e18,
-         |       CAST(ROW_NUMBER() OVER (
-         |         ORDER BY CAST(f1 AS HUGEINT) * f2 * f3 DESC, doc_id) AS BIGINT) AS rk
-         |FROM p ORDER BY CAST(f1 AS HUGEINT) * f2 * f3 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q222_dirichlet_lm" -> DirichletOracleSql,
 
     "q223_min_window" ->
       s"""WITH x AS (SELECT doc_id, UNNEST($toks) AS tok,
@@ -209,6 +194,64 @@ object SearchQueries {
          |       FROM carry WHERE la IS NOT NULL AND lb IS NOT NULL AND lc IS NOT NULL)
          |SELECT doc_id, CAST(MIN(span) AS BIGINT) AS best_span
          |FROM sp GROUP BY doc_id
-         |ORDER BY best_span, doc_id LIMIT 20""".stripMargin
+         |ORDER BY best_span, doc_id LIMIT 20""".stripMargin,
+
+    "q271_rrf_fusion" ->
+      s"""WITH a AS (SELECT doc_id, rk AS rk_a FROM ($Bm25OracleSql)),
+         |b AS (SELECT doc_id, rk AS rk_b FROM ($DirichletOracleSql)),
+         |f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, rk_a, rk_b,
+         |        COALESCE(1000000 // (60 + rk_a), 0)
+         |          + COALESCE(1000000 // (60 + rk_b), 0) AS rrf_e6
+         |      FROM a FULL OUTER JOIN b USING (doc_id))
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+         |         AS fused_rk,
+         |       doc_id, rk_a, rk_b, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+         |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** Shared ranker oracles: bound once so q271's fusion oracle can embed
+    * the exact q221/q222 definitions without re-entrant map construction. */
+  private lazy val Bm25OracleSql: String =
+        s"""WITH x AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM x GROUP BY doc_id),
+           |c AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM x
+           |       WHERE tok IN ('spark','window','merge') GROUP BY doc_id, tok),
+           |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+           |sc AS (SELECT tf.doc_id,
+           |         (1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1) AS idf_e6,
+           |         (1000000 * 22 * tf.tf * c.sum_dl)
+           |           // (10*tf.tf*c.sum_dl + 3*c.sum_dl + 9*dl.dl*c.n_docs) AS tfsat_e6
+           |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), c),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+           |          SUM(idf_e6 * tfsat_e6 // 1000000) AS score_e6
+           |        FROM sc GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           |       CAST(score_e6 AS BIGINT) AS score_e6,
+           |       CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+           |FROM agg ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
+  private lazy val DirichletOracleSql: String =
+        s"""WITH x AS (SELECT doc_id, UNNEST($toks) AS tok FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM x GROUP BY doc_id),
+           |c AS (SELECT COUNT(*) AS c_toks FROM x),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM x
+           |       WHERE tok IN ('spark','window','merge') GROUP BY doc_id, tok),
+           |ctf AS (SELECT tok, COUNT(*) AS ctf FROM x
+           |        WHERE tok IN ('spark','window','merge') GROUP BY tok),
+           |f AS (SELECT dl.doc_id, ctf.tok,
+           |        (1000000 * (COALESCE(tf.tf, 0) * c.c_toks + 50 * ctf.ctf))
+           |          // ((dl.dl + 50) * c.c_toks) AS f_e6
+           |      FROM dl CROSS JOIN ctf CROSS JOIN c
+           |      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = ctf.tok),
+           |p AS (SELECT doc_id,
+           |        MAX(CASE WHEN tok = 'spark'  THEN f_e6 END) AS f1,
+           |        MAX(CASE WHEN tok = 'window' THEN f_e6 END) AS f2,
+           |        MAX(CASE WHEN tok = 'merge'  THEN f_e6 END) AS f3
+           |      FROM f GROUP BY doc_id)
+           |SELECT doc_id,
+           |       CAST(CAST(f1 AS HUGEINT) * f2 * f3 AS DECIMAL(38,0)) AS score_e18,
+           |       CAST(ROW_NUMBER() OVER (
+           |         ORDER BY CAST(f1 AS HUGEINT) * f2 * f3 DESC, doc_id) AS BIGINT) AS rk
+           |FROM p ORDER BY CAST(f1 AS HUGEINT) * f2 * f3 DESC, doc_id LIMIT 20""".stripMargin
 }

@@ -223,6 +223,35 @@ object VectorQueries {
         .withColumn("new_c6", expr("sum_v6 div n_members"))
         .select("cid", "i", "n_members", "sum_v6", "new_c6")
         .orderBy("cid", "i")
+    }),
+
+    // ── G219: per-dimension embedding moments (q274) ───────────────────
+    // The whitening/quantization front door: exact mean and population
+    // variance per embedding DIMENSION, in scaled integers (coordinates
+    // reduce to e6 ints at the scan; moments are BIGINT/DECIMAL(38,0)
+    // sums, so the answer is engine-independent — no float accumulation
+    // order anywhere). Complements q117 (which calibrates int8 ranges
+    // from min/max) and q178 (the full Gram matrix): this is the
+    // diagonal, at 1/d the cost. Plan: ONE posexplode scan → d-key
+    // aggregate with map-side combine; output is d rows. Mean uses the
+    // house sign-explicit floor (coordinate sums can be negative —
+    // Spark div truncates toward zero, DuckDB // floors); the variance
+    // numerator is ≥ 0 by Cauchy-Schwarz, so plain floor-div is exact.
+    "q274_dim_moments" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(posexplode(asDouble(col("embedding"))).as(Seq("p", "e")))
+        .select((col("p") + 1).cast("long").as("i"),
+          round(col("e") * 1000000).cast("long").as("v6"))
+      x.groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("v6").as("s6"),
+          sum(expr("cast(v6 as decimal(38,0)) * v6")).as("ss12"))
+        .withColumn("mean_e6", expr(
+          "case when s6 >= 0 then s6 div n else -((-s6) div n) end"))
+        .withColumn("var_e12", expr(
+          "cast((cast(n as decimal(38,0)) * ss12 - cast(s6 as decimal(38,0)) * s6)" +
+            " div (cast(n as decimal(38,0)) * n) as bigint)"))
+        .select("i", "n", "s6", "mean_e6", "var_e12")
+        .orderBy("i")
     })
   )
 
@@ -334,7 +363,21 @@ object VectorQueries {
            |SELECT cid, i, CAST(n_members AS BIGINT) AS n_members,
            |       CAST(sum_v6 AS BIGINT) AS sum_v6,
            |       CAST(sum_v6 // n_members AS BIGINT) AS new_c6
-           |FROM u ORDER BY cid, i""".stripMargin
+           |FROM u ORDER BY cid, i""".stripMargin,
+
+      "q274_dim_moments" ->
+        """WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+          |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v6
+          |           FROM embeddings),
+          |m AS (SELECT i, COUNT(*) AS n, SUM(v6) AS s6,
+          |        SUM(CAST(v6 AS HUGEINT) * v6) AS ss12
+          |      FROM x GROUP BY i)
+          |SELECT i, CAST(n AS BIGINT) AS n, CAST(s6 AS BIGINT) AS s6,
+          |       CAST(CASE WHEN s6 >= 0 THEN s6 // n
+          |                 ELSE -((-s6) // n) END AS BIGINT) AS mean_e6,
+          |       CAST((CAST(n AS HUGEINT) * ss12 - CAST(s6 AS HUGEINT) * s6)
+          |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
+          |FROM m ORDER BY i""".stripMargin
     )
   }
 }

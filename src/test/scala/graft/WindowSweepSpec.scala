@@ -39,7 +39,8 @@ class WindowSweepSpec extends AnyFunSuite {
     "q238_bootstrap_ci" -> "100 resample means (fixed resample count)",
     "q211_range_layout" -> "per-file min/max metadata frame (|files| rows)",
     "q213_linear_interpolate" -> "dense daily spine (calendar-span-bounded)",
-    "q185_skyline" -> "global staircase over per-partition skyline frontiers only (skyline merge identity prunes the corpus in a partition-LOCAL pass first)")
+    "q185_skyline" -> "global staircase over per-partition skyline frontiers only (skyline merge identity prunes the corpus in a partition-LOCAL pass first)",
+    "q273_neyman_allocation" -> "largest-remainder rank over the per-month stratum table (|months| rows, pre-aggregated)")
 
   test("no query plan runs an unpartitioned Window over unbounded input") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
