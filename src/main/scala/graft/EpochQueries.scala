@@ -69,18 +69,27 @@ object EpochQueries {
     // DuckDB mirror. Corpus cost: two token scans (quality+rank, and
     // the 5-gram explode), both map-combined.
     "q300_epoch_build" -> ((s, dir) => {
+      // one scan computes everything derived from text (fingerprint,
+      // counts) so TEXT NEVER CROSSES A SHUFFLE — every later stage
+      // moves (doc_id, fp, n_toks) triples only
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("fp"),
           expr("size(toks)").cast(LongType).as("n_toks"),
           expr("size(array_distinct(toks))").cast(LongType).as("n_types"))
       // (1) quality gate
       val q = d.filter(col("n_toks") >= 20 && col("n_types") * 4 >= col("n_toks"))
       // (2) exact dedup: canonical = min doc_id per fingerprint
-      val canon = q.withColumn("fp", md5(col("text")))
-        .groupBy("fp").agg(min("doc_id").as("doc_id"))
-        .join(q, Seq("doc_id"))
-      // (3) decontamination vs the hash-picked eval set
+      val canonIds = q.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      // (3) decontamination vs the hash-picked eval set. Computed over
+      // the RAW corpus (not the deduped survivors): membership for a
+      // canon doc is identical either way, and scanning documents again
+      // beats dragging text through the dedup join. Corpus-side grams
+      // are not de-duplicated — the check is a broadcast semi-join
+      // (eval grams are tiny), so duplicate g5 rows cost nothing, while
+      // a distinct() would shuffle the whole corpus gram set to shrink
+      // a broadcast input.
       val evalSet = Tables.documents(s, dir)
         .orderBy(md5(concat(lit("eval"), col("doc_id").cast("string"))), col("doc_id"))
         .limit(20).select(col("doc_id").as("eval_id"))
@@ -89,15 +98,15 @@ object EpochQueries {
         .filter(expr("size(t) >= 5"))
         .select(col(idCol), explode(expr(
           "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))")).as("g5"))
-        .distinct()
       val evalGrams = grams5(
         Tables.documents(s, dir).join(broadcast(evalSet),
           col("doc_id") === col("eval_id")), "eval_id")
         .select("g5").distinct()
-      val contaminated = grams5(canon.select("doc_id", "text"), "doc_id")
+      val contaminated = grams5(Tables.documents(s, dir), "doc_id")
         .join(broadcast(evalGrams), Seq("g5"), "left_semi")
         .select("doc_id").distinct()
-      val clean = canon
+      val clean = q
+        .join(canonIds.select("doc_id"), Seq("doc_id"), "left_semi")
         .join(broadcast(evalSet), col("doc_id") === col("eval_id"), "left_anti")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_toks")
@@ -167,7 +176,7 @@ object EpochQueries {
          |cont AS (SELECT DISTINCT doc_id FROM (
          |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
          |             i -> array_to_string(t[i:i+4], ' '))) AS g5
-         |    FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM canon)
+         |    FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
          |    WHERE len(t) >= 5) x
          |  WHERE g5 IN (SELECT g5 FROM evg)),
          |clean AS (SELECT doc_id, n_toks FROM canon
