@@ -398,15 +398,35 @@ object IndexQueries {
         .select(col("doc_id"), expr("simhash16(toks)").as("sh"),
           expr("size(array_distinct(toks))").cast(LongType).as("n"))
         .withColumn("lb", expr("cast(floor(ln(greatest(n, 1)) / ln(1.06)) as bigint)"))
+      // Half-space neighbor fan: the naive form explodes all 3×3 = 9
+      // (Δb, Δlb) variants. Swapping a pair's orientation negates both
+      // deltas at once, so a variant set V covers every neighbor offset
+      // iff d ∈ V or −d ∈ V for all d ∈ {−1,0,1}² — the 5-element
+      // half-space {(0,0),(0,1),(1,0),(1,1),(1,−1)} is minimal (1.8×
+      // less candidate-join input, bit-identical pair set). CRITICAL:
+      // this only holds if BOTH orientations are attempted — the join
+      // must keep doc_id ≠ doc_b and normalize the pair with
+      // least/greatest afterward. An id-order filter (doc_id < doc_b)
+      // before the join would pin the orientation by id, not by delta
+      // sign, silently dropping any true pair whose id-ascending delta
+      // lands in −V \ V (e.g. (−1,0)); the sf0.01 data happens not to
+      // contain such a pair, so only the algebra — not the hash check —
+      // catches it.
       val left = sh.withColumn("b", expr("sh div 256"))
       val right = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
           col("n").as("n_b"), col("lb").as("lb0"))
-        .withColumn("b", explode(expr("array(sh_b div 256 - 1, sh_b div 256, sh_b div 256 + 1)")))
-        .withColumn("lb", explode(expr("array(lb0 - 1, lb0, lb0 + 1)")))
+        .withColumn("d", explode(expr(
+          """array(named_struct('db', 0, 'dl', 0), named_struct('db', 0, 'dl', 1),
+            |      named_struct('db', 1, 'dl', 0), named_struct('db', 1, 'dl', 1),
+            |      named_struct('db', 1, 'dl', -1))""".stripMargin)))
+        .withColumn("b", expr("sh_b div 256 + d.db"))
+        .withColumn("lb", expr("lb0 + d.dl"))
+        .drop("d")
       val cand = left.join(right, Seq("b", "lb"))
-        .filter(col("doc_id") < col("doc_b") && abs(col("sh") - col("sh_b")) <= 256 &&
+        .filter(col("doc_id") =!= col("doc_b") && abs(col("sh") - col("sh_b")) <= 256 &&
           least(col("n"), col("n_b")) * 100 >= greatest(col("n"), col("n_b")) * 95)
-        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+        .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_b")).as("doc_b")).distinct()
       val docToks = Tables.documents(s, dir).select(col("doc_id"),
         array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
       cand
