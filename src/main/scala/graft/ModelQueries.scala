@@ -107,8 +107,11 @@ object ModelQueries {
     // resamples where day d's weight in resample r is md5(d,r) mod 3
     // (mean-1 integer weights — a deterministic Poissonized bootstrap,
     // documented as such). Each resample mean is an exact cents
-    // rational; the 95% interval is order statistics 3 and 98 of the
-    // 100 sorted means. Plan: |days| daily cells × 100 broadcast
+    // rational; the 95% interval is the nearest-rank order statistics
+    // DERIVED from the surviving resample count n_rs (ceil(n·0.025)
+    // and its mirror — ranks 3 and 98 when all 100 survive, but still
+    // the right percentiles if an all-zero-weight resample is dropped
+    // by the HAVING). Plan: |days| daily cells × 100 broadcast
     // resample ids — the fan-out touches the CELL table (≤ days·100
     // rows), never the corpus, which is scanned once; this is exactly
     // how bag-of-little-bootstraps scales to 100 TB.
@@ -129,7 +132,9 @@ object ModelQueries {
         .withColumn("n_rs", count(lit(1)).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       val point = daily.agg(expr("sum(v_c) div count(1)").as("point_c"))
-      ranked.filter(col("rk") === 3 || col("rk") === 98)
+      ranked
+        .withColumn("rk_lo", expr("greatest(1L, (n_rs * 25 + 999) div 1000)"))
+        .filter(col("rk") === col("rk_lo") || col("rk") === expr("n_rs - rk_lo + 1"))
         .groupBy("n_rs")
         .agg(min("mean_c").as("ci_lo_c"), max("mean_c").as("ci_hi_c"))
         .crossJoin(point)
@@ -240,7 +245,9 @@ object ModelQueries {
         |       CAST(MIN(mean_c) AS BIGINT) AS ci_lo_c,
         |       CAST(MAX(mean_c) AS BIGINT) AS ci_hi_c,
         |       CAST(n_rs AS BIGINT) AS n_rs
-        |FROM ranked, pt WHERE rk IN (3, 98)
+        |FROM ranked, pt
+        |WHERE rk = GREATEST(1, (n_rs * 25 + 999) // 1000)
+        |   OR rk = n_rs - GREATEST(1, (n_rs * 25 + 999) // 1000) + 1
         |GROUP BY n_rs, pt.point_c""".stripMargin,
 
     "q239_dispersion" ->
