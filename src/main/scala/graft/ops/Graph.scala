@@ -53,7 +53,7 @@ object Graph {
                           maxIter: Int = 30): DataFrame = {
     require(vertices.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"connectedComponents needs a numeric id column, got ${vertices.schema(idCol).dataType}")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"))
@@ -62,6 +62,7 @@ object Graph {
     // round-1 frontier: every vertex (its "change" is taking its own id)
     var delta = labels
     var deltaCount = delta.count()
+    var vertCount = deltaCount // exact driver-known |labels| (shrinks at contraction)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     // Checkpointed (RDD-backed) frames report DEFAULT size stats, so
     // Catalyst would sort-merge-join every round even when the frontier
@@ -74,8 +75,49 @@ object Graph {
     val bcastMaxRows = sys.env.getOrElse("GRAFT_CC_BCAST_ROWS", "4000000").toLong
     def hint(df: DataFrame, n: Long): DataFrame =
       if (n <= bcastMaxRows) broadcast(df) else df
+    // Iterated QUOTIENT CONTRACTION (public CC-by-contraction, e.g.
+    // Kiveris et al.'s star-contraction family): after a few
+    // propagation rounds most vertices point at a far-away label, so
+    // the quotient graph on the CURRENT LABELS — edges (L(u), L(v)),
+    // self-loops dropped — is both much smaller and much shallower
+    // than the original. Components of the quotient are exactly the
+    // images of the original components (each label block lives inside
+    // one component, so quotienting is component-preserving), and each
+    // component's global min id m survives as a quotient vertex
+    // (comp(m) = m always). Running the SAME delta loop on the
+    // quotient and composing the label maps at the end therefore
+    // yields the identical (id, min-reachable-id) labeling — but the
+    // long tail of rounds (which previously each paid the full-|E|
+    // push scan AND the fixed per-round scheduling floor, the r9 scale
+    // probe's q64 cost) now runs on the contracted graph. Snapshots
+    // stack: contraction at rounds 3 and 8 covers chains hundreds deep.
+    // First contraction is unconditional (round 3); later ones only fire
+    // while the frontier is still >1k rows — a near-converged loop gains
+    // nothing from paying the quotient rebuild plus its full round 1.
+    val contractAt = Set(3, 8)
+    var snapshots: List[(DataFrame, Long)] = Nil // (id→label map, |labels| rows)
     var i = 0
     while (i < maxIter && deltaCount > 0) {
+      if (contractAt.contains(i) && (i == 3 || deltaCount > 1000)) {
+        val snap = labels // original(-quotient) ids → current labels
+        val lblVerts = labels.select(col("comp").as("id")).distinct()
+          .localCheckpoint(true)
+        val nVerts = lblVerts.count()
+        snapshots ::= (snap, nVerts)
+        val m = labels // quotient endpoint rewrite map (vertCount rows)
+        e = e.as("e")
+          .join(hint(m, vertCount).as("ms"), col("e.src") === col("ms.id"))
+          .join(hint(m, vertCount).as("md"), col("e.dst") === col("md.id"))
+          .select(col("ms.comp").as("src"), col("md.comp").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        labels = lblVerts.withColumn("comp", col("id"))
+        delta = labels
+        deltaCount = nVerts
+        vertCount = nVerts
+        if (debug) System.err.println(s"[cc] contracted at round $i -> $nVerts vertices")
+      }
       val t0 = System.nanoTime()
       val d = hint(delta, deltaCount)
       // candidates from the frontier only: one-hop push + pull jump.
@@ -117,6 +159,14 @@ object Graph {
       if (debug) System.err.println(
         f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s delta=$deltaCount cand=$candCount")
     }
-    labels
+    // Expansion: compose the contraction maps back out, latest quotient
+    // first — comp(v) = comp_final(L_k(…L_1(v)…)). Each fold joins a
+    // snapshot map against the (strictly smaller) resolved quotient
+    // labeling; the quotient side's row count is driver-known, so the
+    // broadcast decision is exact, never a stats guess.
+    snapshots.foldLeft(labels) { case (acc, (snap, nAcc)) =>
+      snap.as("s").join(hint(acc, nAcc).as("a"), col("s.comp") === col("a.id"))
+        .select(col("s.id").as("id"), col("a.comp").as("comp"))
+    }
   }
 }
