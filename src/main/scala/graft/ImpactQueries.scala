@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Impact-and-evaluation subsystem (round 10, fifty-first wave):
+  * leave-last-out recommender evaluation, corruption blast-radius
+  * provenance, the customer segment-migration matrix, and a held-out
+  * imputation bake-off.
+  *
+  * Reference intent: the reference serves predictions but never
+  * evaluates a ranking, never traces a bad input to the reports it
+  * poisoned, and imputes nothing. These four close that operational
+  * loop: q377 is the offline eval every recommender ships with
+  * (hold out each user's LAST purchase, recommend from a train-only
+  * co-purchase matrix, measure hit@5/MRR — leakage-free by
+  * construction); q378 is the incident question ("partition X was
+  * corrupt — which report cells are poisoned?") answered by
+  * provenance joins; q379 is the segment-migration census a CRM
+  * reads (who moved VIP→lapsed?); q380 measures imputation the only
+  * honest way — mask values you DO have, impute, compare.
+  */
+object ImpactQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G322: leave-last-out recommender evaluation (hit@5, MRR) ───────
+    // Train = every (customer, part) purchase except each customer's
+    // LAST (by order date, orderkey tiebreak); score candidates by
+    // summed co-purchase counts with the user's train parts (co-matrix
+    // from train baskets only — no leakage); rank top-5 deterministic
+    // (score desc, part asc), hit@5 + MRR_e4 (rank > 5 → 0). Eligible
+    // users: ≥ 2 distinct purchase events. Co-matrix work is bounded
+    // by basket sizes (q198's shape), per-user scoring by the user's
+    // own history — never corpus².
+    "q377_rec_eval" -> ((s, dir) => {
+      val cp = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("d")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+          col("d"), col("o_orderkey").as("ok"))
+        .groupBy("c", "p").agg(min(struct(col("d"), col("ok"))).as("first_buy"))
+        .select(col("c"), col("p"), col("first_buy.d").as("d"), col("first_buy.ok").as("ok"))
+      val ranked = cp.withColumn("rk", row_number().over(
+          Window.partitionBy("c").orderBy(col("d").desc, col("ok").desc, col("p").desc)))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("c")))
+        .filter(col("np") >= 2)
+      val test = ranked.filter(col("rk") === 1).select(col("c"), col("p").as("p_test"))
+      val train = ranked.filter(col("rk") > 1).select("c", "p")
+      // co-purchase matrix from TRAIN baskets only (symmetric)
+      val co0 = train.as("x").join(train.as("y"),
+          col("x.c") === col("y.c") && col("x.p") =!= col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("w"))
+      val scores = train.join(co0, col("p") === col("pa"))
+        .groupBy(col("c").as("sc"), col("pb").as("cand"))
+        .agg(sum("w").as("score"))
+      // drop candidates the user already owns (train parts)
+      val fresh = scores.join(train.select(col("c").as("tc"), col("p").as("tp")),
+          col("sc") === col("tc") && col("cand") === col("tp"), "left_anti")
+      val top = fresh.withColumn("rrk", row_number().over(
+          Window.partitionBy("sc").orderBy(col("score").desc, col("cand").asc)))
+        .filter(col("rrk") <= 5)
+      val hits = test.join(top, col("c") === col("sc") && col("p_test") === col("cand"), "left")
+        .select(col("c"), coalesce(col("rrk"), lit(0L)).as("hit_rank"))
+      hits.agg(count(lit(1)).as("n_users"),
+          sum(when(col("hit_rank") > 0, 1L).otherwise(0L)).as("n_hits"),
+          sum(when(col("hit_rank") > 0, expr("10000 div hit_rank")).otherwise(0L)).as("rr_sum_e4"))
+        .withColumn("hit_rate_e4", expr("n_hits * 10000 div n_users"))
+        .withColumn("mrr_e4", expr("rr_sum_e4 div n_users"))
+    }),
+
+    // ── G323: corruption blast-radius (provenance to report cells) ─────
+    // Incident: orders with md5(key) % 97 = 0 arrived corrupt. Which
+    // (nation, month) revenue cells are poisoned, and how much of each
+    // nation's reported revenue is touched? Pure provenance joins —
+    // the corrupt set propagates through the exact lineage the report
+    // uses, cell-grain everywhere after one corpus pass. The ledger a
+    // backfill decision is made from.
+    "q378_blast_radius" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("v_c"),
+          expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 6), 16, 10) as bigint) % 97 = 0")
+            .as("corrupt"))
+      val cells = o.groupBy("nat", "month")
+        .agg(sum("v_c").as("rev_c"),
+          sum(when(col("corrupt"), col("v_c")).otherwise(0L)).as("bad_c"),
+          max(when(col("corrupt"), 1L).otherwise(0L)).as("touched"))
+      cells.groupBy(col("nat").cast(LongType).as("nat"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum("touched").as("n_affected"),
+          sum("rev_c").as("rev_c"),
+          sum("bad_c").as("bad_c"))
+        .withColumn("affected_share_e4", expr("n_affected * 10000 div n_cells"))
+        .withColumn("rev_touched_e4", expr("bad_c * 10000 div rev_c"))
+        .orderBy("nat")
+    }),
+
+    // ── G324: customer segment-migration matrix ────────────────────────
+    // Two data-anchored halves (H2 = last 365 days, H1 = everything
+    // before); per half, a deterministic segment: vip = spend above the
+    // half's median AND ≥ 2 orders, else regular; absent halves map to
+    // 'new' (no H1) / 'lapsed' (no H2). The migration census H1 → H2
+    // with exact counts and shares — the CRM table retention teams act
+    // on. Medians via distributedNtile(2) bucket max (never a global
+    // window); one customer-grain pass per half.
+    "q379_segment_migration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("c"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("v_c"),
+        col("o_orderkey").as("k"))
+      val cut = o.agg(expr("date_sub(max(d), 365)").as("cut"))
+      val base = o.crossJoin(broadcast(cut))
+        .withColumn("half", when(col("d") >= col("cut"), "h2").otherwise("h1"))
+      def seg(half: String): DataFrame = {
+        val cust = base.filter(col("half") === half)
+          .groupBy("c").agg(sum("v_c").as("spend"), count(lit(1)).as("n_ord"))
+        val n = cust.agg(count(lit(1)).as("n_total"))
+        val med = graft.ops.Relational
+          .distributedNtile(cust, Seq(col("spend"), col("c")), 2, n, "bk")
+          .filter(col("bk") === 1).agg(max("spend").as("med"))
+        cust.crossJoin(broadcast(med))
+          .withColumn("seg", when(col("spend") > col("med") && col("n_ord") >= 2, "vip")
+            .otherwise("regular"))
+          .select(col("c"), col("seg"))
+      }
+      val s1 = seg("h1").withColumnRenamed("seg", "seg1")
+      val s2 = seg("h2").withColumnRenamed("seg", "seg2")
+      val all = s1.join(s2, Seq("c"), "full_outer")
+        .select(coalesce(col("seg1"), lit("new")).as("from_seg"),
+          coalesce(col("seg2"), lit("lapsed")).as("to_seg"))
+      val tot = all.count()
+      all.groupBy("from_seg", "to_seg")
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("share_e4", expr(s"n_customers * 10000 div $tot"))
+        .orderBy("from_seg", "to_seg")
+    }),
+
+    // ── G325: held-out imputation bake-off (linear vs weekday-mean) ────
+    // Mask ~5% of OBSERVED days (md5 of the day number), impute each
+    // masked day two ways — linear interpolation between the nearest
+    // unmasked neighbors within ±30 days (q213's estimator under a
+    // mask) and the weekday mean of unmasked days — and score both
+    // against the held-back truth. The only honest imputation metric:
+    // error measured where truth exists. Day-grain band joins, one
+    // verdict row.
+    "q380_imputation_bakeoff" -> ((s, dir) => {
+      val raw = Tables.orders(s, dir)
+        .groupBy(expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      val d = raw.withColumn("masked", expr(
+        "cast(conv(substring(md5(cast(dn as string)), 1, 5), 16, 10) as bigint) % 20 = 0"))
+      val unm = d.filter(!col("masked")).select(col("dn").as("un"), col("y").as("uy"))
+      val masked = d.filter(col("masked"))
+      // nearest unmasked neighbor on each side within 30 days
+      val prev = masked.as("m").join(unm, expr("un between m.dn - 30 and m.dn - 1"))
+        .groupBy(col("m.dn").as("dn"))
+        .agg(max(struct(col("un"), col("uy"))).as("pb"))
+        .select(col("dn"), col("pb.un").as("d1"), col("pb.uy").as("y1"))
+      val nxt = masked.as("m").join(unm, expr("un between m.dn + 1 and m.dn + 30"))
+        .groupBy(col("m.dn").as("dn"))
+        .agg(min(struct(col("un"), col("uy"))).as("nb"))
+        .select(col("dn"), col("nb.un").as("d2"), col("nb.uy").as("y2"))
+      val wd = unm.groupBy(expr("((un % 7) + 7) % 7").as("dow"))
+        .agg(expr("sum(uy) div count(1)").as("wmean"))
+      val scored = masked.join(prev, Seq("dn")).join(nxt, Seq("dn"))
+        .withColumn("dow", expr("((dn % 7) + 7) % 7"))
+        .join(broadcast(wd), Seq("dow"))
+        .withColumn("f_lin", expr("y1 + (y2 - y1) * (dn - d1) div (d2 - d1)"))
+        .withColumn("f_wd", col("wmean"))
+      scored.agg(count(lit(1)).as("n_masked"),
+          expr("sum(abs(y - f_lin)) div count(1)").as("mae_linear"),
+          expr("sum(abs(y - f_wd)) div count(1)").as("mae_weekday"))
+        .withColumn("winner", when(col("mae_linear") <= col("mae_weekday"), "linear")
+          .otherwise("weekday_mean"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q377_rec_eval" ->
+      """WITH fb AS (SELECT c, p, MIN(ROW(d, ok)) AS fb FROM
+        |              (SELECT o_custkey AS c, l_partkey AS p,
+        |                 CAST(o_orderdate AS DATE) AS d, o_orderkey AS ok
+        |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey) y
+        |            GROUP BY c, p),
+        |cp AS (SELECT c, p, fb[1] AS d, fb[2] AS ok FROM fb),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY d DESC, ok DESC, p DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY c) AS np
+        |       FROM cp),
+        |el AS (SELECT * FROM rk WHERE np >= 2),
+        |test AS (SELECT c, p AS p_test FROM el WHERE rk = 1),
+        |train AS (SELECT c, p FROM el WHERE rk > 1),
+        |co AS (SELECT x.p AS pa, y.p AS pb, COUNT(*) AS w
+        |       FROM train x JOIN train y ON x.c = y.c AND x.p != y.p
+        |       GROUP BY x.p, y.p),
+        |scores AS (SELECT train.c AS sc, co.pb AS cand, SUM(w) AS score
+        |           FROM train JOIN co ON train.p = co.pa
+        |           GROUP BY train.c, co.pb),
+        |fresh AS (SELECT * FROM scores WHERE NOT EXISTS
+        |            (SELECT 1 FROM train t WHERE t.c = scores.sc AND t.p = scores.cand)),
+        |top AS (SELECT * FROM
+        |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc ORDER BY score DESC, cand) AS rrk
+        |           FROM fresh) z WHERE rrk <= 5),
+        |hits AS (SELECT test.c, COALESCE(top.rrk, 0) AS hit_rank
+        |         FROM test LEFT JOIN top ON test.c = top.sc AND test.p_test = top.cand)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 10000 // hit_rank ELSE 0 END) AS BIGINT) AS rr_sum_e4,
+        |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS hit_rate_e4,
+        |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 10000 // hit_rank ELSE 0 END) // COUNT(*) AS BIGINT) AS mrr_e4
+        |FROM hits""".stripMargin,
+
+    "q378_blast_radius" ->
+      """WITH o AS (SELECT c_nationkey AS nat,
+        |             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS v_c,
+        |             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT)
+        |               % 97 = 0 AS corrupt
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT nat, month, SUM(v_c) AS rev_c,
+        |            SUM(CASE WHEN corrupt THEN v_c ELSE 0 END) AS bad_c,
+        |            MAX(CASE WHEN corrupt THEN 1 ELSE 0 END) AS touched
+        |          FROM o GROUP BY 1, 2)
+        |SELECT CAST(nat AS BIGINT) AS nat,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST(SUM(touched) AS BIGINT) AS n_affected,
+        |       CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |       CAST(SUM(bad_c) AS BIGINT) AS bad_c,
+        |       CAST(SUM(touched) * 10000 // COUNT(*) AS BIGINT) AS affected_share_e4,
+        |       CAST(SUM(bad_c) * 10000 // SUM(rev_c) AS BIGINT) AS rev_touched_e4
+        |FROM cells GROUP BY nat ORDER BY nat""".stripMargin,
+
+    "q379_segment_migration" ->
+      """WITH o AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS v_c
+        |           FROM orders),
+        |cut AS (SELECT MAX(d) - 365 AS cut FROM o),
+        |base AS (SELECT c, v_c, CASE WHEN d >= cut THEN 'h2' ELSE 'h1' END AS half
+        |         FROM o, cut),
+        |cust AS (SELECT half, c, SUM(v_c) AS spend, COUNT(*) AS n_ord
+        |         FROM base GROUP BY 1, 2),
+        |med AS (SELECT half, MAX(spend) AS med FROM
+        |          (SELECT *, ntile(2) OVER (PARTITION BY half ORDER BY spend, c) AS bk
+        |           FROM cust) z
+        |        WHERE bk = 1 GROUP BY half),
+        |segs AS (SELECT cust.half, c,
+        |           CASE WHEN spend > med AND n_ord >= 2 THEN 'vip' ELSE 'regular' END AS seg
+        |         FROM cust JOIN med ON cust.half = med.half),
+        |s1 AS (SELECT c, seg AS seg1 FROM segs WHERE half = 'h1'),
+        |s2 AS (SELECT c, seg AS seg2 FROM segs WHERE half = 'h2'),
+        |allc AS (SELECT COALESCE(seg1, 'new') AS from_seg,
+        |           COALESCE(seg2, 'lapsed') AS to_seg
+        |         FROM s1 FULL JOIN s2 USING (c)),
+        |tot AS (SELECT COUNT(*) AS t FROM allc)
+        |SELECT from_seg, to_seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(COUNT(*) * 10000 // MAX(t) AS BIGINT) AS share_e4
+        |FROM allc, tot GROUP BY from_seg, to_seg ORDER BY from_seg, to_seg""".stripMargin,
+
+    "q380_imputation_bakeoff" ->
+      """WITH raw AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn,
+        |              SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        |            FROM orders GROUP BY 1),
+        |d AS (SELECT *, CAST('0x' || substr(md5(CAST(dn AS VARCHAR)), 1, 5) AS BIGINT)
+        |        % 20 = 0 AS masked FROM raw),
+        |unm AS (SELECT dn AS un, y AS uy FROM d WHERE NOT masked),
+        |mk AS (SELECT dn, y FROM d WHERE masked),
+        |prev AS (SELECT mk.dn, MAX(ROW(un, uy)) AS pb FROM mk
+        |         JOIN unm ON un BETWEEN mk.dn - 30 AND mk.dn - 1 GROUP BY mk.dn),
+        |nxt AS (SELECT mk.dn, MIN(ROW(un, uy)) AS nb FROM mk
+        |        JOIN unm ON un BETWEEN mk.dn + 1 AND mk.dn + 30 GROUP BY mk.dn),
+        |wd AS (SELECT ((un % 7) + 7) % 7 AS dow, SUM(uy) // COUNT(*) AS wmean
+        |       FROM unm GROUP BY 1),
+        |scored AS (SELECT mk.dn, mk.y,
+        |             pb[1] AS d1, pb[2] AS y1, nb[1] AS d2, nb[2] AS y2,
+        |             wmean
+        |           FROM mk JOIN prev ON mk.dn = prev.dn JOIN nxt ON mk.dn = nxt.dn
+        |             JOIN wd ON ((mk.dn % 7) + 7) % 7 = wd.dow)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_masked,
+        |       CAST(SUM(ABS(y - (y1 + (y2 - y1) * (dn - d1) // (d2 - d1)))) // COUNT(*) AS BIGINT) AS mae_linear,
+        |       CAST(SUM(ABS(y - wmean)) // COUNT(*) AS BIGINT) AS mae_weekday,
+        |       CASE WHEN SUM(ABS(y - (y1 + (y2 - y1) * (dn - d1) // (d2 - d1)))) // COUNT(*)
+        |              <= SUM(ABS(y - wmean)) // COUNT(*)
+        |            THEN 'linear' ELSE 'weekday_mean' END AS winner
+        |FROM scored""".stripMargin
+  )
+}
