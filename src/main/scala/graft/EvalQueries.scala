@@ -78,7 +78,8 @@ object EvalQueries {
     }),
 
     // ── G125: day-of-week seasonal index (forecast seasonality audit) ──
-    // The reference's LightGBM forecaster leans on weekly seasonality;
+    // The reference's Prophet forecaster (services/training-service/
+    // app/train_utils.py:24-35) leans on weekly seasonality;
     // this states it as data: per (type, ISO weekday), the ratio of the
     // weekday's mean value to the type's overall mean, as exact e6
     // rationals — (sum_dow·n_total·10⁶) div (n_dow·sum_total), lifted
