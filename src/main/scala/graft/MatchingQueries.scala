@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stable-matching wave (round 10, seventieth wave): Gale–Shapley
+  * nation↔supplier assignment with the blocking-pair certificate.
+  *
+  * Reference intent: the reference assigns work statically (fixed
+  * store→model ownership in services/training-service/app/tasks.py);
+  * a marketplace pairing preferred partners needs the deferred-
+  * acceptance algorithm (Gale & Shapley 1962, the 2012 economics
+  * Nobel). Sides: the 25 nations and the top-25 suppliers by traded
+  * value; preferences on BOTH sides come from the realized
+  * nation×supplier revenue grid (ties by partner key — total orders,
+  * no float). The engine folds the classic one-proposal-per-step
+  * loop (lowest free nation proposes next on its list; a supplier
+  * holds the best offer by ITS ranking) over a bounded 650-step
+  * sequence with exhaustion sentinels, on ONE row of nested arrays —
+  * matrix-grain after two corpus aggregations. The theorem is then
+  * COUNTED, not cited: a relational sweep over the full grid finds
+  * every blocking pair (i prefers j over its match AND j prefers i
+  * over its match) and certifies ZERO, the definition of stability.
+  * GS guarantees the result is also proposal-order-independent and
+  * nation-optimal; the spec replays the whole algorithm in the
+  * driver and matches bit-for-bit.
+  */
+object MatchingQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G396: Gale–Shapley with counted stability ──────────────────────
+    "q450_stable_matching" -> ((s, dir) => {
+      val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey").as("skey"), cents.as("v"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          "l_orderkey")
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            (col("c_nationkey") + 1).cast("long").as("i")), "o_custkey")
+      val w = base.groupBy("i", "skey").agg(sum("v").as("w0"))
+      val top = w.groupBy("skey").agg(sum("w0").as("tw"))
+        .orderBy(col("tw").desc, col("skey").asc).limit(25)
+        .withColumn("sidx", row_number().over(Window.orderBy("skey")).cast("long"))
+        .select("skey", "sidx")
+      val nations = Tables.nation(s, dir)
+        .select((col("n_nationkey") + 1).cast("long").as("i"))
+      val grid = nations.crossJoin(broadcast(top))
+        .join(w, Seq("i", "skey"), "left")
+        .select(col("i"), col("skey"), col("sidx"),
+          coalesce(col("w0"), lit(0L)).as("wv"))
+      // preference matrices → one row of nested arrays
+      val pn = grid.groupBy("i")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(-wv as nw, sidx))), z -> z.sidx)").as("lst"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, lst))), " +
+          "z -> z.lst)").as("pn"))
+      val rs = grid.groupBy("sidx")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(-wv as nw, i))), z -> z.i)").as("onj"))
+        .withColumn("rnk", expr(
+          "transform(sequence(1L, 25L), ii -> array_position(onj, ii))"))
+        .agg(expr("transform(array_sort(collect_list(struct(sidx, rnk))), " +
+          "z -> z.rnk)").as("rs"))
+      val nsup = top.agg(count(lit(1)).as("n_sup"))
+      // the proposal fold (no locals in SQL lambdas: f / target / holder
+      // inline at every use; CASE keeps element_at behind lazy guards)
+      val f = "array_position(acc.np, 0L)"
+      val pos = s"element_at(acc.pt, cast($f as int))"
+      val tgt = s"element_at(element_at(pn, cast($f as int)), cast($pos as int))"
+      val hld = s"element_at(acc.sp, cast($tgt as int))"
+      val acceptE = s"(case when $hld = 0L then true else " +
+        s"element_at(element_at(rs, cast($tgt as int)), cast($f as int)) < " +
+        s"element_at(element_at(rs, cast($tgt as int)), cast($hld as int)) end)"
+      val fold = pn.crossJoin(broadcast(rs)).crossJoin(broadcast(nsup))
+        .withColumn("st", expr(
+          s"""aggregate(sequence(1, 650),
+             |  named_struct(
+             |    'np', array_repeat(0L, 25), 'sp', array_repeat(0L, 25),
+             |    'pt', array_repeat(1L, 25), 'props', 0L),
+             |  (acc, step) -> case
+             |    when $f = 0L then acc
+             |    when $pos > n_sup then named_struct(
+             |      'np', transform(acc.np, (v, k) ->
+             |        case when cast(k + 1 as bigint) = $f then -1L else v end),
+             |      'sp', acc.sp, 'pt', acc.pt, 'props', acc.props)
+             |    else named_struct(
+             |      'np', transform(acc.np, (v, k) -> case
+             |        when cast(k + 1 as bigint) = $f
+             |          then (case when $acceptE then $tgt else 0L end)
+             |        when $acceptE and $hld != 0L
+             |          and cast(k + 1 as bigint) = $hld then 0L
+             |        else v end),
+             |      'sp', transform(acc.sp, (v, k) -> case
+             |        when cast(k + 1 as bigint) = $tgt and $acceptE
+             |          then $f else v end),
+             |      'pt', transform(acc.pt, (v, k) -> case
+             |        when cast(k + 1 as bigint) = $f then v + 1L else v end),
+             |      'props', acc.props + 1L) end)""".stripMargin))
+      val matches = fold
+        .select(posexplode(expr("st.np")).as(Seq("p0", "ms")),
+          expr("st.pt").as("pt"), expr("st.props").as("n_proposals"),
+          col("rs"))
+        .select((col("p0") + 1).cast("long").as("i"), col("ms"),
+          expr("element_at(pt, p0 + 1) - 1").as("n_rank"),
+          col("n_proposals"), col("rs"))
+        .withColumn("s_rank", expr(
+          "case when ms > 0 then element_at(element_at(rs, cast(ms as int)), " +
+            "cast(i as int)) else 0L end"))
+        .drop("rs")
+      // blocking-pair sweep over the full grid (stability, counted)
+      val mN = matches.select(col("i"), col("ms"))
+      val wOfMatch = mN.join(grid.select(col("i"), col("sidx").as("ms"),
+        col("wv").as("w_im")), Seq("i", "ms"), "left")
+        .select(col("i"), col("ms"), coalesce(col("w_im"), lit(0L)).as("w_im"))
+      val mS = matches.filter(col("ms") > 0)
+        .select(col("ms").as("sidx"), col("i").as("mn"))
+      val wOfSup = mS.join(grid.select(col("i").as("mn"), col("sidx"),
+        col("wv").as("w_jm")), Seq("sidx", "mn"), "left")
+        .select(col("sidx"), col("mn"), coalesce(col("w_jm"), lit(0L)).as("w_jm"))
+      val blocking = grid
+        .join(broadcast(wOfMatch), "i").join(broadcast(wOfSup), "sidx")
+        .filter(col("sidx") =!= col("ms"))
+        .filter(expr(
+          """(ms <= 0 or wv > w_im or (wv = w_im and sidx < ms))
+            |and (wv > w_jm or (wv = w_jm and i < mn))""".stripMargin))
+        .agg(count(lit(1)).as("n_blocking"))
+      matches.crossJoin(broadcast(blocking))
+        .join(top.withColumnRenamed("sidx", "ms"), Seq("ms"), "left")
+        .join(grid.select(col("i"), col("sidx").as("ms"),
+          col("wv").as("w_cents")), Seq("i", "ms"), "left")
+        .select(expr("i - 1").as("g"),
+          coalesce(col("skey"), lit(-1L)).as("skey"),
+          coalesce(col("w_cents"), lit(0L)).as("w_cents"),
+          expr("case when ms > 0 then n_rank else 0L end").as("n_rank"),
+          col("s_rank"),
+          expr("case when ms > 0 then 1L else 0L end").as("matched"),
+          col("n_blocking"), col("n_proposals"))
+        .orderBy("g")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    // the same inline-expansion discipline, DuckDB syntax (1-based
+    // list lambdas; list_position returns NULL when absent → COALESCE)
+    val f = "COALESCE(list_position(acc.np, 0), 0)"
+    val pos = s"acc.pt[$f]"
+    val tgt = s"mats.pn[$f][$pos]"
+    val hld = s"acc.sp[$tgt]"
+    val acceptE = s"(CASE WHEN $hld = 0 THEN true ELSE " +
+      s"mats.rs[$tgt][$f] < mats.rs[$tgt][$hld] END)"
+    Map(
+
+    "q450_stable_matching" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT c.c_nationkey + 1 AS i, l.l_suppkey AS skey,
+        |    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey),
+        |w AS (SELECT i, skey, SUM(v) AS w0 FROM base GROUP BY i, skey),
+        |top AS (SELECT skey, ROW_NUMBER() OVER (ORDER BY skey) AS sidx
+        |  FROM (SELECT skey, SUM(w0) AS tw FROM w GROUP BY skey
+        |        ORDER BY tw DESC, skey LIMIT 25) t),
+        |grid AS (SELECT n.i, top.skey, top.sidx, COALESCE(w.w0, 0) AS wv
+        |  FROM (SELECT n_nationkey + 1 AS i FROM nation) n
+        |  CROSS JOIN top
+        |  LEFT JOIN w ON w.i = n.i AND w.skey = top.skey),
+        |pnr AS (SELECT i, list(sidx ORDER BY wv DESC, sidx) AS lst
+        |        FROM grid GROUP BY i),
+        |pn1 AS (SELECT list_transform(list_sort(list(struct_pack(
+        |    i := i, lst := lst))), z -> z.lst) AS pn FROM pnr),
+        |rsr AS (SELECT sidx, list(i ORDER BY wv DESC, i) AS onj
+        |        FROM grid GROUP BY sidx),
+        |rsx AS (SELECT sidx, list_transform(range(1, 26),
+        |    ii -> list_position(onj, ii)) AS rnk FROM rsr),
+        |rs1 AS (SELECT list_transform(list_sort(list(struct_pack(
+        |    sidx := sidx, rnk := rnk))), z -> z.rnk) AS rs FROM rsx),
+        |ns AS (SELECT COUNT(*) AS n_sup FROM top),
+        |mats AS (SELECT pn1.pn, rs1.rs, ns.n_sup FROM pn1, rs1, ns),
+        |it AS (
+        |  SELECT 0::BIGINT AS step,
+        |    struct_pack(np := list_transform(range(1, 26), x -> 0::BIGINT),
+        |      sp := list_transform(range(1, 26), x -> 0::BIGINT),
+        |      pt := list_transform(range(1, 26), x -> 1::BIGINT),
+        |      props := 0::BIGINT) AS acc
+        |  UNION ALL
+        |  SELECT step + 1, CASE
+        |    WHEN $f = 0 THEN acc
+        |    WHEN $pos > mats.n_sup THEN struct_pack(
+        |      np := list_transform(acc.np, (v, k) ->
+        |        CASE WHEN k = $f THEN -1::BIGINT ELSE v END),
+        |      sp := acc.sp, pt := acc.pt, props := acc.props)
+        |    ELSE struct_pack(
+        |      np := list_transform(acc.np, (v, k) -> CASE
+        |        WHEN k = $f
+        |          THEN (CASE WHEN $acceptE THEN $tgt ELSE 0::BIGINT END)
+        |        WHEN $acceptE AND $hld != 0 AND k = $hld THEN 0::BIGINT
+        |        ELSE v END),
+        |      sp := list_transform(acc.sp, (v, k) -> CASE
+        |        WHEN k = $tgt AND $acceptE THEN $f ELSE v END),
+        |      pt := list_transform(acc.pt, (v, k) -> CASE
+        |        WHEN k = $f THEN v + 1 ELSE v END),
+        |      props := acc.props + 1) END
+        |  FROM it, mats WHERE step < 650),
+        |fin AS (SELECT acc FROM it WHERE step = 650),
+        |mt AS (SELECT k.i, fin.acc.np[k.i] AS ms,
+        |    fin.acc.pt[k.i] - 1 AS n_rank,
+        |    fin.acc.props AS n_proposals
+        |  FROM fin, (SELECT UNNEST(range(1, 26)) AS i) k),
+        |mtr AS (SELECT mt.*, CASE WHEN mt.ms > 0
+        |    THEN (SELECT rs FROM rs1)[mt.ms][mt.i] ELSE 0 END AS s_rank
+        |  FROM mt),
+        |wim AS (SELECT m.i, m.ms, COALESCE(g.wv, 0) AS w_im FROM mtr m
+        |  LEFT JOIN grid g ON g.i = m.i AND g.sidx = m.ms),
+        |wjm AS (SELECT m.ms AS sidx, m.i AS mn, COALESCE(g.wv, 0) AS w_jm
+        |  FROM mtr m LEFT JOIN grid g ON g.i = m.i AND g.sidx = m.ms
+        |  WHERE m.ms > 0),
+        |blk AS (SELECT COUNT(*) AS n_blocking
+        |  FROM grid g JOIN wim ON wim.i = g.i
+        |  JOIN wjm ON wjm.sidx = g.sidx
+        |  WHERE g.sidx != wim.ms
+        |    AND (wim.ms <= 0 OR g.wv > wim.w_im
+        |         OR (g.wv = wim.w_im AND g.sidx < wim.ms))
+        |    AND (g.wv > wjm.w_jm OR (g.wv = wjm.w_jm AND g.i < wjm.mn)))
+        |SELECT CAST(m.i - 1 AS BIGINT) AS g,
+        |  CAST(COALESCE(top.skey, -1) AS BIGINT) AS skey,
+        |  CAST(COALESCE(g2.wv, 0) AS BIGINT) AS w_cents,
+        |  CAST(CASE WHEN m.ms > 0 THEN m.n_rank ELSE 0 END AS BIGINT)
+        |    AS n_rank,
+        |  CAST(m.s_rank AS BIGINT) AS s_rank,
+        |  CAST(CASE WHEN m.ms > 0 THEN 1 ELSE 0 END AS BIGINT) AS matched,
+        |  CAST(blk.n_blocking AS BIGINT) AS n_blocking,
+        |  CAST(m.n_proposals AS BIGINT) AS n_proposals
+        |FROM mtr m
+        |LEFT JOIN top ON top.sidx = m.ms
+        |LEFT JOIN grid g2 ON g2.i = m.i AND g2.sidx = m.ms, blk
+        |ORDER BY g""".stripMargin
+    )
+  }
+}

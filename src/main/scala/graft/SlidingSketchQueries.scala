@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sliding-window sketch wave (round 10, seventy-first wave): DGIM
+  * approximate counting over the last-W window.
+  *
+  * q452 implements the Datar–Gionis–Indyk–Motwani exponential-
+  * histogram counter (SODA 2002): per user, the purchase bits of the
+  * event stream summarized by power-of-two buckets keyed by their
+  * most-recent-1 index, at most two buckets per size, the two OLDEST
+  * of a size merging upward when a third appears. The merge cascade
+  * is binary-carry propagation, and both engines run it UNROLLED per
+  * level (7 levels cover W = 64): carry into level k+1 = the merged
+  * pair's newer index when level k would hold three. Buckets expire
+  * when their index leaves the window. The DGIM guarantee — the
+  * estimate (all bucket sizes, oldest counted half) errs by at most
+  * half the oldest bucket — is certified against the EXACT trailing
+  * count for every user, violations at zero; the ≤2-buckets-per-size
+  * invariant is counted too. O(log² W) bits of state per key versus
+  * W — the memory economics that make per-key sliding windows
+  * possible at 10⁹ keys.
+  */
+object SlidingSketchQueries {
+
+  private val W = 64L
+  private val Levels = 7
+
+  /** Expired level-k bucket list (Spark dialect; 1-based level; the
+    * fold state IS the level array). */
+  private def leS(k: Int) =
+    s"filter(element_at(acc, $k), x -> x > z.i - ${W}L)"
+
+  /** Carry INTO level k (Spark): level 1 receives the fresh 1-bucket;
+    * level k+1 receives the merged two-oldest of level k when full. */
+  private def cS(k: Int): String =
+    if (k == 1) "array(z.i)"
+    else {
+      val p = cS(k - 1); val l = leS(k - 1)
+      s"(case when size($l) + size($p) = 3 then " +
+        s"array(element_at(concat($l, $p), 2)) " +
+        s"else cast(array() as array<bigint>) end)"
+    }
+
+  private def keepS(k: Int): String = {
+    val l = leS(k); val c = cS(k)
+    if (k == Levels) s"concat($l, $c)" // top level never merges upward
+    else s"(case when size($l) + size($c) = 3 then " +
+      s"array(element_at(concat($l, $c), 3)) else concat($l, $c) end)"
+  }
+
+  private def leD(k: Int) =
+    s"list_filter(r.lv[$k], x -> x > s.i - $W)"
+
+  private def cD(k: Int): String =
+    if (k == 1) "[s.i]"
+    else {
+      val p = cD(k - 1); val l = leD(k - 1)
+      s"(CASE WHEN len($l) + len($p) = 3 THEN [($l || $p)[2]] " +
+        s"ELSE CAST([] AS BIGINT[]) END)"
+    }
+
+  private def keepD(k: Int): String = {
+    val l = leD(k); val c = cD(k)
+    if (k == Levels) s"($l || $c)"
+    else s"(CASE WHEN len($l) + len($c) = 3 THEN [($l || $c)[3]] " +
+      s"ELSE $l || $c END)"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G397: DGIM last-64 purchase counter, bound certified ───────────
+    "q452_dgim_window" -> ((s, dir) => {
+      val wU = Window.partitionBy("u").orderBy("us", "eid")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"),
+          expr("case when event_type = 'purchase' then 1L else 0L end").as("b"))
+        .withColumn("i", row_number().over(wU).cast("long"))
+      val keepAll = (1 to Levels).map(keepS).mkString(", ")
+      val expireAll = (1 to Levels).map(leS).mkString(", ")
+      val perUser = ev.groupBy("u")
+        .agg(expr("array_sort(collect_list(struct(i, b)))").as("xs"),
+          count(lit(1)).as("n_u"))
+        .withColumn("lv", expr(
+          s"""aggregate(xs,
+             |  array_repeat(cast(array() as array<bigint>), $Levels),
+             |  (acc, z) -> case when z.b = 0L
+             |    then array($expireAll)
+             |    else array($keepAll) end)""".stripMargin))
+        .withColumn("truth", expr(
+          s"cast(size(filter(xs, t -> t.b = 1L and t.i > n_u - $W)) as bigint)"))
+        .withColumn("total", expr(
+          s"""aggregate(sequence(1, $Levels), 0L, (a, k) ->
+             |  a + size(element_at(lv, k)) * shiftleft(1L, k - 1))"""
+            .stripMargin))
+        .withColumn("maxlev", expr(
+          s"""aggregate(sequence(1, $Levels), 0L, (a, k) ->
+             |  case when size(element_at(lv, k)) > 0 then cast(k as bigint)
+             |       else a end)""".stripMargin))
+        .withColumn("est", expr(
+          "case when maxlev = 0L then 0L " +
+            "else total - shiftleft(1L, cast(maxlev as int) - 1) div 2 end"))
+        .withColumn("bound", expr(
+          "case when maxlev = 0L then 0L " +
+            "else shiftleft(1L, cast(maxlev as int) - 1) div 2 end"))
+        .withColumn("invar", expr(
+          s"""aggregate(sequence(1, ${Levels - 1}), 0L, (a, k) ->
+             |  a + case when size(element_at(lv, k)) > 2 then 1L else 0L end)
+             |+ (case when size(element_at(lv, $Levels)) > 3 then 1L
+             |   else 0L end)""".stripMargin))
+      perUser.agg(
+          count(lit(1)).as("n_users"), sum("n_u").as("n"),
+          sum("truth").as("truth_total"), sum("est").as("est_total"),
+          sum(expr("abs(est - truth)")).as("sum_abs_err"),
+          max(expr("abs(est - truth)")).as("max_abs_err"),
+          sum(expr("case when abs(est - truth) > bound then 1L else 0L end"))
+            .as("n_bound_viol"),
+          sum("invar").as("n_invariant_viol"),
+          expr("bit_xor(md5_60(concat(cast(u as string), ':', " +
+            "cast(est as string))))").as("xor60_est"))
+        .select("n_users", "n", "truth_total", "est_total", "sum_abs_err",
+          "max_abs_err", "n_bound_viol", "n_invariant_viol", "xor60_est")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val keepAll = (1 to Levels).map(keepD).mkString(",\n        |      ")
+    val expireAll = (1 to Levels).map(leD).mkString(",\n        |      ")
+    Map(
+
+    "q452_dgim_window" ->
+      s"""WITH RECURSIVE ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    event_id AS eid,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        |seq AS (SELECT u, b,
+        |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, eid) AS i FROM ev),
+        |nu AS (SELECT u, COUNT(*) AS n_u FROM seq GROUP BY u),
+        |tr AS (SELECT s.u, COUNT(*) FILTER (WHERE s.b = 1
+        |    AND s.i > nu.n_u - $W) AS truth
+        |  FROM seq s JOIN nu ON s.u = nu.u GROUP BY s.u),
+        |rec AS (
+        |  SELECT u, 0::BIGINT AS i,
+        |    list_transform(range(1, ${Levels + 1}),
+        |      x -> CAST([] AS BIGINT[])) AS lv
+        |  FROM nu
+        |  UNION ALL
+        |  SELECT s.u, s.i, CASE WHEN s.b = 0
+        |      THEN [$expireAll]
+        |      ELSE [$keepAll]
+        |    END
+        |  FROM rec r JOIN seq s ON s.u = r.u AND s.i = r.i + 1),
+        |fin AS (SELECT r.u, r.lv, nu.n_u FROM rec r
+        |        JOIN nu ON r.u = nu.u WHERE r.i = nu.n_u),
+        |der AS (SELECT f.u, f.n_u, tr.truth,
+        |    list_sum(list_transform(range(1, ${Levels + 1}),
+        |      k -> len(f.lv[k]) * (1::BIGINT << CAST(k - 1 AS INT)))) AS total,
+        |    COALESCE(list_aggregate(list_transform(range(1, ${Levels + 1}),
+        |      k -> CASE WHEN len(f.lv[k]) > 0 THEN k END), 'max'), 0)
+        |      AS maxlev,
+        |    list_sum(list_transform(range(1, $Levels),
+        |      k -> CASE WHEN len(f.lv[k]) > 2 THEN 1 ELSE 0 END))
+        |    + CASE WHEN len(f.lv[$Levels]) > 3 THEN 1 ELSE 0 END AS invar
+        |  FROM fin f JOIN tr ON f.u = tr.u),
+        |est AS (SELECT u, n_u, truth, invar,
+        |    CASE WHEN maxlev = 0 THEN 0
+        |      ELSE total - (1::BIGINT << CAST(maxlev - 1 AS INT)) // 2 END
+        |      AS est,
+        |    CASE WHEN maxlev = 0 THEN 0
+        |      ELSE (1::BIGINT << CAST(maxlev - 1 AS INT)) // 2 END AS bound
+        |  FROM der)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_u) AS BIGINT) AS n,
+        |  CAST(SUM(truth) AS BIGINT) AS truth_total,
+        |  CAST(SUM(est) AS BIGINT) AS est_total,
+        |  CAST(SUM(ABS(est - truth)) AS BIGINT) AS sum_abs_err,
+        |  CAST(MAX(ABS(est - truth)) AS BIGINT) AS max_abs_err,
+        |  CAST(SUM(CASE WHEN ABS(est - truth) > bound THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bound_viol,
+        |  CAST(SUM(invar) AS BIGINT) AS n_invariant_viol,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':' ||
+        |    CAST(est AS VARCHAR)), 1, 15) AS BIGINT)) AS xor60_est
+        |FROM est""".stripMargin
+    )
+  }
+}
