@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Budget-and-storage wave (round 10, seventy-third wave): 0/1
+  * knapsack by exact DP, and LSM-tree write-amplification economics.
+  *
+  * q455 completes q447's DP pair with the WEIGHT dimension: per
+  * customer, select orders (weight = line-item count, value = cents)
+  * under a 12-unit budget — dp over 13 slots as one array-rebuild
+  * fold per item, certified monotone in budget and dominant over the
+  * defined density-greedy policy (value div weight desc — a DEFINED
+  * integer policy, not a float ranking). q456 prices the two
+  * canonical LSM compaction policies on the real daily order-arrival
+  * sizes: size-tiered (T = 4) as BOTH a sequential merge fold (runs
+  * cascade upward exactly like DGIM's binary carries) AND its closed
+  * form — a level-i merge writes each complete 4^i-day group's sum
+  * exactly once, so total writes = ingest + Σᵢ complete-group sums —
+  * the two certified EQUAL; and leveled (spill-at-capacity, rewrite
+  * the destination) as a threshold-restart fold. Tiered trades read
+  * fan-in for ~1 extra write per level; leveled pays destination
+  * rewrites — the numbers, at e4, say which wins on THIS arrival
+  * process. Folds run on the calendar-bounded daily array
+  * (~2 400 elements); the closed form is the shape a 1000-executor
+  * cluster uses (grouped sums, no sequential state).
+  */
+object CostQueries {
+
+  // ── tiered cascade (Spark dialect): binary-carry generators ──────────
+  private def nrS(i: Int): String = s"(element_at(acc.r, $i) + ${crRS(i)})"
+  private def crRS(i: Int): String =
+    if (i == 1) "1L"
+    else s"(case when ${nrS(i - 1)} = 4L then 1L else 0L end)"
+  private def crBS(i: Int): String =
+    if (i == 1) "z.f"
+    else s"(case when ${nrS(i - 1)} = 4L then element_at(acc.b, ${i - 1}) + " +
+      s"${crBS(i - 1)} else 0L end)"
+  private def rNewS(i: Int) =
+    s"(case when ${nrS(i)} = 4L then 0L else ${nrS(i)} end)"
+  private def bNewS(i: Int) =
+    s"(case when ${nrS(i)} = 4L then 0L else element_at(acc.b, $i) + ${crBS(i)} end)"
+  private def wGainS: String = "z.f + " + (1 to 7).map(i =>
+    s"(case when ${nrS(i)} = 4L then element_at(acc.b, $i) + ${crBS(i)} " +
+      "else 0L end)").mkString(" + ")
+
+  // ── tiered cascade (DuckDB dialect) ──────────────────────────────────
+  private def nrD(i: Int): String = s"(r.st.r[$i] + ${crRD(i)})"
+  private def crRD(i: Int): String =
+    if (i == 1) "1::BIGINT"
+    else s"(CASE WHEN ${nrD(i - 1)} = 4 THEN 1 ELSE 0 END)"
+  private def crBD(i: Int): String =
+    if (i == 1) "s.f"
+    else s"(CASE WHEN ${nrD(i - 1)} = 4 THEN r.st.b[${i - 1}] + " +
+      s"${crBD(i - 1)} ELSE 0 END)"
+  private def rNewD(i: Int) =
+    s"(CASE WHEN ${nrD(i)} = 4 THEN 0 ELSE ${nrD(i)} END)"
+  private def bNewD(i: Int) =
+    s"(CASE WHEN ${nrD(i)} = 4 THEN 0 ELSE r.st.b[$i] + ${crBD(i)} END)"
+  private def wGainD: String = "s.f + " + (1 to 7).map(i =>
+    s"(CASE WHEN ${nrD(i)} = 4 THEN r.st.b[$i] + ${crBD(i)} ELSE 0 END)")
+    .mkString(" + ")
+
+  // ── leveled spill chain (4 levels, capacity C·10^(i−1)) ──────────────
+  private val C = 500L
+  private def sTmpS(i: Int): String =
+    if (i == 1) "(element_at(acc.s, 1) + z.f)"
+    else s"(element_at(acc.s, $i) + ${spillInS(i)})"
+  private def spS(i: Int): String =
+    s"(${sTmpS(i)} > ${C * math.pow(10, i - 1).toLong}L)"
+  private def spillInS(i: Int): String =
+    s"(case when ${spS(i - 1)} then ${sTmpS(i - 1)} else 0L end)"
+  private def sNewS(i: Int): String =
+    if (i == 4) sTmpS(4) // top level never spills
+    else s"(case when ${spS(i)} then 0L else ${sTmpS(i)} end)"
+  private def lvGainS: String = "z.f + " + (1 to 3).map(i =>
+    s"(case when ${spS(i)} then ${sTmpS(i)} + element_at(acc.s, ${i + 1}) " +
+      "else 0L end)").mkString(" + ")
+  private def lvSpillsS: String = (1 to 3).map(i =>
+    s"(case when ${spS(i)} then 1L else 0L end)").mkString(" + ")
+
+  private def sTmpD(i: Int): String =
+    if (i == 1) "(r.st.s[1] + s.f)"
+    else s"(r.st.s[$i] + ${spillInD(i)})"
+  private def spD(i: Int): String =
+    s"(${sTmpD(i)} > ${C * math.pow(10, i - 1).toLong})"
+  private def spillInD(i: Int): String =
+    s"(CASE WHEN ${spD(i - 1)} THEN ${sTmpD(i - 1)} ELSE 0 END)"
+  private def sNewD(i: Int): String =
+    if (i == 4) sTmpD(4)
+    else s"(CASE WHEN ${spD(i)} THEN 0 ELSE ${sTmpD(i)} END)"
+  private def lvGainD: String = "s.f + " + (1 to 3).map(i =>
+    s"(CASE WHEN ${spD(i)} THEN ${sTmpD(i)} + r.st.s[${i + 1}] ELSE 0 END)")
+    .mkString(" + ")
+  private def lvSpillsD: String = (1 to 3).map(i =>
+    s"(CASE WHEN ${spD(i)} THEN 1 ELSE 0 END)").mkString(" + ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G400: 0/1 knapsack per customer (exact DP vs density greedy) ───
+    "q455_knapsack" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("okey")).agg(count(lit(1)).as("w"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("c"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("v")), "okey")
+        .withColumn("dk", expr("v div w"))
+      val perC = items.groupBy("c")
+        .agg(expr("collect_list(struct(okey, w, v, dk))").as("xs0"),
+          count(lit(1)).as("n_items"), sum("v").as("v_total"))
+        .withColumn("xs", expr("array_sort(xs0)"))
+        // DP over budget 0..12; slot b+1 holds OPT at budget b
+        .withColumn("dp", expr(
+          """aggregate(xs, array_repeat(0L, 13),
+            |  (acc, z) -> transform(sequence(0L, 12L), b ->
+            |    case when z.w <= b
+            |      then greatest(element_at(acc, cast(b as int) + 1),
+            |        z.v + element_at(acc, cast(b - z.w as int) + 1))
+            |      else element_at(acc, cast(b as int) + 1) end))"""
+            .stripMargin))
+        .withColumn("opt", expr("element_at(dp, 13)"))
+        .withColumn("mono_viol", expr(
+          """aggregate(sequence(1, 12), 0L, (a, b) ->
+            |  a + case when element_at(dp, b + 1) < element_at(dp, b)
+            |      then 1L else 0L end)""".stripMargin))
+        // density greedy: by (v div w desc, v desc, okey asc), first-fit
+        .withColumn("gxs", expr(
+          "array_sort(transform(xs, z -> named_struct(" +
+            "'ndk', -z.dk, 'nv', -z.v, 'okey', z.okey, 'w', z.w, 'v', z.v)))"))
+        .withColumn("gr", expr(
+          """aggregate(gxs, named_struct('cap', 12L, 'val', 0L),
+            |  (acc, z) -> case when z.w <= acc.cap
+            |    then named_struct('cap', acc.cap - z.w, 'val', acc.val + z.v)
+            |    else acc end)""".stripMargin))
+        .select(col("c"), col("n_items"), col("v_total"), col("opt"),
+          col("mono_viol"), expr("gr.val").as("greedy_v"),
+          expr("md5_60(concat(cast(c as string), ':', cast(opt as string)))")
+            .as("rc"))
+      perC.agg(
+          count(lit(1)).as("n_customers"), sum("n_items").as("n_items"),
+          sum("opt").as("opt_total"), sum("greedy_v").as("greedy_total"),
+          sum("mono_viol").as("n_mono_viol"),
+          sum(expr("case when opt < greedy_v then 1L else 0L end"))
+            .as("n_dp_below_greedy"),
+          sum(expr("case when opt > greedy_v then 1L else 0L end"))
+            .as("n_dp_strictly_better"),
+          sum(expr("case when opt > v_total then 1L else 0L end"))
+            .as("n_over_total"),
+          expr("bit_xor(rc)").as("xor60_opt"))
+        .withColumn("lift_e4", expr(
+          "(opt_total - greedy_total) * 10000 div greedy_total"))
+        .select("n_customers", "n_items", "opt_total", "greedy_total",
+          "lift_e4", "n_dp_strictly_better", "n_dp_below_greedy",
+          "n_mono_viol", "n_over_total", "xor60_opt")
+    }),
+
+    // ── G401: LSM write amplification — tiered fold ≡ closed form ──────
+    "q456_lsm_costing" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("f"))
+      val packed = daily
+        .agg(expr("array_sort(collect_list(struct(d, f)))").as("xs"),
+          count(lit(1)).as("n_flushes"), sum("f").as("ingested"))
+      val tiered = packed.withColumn("ti", expr(
+        s"""aggregate(xs,
+           |  named_struct('r', array_repeat(0L, 7), 'b', array_repeat(0L, 7),
+           |               'w', 0L),
+           |  (acc, z) -> named_struct(
+           |    'r', array(${(1 to 7).map(rNewS).mkString(", ")}),
+           |    'b', array(${(1 to 7).map(bNewS).mkString(", ")}),
+           |    'w', acc.w + $wGainS))""".stripMargin))
+        // closed form: level-i merges write each complete 4^i group once
+        .withColumn("closed", expr(
+          """ingested + aggregate(sequence(1, 6), 0L, (a, lvl) ->
+            |  a + aggregate(zip_with(xs, sequence(1, size(xs)), (z, ix) ->
+            |        case when cast(ix as bigint)
+            |            <= (cast(size(xs) as bigint)
+            |                  div cast(shiftleft(1, 2 * lvl) as bigint))
+            |              * cast(shiftleft(1, 2 * lvl) as bigint)
+            |          then z.f else 0L end),
+            |      0L, (aa, x) -> aa + x))""".stripMargin))
+        .withColumn("lv", expr(
+          s"""aggregate(xs,
+             |  named_struct('s', array_repeat(0L, 4), 'w', 0L, 'k', 0L),
+             |  (acc, z) -> named_struct(
+             |    's', array(${(1 to 4).map(sNewS).mkString(", ")}),
+             |    'w', acc.w + $lvGainS,
+             |    'k', acc.k + $lvSpillsS))""".stripMargin))
+      tiered.select(col("n_flushes"), col("ingested"),
+          expr("ti.w").as("tiered_written"), col("closed").as("tiered_closed"),
+          expr("case when ti.w = closed then 1L else 0L end")
+            .as("closed_form_ok"),
+          expr("ti.w * 10000 div ingested").as("tiered_wamp_e4"),
+          expr("lv.w").as("leveled_written"),
+          expr("lv.w * 10000 div ingested").as("leveled_wamp_e4"),
+          expr("lv.k").as("n_leveled_spills"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q455_knapsack" ->
+      """WITH RECURSIVE it0 AS (SELECT l_orderkey AS okey, COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1),
+        |items AS (SELECT o.o_custkey AS c, it0.okey, it0.w,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // it0.w AS dk
+        |  FROM it0 JOIN orders o ON o.o_orderkey = it0.okey),
+        |seq AS (SELECT c, okey, w, v, dk,
+        |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY okey) AS i,
+        |    ROW_NUMBER() OVER (PARTITION BY c
+        |      ORDER BY dk DESC, v DESC, okey) AS gi
+        |  FROM items),
+        |nc AS (SELECT c, COUNT(*) AS n_items, SUM(v) AS v_total
+        |       FROM items GROUP BY c),
+        |dp AS (
+        |  SELECT c, i, list_transform(range(0, 13), b ->
+        |      CASE WHEN w <= b THEN v ELSE 0::BIGINT END) AS dp
+        |  FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.c, s.i, list_transform(range(0, 13), b ->
+        |      CASE WHEN s.w <= b
+        |        THEN GREATEST(r.dp[CAST(b AS INT) + 1],
+        |          s.v + r.dp[CAST(b - s.w AS INT) + 1])
+        |        ELSE r.dp[CAST(b AS INT) + 1] END)
+        |  FROM dp r JOIN seq s ON s.c = r.c AND s.i = r.i + 1),
+        |gr AS (
+        |  SELECT c, gi, CASE WHEN w <= 12 THEN 12 - w ELSE 12 END AS cap,
+        |    CASE WHEN w <= 12 THEN v ELSE 0::BIGINT END AS val
+        |  FROM seq WHERE gi = 1
+        |  UNION ALL
+        |  SELECT s.c, s.gi,
+        |    CASE WHEN s.w <= r.cap THEN r.cap - s.w ELSE r.cap END,
+        |    r.val + CASE WHEN s.w <= r.cap THEN s.v ELSE 0 END
+        |  FROM gr r JOIN seq s ON s.c = r.c AND s.gi = r.gi + 1),
+        |find AS (SELECT d.c, d.dp[13] AS opt,
+        |    list_sum(list_transform(range(1, 13), b ->
+        |      CASE WHEN d.dp[CAST(b AS INT) + 1] < d.dp[CAST(b AS INT)]
+        |      THEN 1 ELSE 0 END)) AS mono_viol,
+        |    g.val AS greedy_v, nc.n_items, nc.v_total
+        |  FROM dp d JOIN nc ON d.c = nc.c AND d.i = nc.n_items
+        |  JOIN gr g ON g.c = d.c AND g.gi = nc.n_items)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(n_items) AS BIGINT) AS n_items,
+        |  CAST(SUM(opt) AS BIGINT) AS opt_total,
+        |  CAST(SUM(greedy_v) AS BIGINT) AS greedy_total,
+        |  CAST((SUM(opt) - SUM(greedy_v)) * 10000 // SUM(greedy_v) AS BIGINT)
+        |    AS lift_e4,
+        |  CAST(SUM(CASE WHEN opt > greedy_v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dp_strictly_better,
+        |  CAST(SUM(CASE WHEN opt < greedy_v THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dp_below_greedy,
+        |  CAST(SUM(mono_viol) AS BIGINT) AS n_mono_viol,
+        |  CAST(SUM(CASE WHEN opt > v_total THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_total,
+        |  bit_xor(CAST('0x' || substr(md5(CAST(c AS VARCHAR) || ':' ||
+        |    CAST(opt AS VARCHAR)), 1, 15) AS BIGINT)) AS xor60_opt
+        |FROM find""".stripMargin,
+
+    "q456_lsm_costing" ->
+      s"""WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    COUNT(*) AS f FROM orders GROUP BY 1),
+        |seq AS (SELECT d, f, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+        |nf AS (SELECT COUNT(*) AS n_flushes, SUM(f) AS ingested FROM daily),
+        |rec AS (
+        |  SELECT 0::BIGINT AS i, struct_pack(
+        |      r := [0,0,0,0,0,0,0]::BIGINT[], b := [0,0,0,0,0,0,0]::BIGINT[],
+        |      w := 0::BIGINT) AS st
+        |  UNION ALL
+        |  SELECT s.i, struct_pack(
+        |      r := [${(1 to 7).map(rNewD).mkString(", ")}]::BIGINT[],
+        |      b := [${(1 to 7).map(bNewD).mkString(", ")}]::BIGINT[],
+        |      w := r.st.w + $wGainD)
+        |  FROM rec r JOIN seq s ON s.i = r.i + 1),
+        |lrec AS (
+        |  SELECT 0::BIGINT AS i, struct_pack(
+        |      s := [0,0,0,0]::BIGINT[], w := 0::BIGINT, k := 0::BIGINT) AS st
+        |  UNION ALL
+        |  SELECT s.i, struct_pack(
+        |      s := [${(1 to 4).map(sNewD).mkString(", ")}]::BIGINT[],
+        |      w := r.st.w + $lvGainD,
+        |      k := r.st.k + $lvSpillsD)
+        |  FROM lrec r JOIN seq s ON s.i = r.i + 1),
+        |tfin AS (SELECT st.w AS tiered_written FROM rec, nf
+        |         WHERE rec.i = nf.n_flushes),
+        |lfin AS (SELECT st.w AS leveled_written, st.k AS n_spills
+        |         FROM lrec, nf WHERE lrec.i = nf.n_flushes),
+        |grps AS (SELECT l.lvl,
+        |    (seq.i - 1) // (1::BIGINT << CAST(2 * l.lvl AS INT)) AS grp,
+        |    SUM(seq.f) AS gs, COUNT(*) AS cnt
+        |  FROM seq, (SELECT UNNEST(range(1, 7)) AS lvl) l
+        |  GROUP BY 1, 2),
+        |closed AS (SELECT nf.ingested + COALESCE((SELECT SUM(gs) FROM grps
+        |    WHERE cnt = (1::BIGINT << CAST(2 * lvl AS INT))), 0)
+        |    AS tiered_closed
+        |  FROM nf)
+        |SELECT CAST(nf.n_flushes AS BIGINT) AS n_flushes,
+        |  CAST(nf.ingested AS BIGINT) AS ingested,
+        |  CAST(tfin.tiered_written AS BIGINT) AS tiered_written,
+        |  CAST(closed.tiered_closed AS BIGINT) AS tiered_closed,
+        |  CAST(CASE WHEN tfin.tiered_written = closed.tiered_closed
+        |    THEN 1 ELSE 0 END AS BIGINT) AS closed_form_ok,
+        |  CAST(tfin.tiered_written * 10000 // nf.ingested AS BIGINT)
+        |    AS tiered_wamp_e4,
+        |  CAST(lfin.leveled_written AS BIGINT) AS leveled_written,
+        |  CAST(lfin.leveled_written * 10000 // nf.ingested AS BIGINT)
+        |    AS leveled_wamp_e4,
+        |  CAST(lfin.n_spills AS BIGINT) AS n_leveled_spills
+        |FROM nf, tfin, lfin, closed""".stripMargin
+  )
+}
