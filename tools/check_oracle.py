@@ -42,6 +42,10 @@ def rows_of_table(tbl):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # uncapped, one heavy oracle (q377 at sf0.1) balloons past 100 GB and
+    # the kernel OOM-kills the whole check; capped, DuckDB spills and
+    # finishes -- the check must survive sharing the host with a JVM
+    con.execute("SET memory_limit='32GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
