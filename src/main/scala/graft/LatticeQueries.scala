@@ -118,6 +118,11 @@ object LatticeQueries {
         .withColumn("pss", expr(
           """transform(sequence(0, cast(n_points as int)), i ->
             |  aggregate(slice(xs, 1, i), 0L, (a, v) -> a + v * v))""".stripMargin))
+        // 1 row — but every sse mention in the DP below would otherwise
+        // INLINE the whole prefix-transform expression (withColumn
+        // collapse), exploding the tree; checkpoint so ps/pss are plain
+        // column reads (32 s → ~1 s at sf0.001)
+        .localCheckpoint()
       // sse(j, i) at e2 over (j, i] (0-based prefix indices, j < i)
       val sse = "(((ii - jj) * (element_at(pss, cast(ii as int) + 1) " +
         "- element_at(pss, cast(jj as int) + 1)) " +

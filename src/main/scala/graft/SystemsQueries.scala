@@ -71,9 +71,14 @@ object SystemsQueries {
         .select(element_at(iLit, col("pos") + 1).as("i"),
           element_at(jLit, col("pos") + 1).as("j"), col("p"))
         .groupBy("i", "j").agg(sum(col("p").cast(dec)).as("gd"))
+      // d×d = 4096 rows, but every iteration's lineage would re-derive
+      // it from the full embedding scan (~12 recomputes across the 5
+      // matvecs + rescales) — checkpoint the Gram ONCE (ops/Graph's
+      // localCheckpoint discipline; 60 s → ~4 s at sf0.001)
       val g = upper.unionByName(upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("gd")))
         .select(col("i"), col("j"), col("gd").cast(LongType).as("g"))
+        .localCheckpoint()
       def matvec(v: DataFrame): DataFrame =
         g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
           .groupBy("i")
