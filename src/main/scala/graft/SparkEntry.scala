@@ -32,7 +32,7 @@ object SparkEntry {
       CurationQueries.queries ++ AuditQueries.queries ++
       BehaviorQueries.queries ++ GovernanceQueries.queries ++
       IndexQueries.queries ++ AnalyticsQueries.queries ++
-      WarehouseQueries.queries ++ EvalQueries.queries ++ SignalQueries.queries ++ RobustQueries.queries ++ LakeQueries.queries ++ MaintQueries.queries ++ ServiceQueries.queries ++ TemporalQueries.queries ++ ProfileQueries.queries ++ IntegrityQueries.queries ++ SearchQueries.queries ++ PlannerQueries.queries ++ FlowQueries.queries ++ QualityQueries.queries ++ ModelQueries.queries ++ TrustQueries.queries ++ PrepQueries.queries ++ PathQueries.queries ++ CalendarQueries.queries ++ MasterQueries.queries ++ OpsQueries.queries ++ TuneQueries.queries ++ ReconQueries.queries ++ MixtureQueries.queries ++ RankEvalQueries.queries ++ CorpusHealthQueries.queries ++ TrendQueries.queries ++ GraphLinkQueries.queries ++ VectorGeomQueries.queries ++ FeedbackQueries.queries ++ EpochQueries.queries ++ DecisionQueries.queries ++ SignalsTwoQueries.queries ++ ExperimentQueries.queries ++ StreamTwoQueries.queries ++ PlannerTwoQueries.queries ++ StatsQueries.queries ++ ForecastScienceQueries.queries ++ RetrievalLakeQueries.queries ++ TextScienceQueries.queries ++ AssuranceQueries.queries ++ SemanticsQueries.queries ++ SupplyQueries.queries ++ ReliabilityQueries.queries ++ DecisionTwoQueries.queries ++ TimePriceQueries.queries ++ EstimatorQueries.queries ++ MiningQueries.queries ++ SeasonQueries.queries ++ IntervalQueries.queries ++ ImpactQueries.queries ++ ConsistencyQueries.queries ++ BridgeQueries.queries ++ GreedyQueries.queries ++ RankMetricsQueries.queries ++ ParityQueries.queries ++ ControlQueries.queries ++ AdvisorQueries.queries ++ GuardrailQueries.queries ++ DisclosureQueries.queries ++ VarianceQueries.queries ++ SketchQueries.queries ++ InferenceQueries.queries ++ TelemetryQueries.queries ++ InferenceTwoQueries.queries ++ LinkageQueries.queries ++ SystemsQueries.queries ++ AlgorithmQueries.queries ++ OptimalityQueries.queries ++ MatchingQueries.queries ++ SlidingSketchQueries.queries ++ DriftQueries.queries ++ CostQueries.queries ++ SamplingEconQueries.queries ++ CurveQueries.queries ++ LatticeQueries.queries ++ AdvisorTwoQueries.queries ++ IntegrityTwoQueries.queries ++ EmpiricalQueries.queries ++ SequentialQueries.queries ++ ResourceQueries.queries ++ OrderTheoryQueries.queries ++ ReplicationQueries.queries ++ GeometryQueries.queries ++ AuctionGraphQueries.queries ++ ConvergenceQueries.queries ++ RoutingQueries.queries ++ NumberQueries.queries ++ PrimalityQueries.queries ++ CuckooQueries.queries ++ ElectionQueries.queries ++ AvailabilityQueries.queries ++ RecoveryQueries.queries ++ ContentionQueries.queries ++ ChecksumQueries.queries ++ SortNetQueries.queries ++ LfsrQueries.queries ++ FolkloreQueries.queries ++ RamseyQueries.queries ++ NimQueries.queries ++ NumberTheoryQueries.queries ++ EuclidQueries.queries ++ CombinatoricsQueries.queries ++ NecklaceQueries.queries ++ BaselQueries.queries ++ KaprekarQueries.queries
+      WarehouseQueries.queries ++ EvalQueries.queries ++ SignalQueries.queries ++ RobustQueries.queries ++ LakeQueries.queries ++ MaintQueries.queries ++ ServiceQueries.queries ++ TemporalQueries.queries ++ ProfileQueries.queries ++ IntegrityQueries.queries ++ SearchQueries.queries ++ PlannerQueries.queries ++ FlowQueries.queries ++ QualityQueries.queries ++ ModelQueries.queries ++ TrustQueries.queries ++ PrepQueries.queries ++ PathQueries.queries ++ CalendarQueries.queries ++ MasterQueries.queries ++ OpsQueries.queries ++ TuneQueries.queries ++ ReconQueries.queries ++ MixtureQueries.queries ++ RankEvalQueries.queries ++ CorpusHealthQueries.queries ++ TrendQueries.queries ++ GraphLinkQueries.queries ++ VectorGeomQueries.queries ++ FeedbackQueries.queries ++ EpochQueries.queries ++ DecisionQueries.queries ++ SignalsTwoQueries.queries ++ ExperimentQueries.queries ++ StreamTwoQueries.queries ++ PlannerTwoQueries.queries ++ StatsQueries.queries ++ ForecastScienceQueries.queries ++ RetrievalLakeQueries.queries ++ TextScienceQueries.queries ++ AssuranceQueries.queries ++ SemanticsQueries.queries ++ SupplyQueries.queries ++ ReliabilityQueries.queries ++ DecisionTwoQueries.queries ++ TimePriceQueries.queries ++ EstimatorQueries.queries ++ MiningQueries.queries ++ SeasonQueries.queries ++ IntervalQueries.queries ++ ImpactQueries.queries ++ ConsistencyQueries.queries ++ BridgeQueries.queries ++ GreedyQueries.queries ++ RankMetricsQueries.queries ++ ParityQueries.queries ++ ControlQueries.queries ++ AdvisorQueries.queries ++ GuardrailQueries.queries ++ DisclosureQueries.queries ++ VarianceQueries.queries ++ SketchQueries.queries ++ InferenceQueries.queries ++ TelemetryQueries.queries ++ InferenceTwoQueries.queries ++ LinkageQueries.queries ++ SystemsQueries.queries ++ AlgorithmQueries.queries ++ OptimalityQueries.queries ++ MatchingQueries.queries ++ SlidingSketchQueries.queries ++ DriftQueries.queries ++ CostQueries.queries ++ SamplingEconQueries.queries ++ CurveQueries.queries ++ LatticeQueries.queries ++ AdvisorTwoQueries.queries ++ IntegrityTwoQueries.queries ++ EmpiricalQueries.queries ++ SequentialQueries.queries ++ ResourceQueries.queries ++ OrderTheoryQueries.queries ++ ReplicationQueries.queries ++ GeometryQueries.queries ++ AuctionGraphQueries.queries ++ ConvergenceQueries.queries ++ RoutingQueries.queries ++ NumberQueries.queries ++ PrimalityQueries.queries ++ CuckooQueries.queries ++ ElectionQueries.queries ++ AvailabilityQueries.queries ++ RecoveryQueries.queries ++ ContentionQueries.queries ++ ChecksumQueries.queries ++ SortNetQueries.queries ++ LfsrQueries.queries ++ FolkloreQueries.queries ++ RamseyQueries.queries ++ NimQueries.queries ++ NumberTheoryQueries.queries ++ EuclidQueries.queries ++ CombinatoricsQueries.queries ++ NecklaceQueries.queries ++ BaselQueries.queries ++ KaprekarQueries.queries ++ ErasureQueries.queries
 
   // ---------------------------------------------------------------- batch 1
   /** SURVEY §2.2-§2.8 relational surface over the driver testdata. */
@@ -273,7 +273,7 @@ object SparkEntry {
       AuditQueries.oracleSql ++ BehaviorQueries.oracleSql ++
       GovernanceQueries.oracleSql ++ IndexQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ WarehouseQueries.oracleSql ++
-      EvalQueries.oracleSql ++ SignalQueries.oracleSql ++ RobustQueries.oracleSql ++ LakeQueries.oracleSql ++ MaintQueries.oracleSql ++ ServiceQueries.oracleSql ++ TemporalQueries.oracleSql ++ ProfileQueries.oracleSql ++ IntegrityQueries.oracleSql ++ SearchQueries.oracleSql ++ PlannerQueries.oracleSql ++ FlowQueries.oracleSql ++ QualityQueries.oracleSql ++ ModelQueries.oracleSql ++ TrustQueries.oracleSql ++ PrepQueries.oracleSql ++ PathQueries.oracleSql ++ CalendarQueries.oracleSql ++ MasterQueries.oracleSql ++ OpsQueries.oracleSql ++ TuneQueries.oracleSql ++ ReconQueries.oracleSql ++ MixtureQueries.oracleSql ++ RankEvalQueries.oracleSql ++ CorpusHealthQueries.oracleSql ++ TrendQueries.oracleSql ++ GraphLinkQueries.oracleSql ++ VectorGeomQueries.oracleSql ++ FeedbackQueries.oracleSql ++ EpochQueries.oracleSql ++ DecisionQueries.oracleSql ++ SignalsTwoQueries.oracleSql ++ ExperimentQueries.oracleSql ++ StreamTwoQueries.oracleSql ++ PlannerTwoQueries.oracleSql ++ StatsQueries.oracleSql ++ ForecastScienceQueries.oracleSql ++ RetrievalLakeQueries.oracleSql ++ TextScienceQueries.oracleSql ++ AssuranceQueries.oracleSql ++ SemanticsQueries.oracleSql ++ SupplyQueries.oracleSql ++ ReliabilityQueries.oracleSql ++ DecisionTwoQueries.oracleSql ++ TimePriceQueries.oracleSql ++ EstimatorQueries.oracleSql ++ MiningQueries.oracleSql ++ SeasonQueries.oracleSql ++ IntervalQueries.oracleSql ++ ImpactQueries.oracleSql ++ ConsistencyQueries.oracleSql ++ BridgeQueries.oracleSql ++ GreedyQueries.oracleSql ++ RankMetricsQueries.oracleSql ++ ParityQueries.oracleSql ++ ControlQueries.oracleSql ++ AdvisorQueries.oracleSql ++ GuardrailQueries.oracleSql ++ DisclosureQueries.oracleSql ++ VarianceQueries.oracleSql ++ SketchQueries.oracleSql ++ InferenceQueries.oracleSql ++ TelemetryQueries.oracleSql ++ InferenceTwoQueries.oracleSql ++ LinkageQueries.oracleSql ++ SystemsQueries.oracleSql ++ AlgorithmQueries.oracleSql ++ OptimalityQueries.oracleSql ++ MatchingQueries.oracleSql ++ SlidingSketchQueries.oracleSql ++ DriftQueries.oracleSql ++ CostQueries.oracleSql ++ SamplingEconQueries.oracleSql ++ CurveQueries.oracleSql ++ LatticeQueries.oracleSql ++ AdvisorTwoQueries.oracleSql ++ IntegrityTwoQueries.oracleSql ++ EmpiricalQueries.oracleSql ++ SequentialQueries.oracleSql ++ ResourceQueries.oracleSql ++ OrderTheoryQueries.oracleSql ++ ReplicationQueries.oracleSql ++ GeometryQueries.oracleSql ++ AuctionGraphQueries.oracleSql ++ ConvergenceQueries.oracleSql ++ RoutingQueries.oracleSql ++ NumberQueries.oracleSql ++ PrimalityQueries.oracleSql ++ CuckooQueries.oracleSql ++ ElectionQueries.oracleSql ++ AvailabilityQueries.oracleSql ++ RecoveryQueries.oracleSql ++ ContentionQueries.oracleSql ++ ChecksumQueries.oracleSql ++ SortNetQueries.oracleSql ++ LfsrQueries.oracleSql ++ FolkloreQueries.oracleSql ++ RamseyQueries.oracleSql ++ NimQueries.oracleSql ++ NumberTheoryQueries.oracleSql ++ EuclidQueries.oracleSql ++ CombinatoricsQueries.oracleSql ++ NecklaceQueries.oracleSql ++ BaselQueries.oracleSql ++ KaprekarQueries.oracleSql
+      EvalQueries.oracleSql ++ SignalQueries.oracleSql ++ RobustQueries.oracleSql ++ LakeQueries.oracleSql ++ MaintQueries.oracleSql ++ ServiceQueries.oracleSql ++ TemporalQueries.oracleSql ++ ProfileQueries.oracleSql ++ IntegrityQueries.oracleSql ++ SearchQueries.oracleSql ++ PlannerQueries.oracleSql ++ FlowQueries.oracleSql ++ QualityQueries.oracleSql ++ ModelQueries.oracleSql ++ TrustQueries.oracleSql ++ PrepQueries.oracleSql ++ PathQueries.oracleSql ++ CalendarQueries.oracleSql ++ MasterQueries.oracleSql ++ OpsQueries.oracleSql ++ TuneQueries.oracleSql ++ ReconQueries.oracleSql ++ MixtureQueries.oracleSql ++ RankEvalQueries.oracleSql ++ CorpusHealthQueries.oracleSql ++ TrendQueries.oracleSql ++ GraphLinkQueries.oracleSql ++ VectorGeomQueries.oracleSql ++ FeedbackQueries.oracleSql ++ EpochQueries.oracleSql ++ DecisionQueries.oracleSql ++ SignalsTwoQueries.oracleSql ++ ExperimentQueries.oracleSql ++ StreamTwoQueries.oracleSql ++ PlannerTwoQueries.oracleSql ++ StatsQueries.oracleSql ++ ForecastScienceQueries.oracleSql ++ RetrievalLakeQueries.oracleSql ++ TextScienceQueries.oracleSql ++ AssuranceQueries.oracleSql ++ SemanticsQueries.oracleSql ++ SupplyQueries.oracleSql ++ ReliabilityQueries.oracleSql ++ DecisionTwoQueries.oracleSql ++ TimePriceQueries.oracleSql ++ EstimatorQueries.oracleSql ++ MiningQueries.oracleSql ++ SeasonQueries.oracleSql ++ IntervalQueries.oracleSql ++ ImpactQueries.oracleSql ++ ConsistencyQueries.oracleSql ++ BridgeQueries.oracleSql ++ GreedyQueries.oracleSql ++ RankMetricsQueries.oracleSql ++ ParityQueries.oracleSql ++ ControlQueries.oracleSql ++ AdvisorQueries.oracleSql ++ GuardrailQueries.oracleSql ++ DisclosureQueries.oracleSql ++ VarianceQueries.oracleSql ++ SketchQueries.oracleSql ++ InferenceQueries.oracleSql ++ TelemetryQueries.oracleSql ++ InferenceTwoQueries.oracleSql ++ LinkageQueries.oracleSql ++ SystemsQueries.oracleSql ++ AlgorithmQueries.oracleSql ++ OptimalityQueries.oracleSql ++ MatchingQueries.oracleSql ++ SlidingSketchQueries.oracleSql ++ DriftQueries.oracleSql ++ CostQueries.oracleSql ++ SamplingEconQueries.oracleSql ++ CurveQueries.oracleSql ++ LatticeQueries.oracleSql ++ AdvisorTwoQueries.oracleSql ++ IntegrityTwoQueries.oracleSql ++ EmpiricalQueries.oracleSql ++ SequentialQueries.oracleSql ++ ResourceQueries.oracleSql ++ OrderTheoryQueries.oracleSql ++ ReplicationQueries.oracleSql ++ GeometryQueries.oracleSql ++ AuctionGraphQueries.oracleSql ++ ConvergenceQueries.oracleSql ++ RoutingQueries.oracleSql ++ NumberQueries.oracleSql ++ PrimalityQueries.oracleSql ++ CuckooQueries.oracleSql ++ ElectionQueries.oracleSql ++ AvailabilityQueries.oracleSql ++ RecoveryQueries.oracleSql ++ ContentionQueries.oracleSql ++ ChecksumQueries.oracleSql ++ SortNetQueries.oracleSql ++ LfsrQueries.oracleSql ++ FolkloreQueries.oracleSql ++ RamseyQueries.oracleSql ++ NimQueries.oracleSql ++ NumberTheoryQueries.oracleSql ++ EuclidQueries.oracleSql ++ CombinatoricsQueries.oracleSql ++ NecklaceQueries.oracleSql ++ BaselQueries.oracleSql ++ KaprekarQueries.oracleSql ++ ErasureQueries.oracleSql
 
   private def relationalOracles: Map[String, String] = Map(
     "q49_approx_distinct" ->
