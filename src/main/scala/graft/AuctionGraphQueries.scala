@@ -242,7 +242,7 @@ object AuctionGraphQueries {
 
     "q491_ktruss" -> {
       def roundCte(prev: String, cur: String): String =
-        s"""$cur AS (SELECT e.a, e.b FROM $prev e
+        s"""$cur AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
            |  JOIN (SELECT x.v AS a, y.v AS b, COUNT(*) AS sup
            |    FROM (SELECT a AS u, b AS v FROM $prev
            |          UNION ALL SELECT b, a FROM $prev) x
@@ -253,16 +253,16 @@ object AuctionGraphQueries {
            |  ON e.a = s.a AND e.b = s.b AND s.sup >= 1)""".stripMargin
       TextQueries.sigCte +
         s""",
-        |bands AS (SELECT doc_id, 0 AS band_id, b0 AS bucket FROM sigs
+        |bands AS MATERIALIZED (SELECT doc_id, 0 AS band_id, b0 AS bucket FROM sigs
         |          UNION ALL SELECT doc_id, 1, b1 FROM sigs),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |         FROM bands x JOIN bands y
         |           ON x.band_id = y.band_id AND x.bucket = y.bucket
         |             AND x.doc_id < y.doc_id),
-        |wt AS (SELECT doc_id,
+        |wt AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(${graft.functions.TextFunctions.sqlTokens("text")})
         |      AS ts FROM documents),
-        |e0 AS (SELECT DISTINCT doc_a AS a, doc_b AS b
+        |e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b
         |  FROM cand JOIN wt x ON doc_a = x.doc_id JOIN wt y ON doc_b = y.doc_id
         |  WHERE len(list_intersect(x.ts, y.ts)) * 1000000
         |    // (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))

@@ -44,22 +44,54 @@ object CostQueries {
     s"(case when ${nrS(i)} = 4L then element_at(acc.b, $i) + ${crBS(i)} " +
       "else 0L end)").mkString(" + ")
 
-  // ── tiered cascade (DuckDB dialect) ──────────────────────────────────
-  private def nrD(i: Int): String = s"(r.st.r[$i] + ${crRD(i)})"
-  private def crRD(i: Int): String =
-    if (i == 1) "1::BIGINT"
-    else s"(CASE WHEN ${nrD(i - 1)} = 4 THEN 1 ELSE 0 END)"
-  private def crBD(i: Int): String =
-    if (i == 1) "s.f"
-    else s"(CASE WHEN ${nrD(i - 1)} = 4 THEN r.st.b[${i - 1}] + " +
-      s"${crBD(i - 1)} ELSE 0 END)"
-  private def rNewD(i: Int) =
-    s"(CASE WHEN ${nrD(i)} = 4 THEN 0 ELSE ${nrD(i)} END)"
-  private def bNewD(i: Int) =
-    s"(CASE WHEN ${nrD(i)} = 4 THEN 0 ELSE r.st.b[$i] + ${crBD(i)} END)"
-  private def wGainD: String = "s.f + " + (1 to 7).map(i =>
-    s"(CASE WHEN ${nrD(i)} = 4 THEN r.st.b[$i] + ${crBD(i)} ELSE 0 END)")
-    .mkString(" + ")
+  // ── tiered cascade (DuckDB dialect, LINEAR form) ─────────────────────
+  // The Spark-dialect generators above are textually recursive (crBS(i)
+  // inlines two copies of level i−1 → 2^7 subexpression copies); fine
+  // for one 2,400-element fold, lethal inside a 2,400-step recursive
+  // CTE where DuckDB evaluates every copy (the r10 oracle took 74 s at
+  // ANY scale — the recursion is calendar-bounded). Here each level is
+  // computed ONCE in a chain of nested subqueries carrying (carry-run
+  // cr_i, carry-bytes cb_i) forward — identical semantics, linear text.
+  private def tieredStepD: String = {
+    val inner = "SELECT s.i, s.f, r.st.r AS rr, r.st.b AS bb, r.st.w AS w0, " +
+      "1::BIGINT AS cr1, s.f AS cb1 " +
+      "FROM rec r JOIN seq s ON s.i = r.i + 1"
+    val nested = (1 to 7).foldLeft(inner) { (acc, i) =>
+      val full = s"rr[$i] + cr$i = 4"
+      val carry =
+        if (i == 7) ""
+        else s", CASE WHEN $full THEN 1 ELSE 0 END AS cr${i + 1}" +
+          s", CASE WHEN $full THEN bb[$i] + cb$i ELSE 0 END AS cb${i + 1}"
+      s"SELECT *, CASE WHEN $full THEN 0 ELSE rr[$i] + cr$i END AS rn$i, " +
+        s"CASE WHEN $full THEN 0 ELSE bb[$i] + cb$i END AS bn$i, " +
+        s"CASE WHEN $full THEN bb[$i] + cb$i ELSE 0 END AS g$i$carry " +
+        s"FROM ($acc)"
+    }
+    val rNew = (1 to 7).map(i => s"rn$i").mkString(", ")
+    val bNew = (1 to 7).map(i => s"bn$i").mkString(", ")
+    val gain = (1 to 7).map(i => s"g$i").mkString(" + ")
+    s"SELECT i, struct_pack(r := [$rNew]::BIGINT[], b := [$bNew]::BIGINT[], " +
+      s"w := w0 + f + $gain) AS st FROM ($nested)"
+  }
+
+  /** Leveled spill chain, DuckDB linear form (same rationale). */
+  private def leveledStepD: String = {
+    val inner = "SELECT s.i, s.f, r.st.s AS ss, r.st.w AS w0, r.st.k AS k0, " +
+      "s.f AS in1 FROM lrec r JOIN seq s ON s.i = r.i + 1"
+    val nested = (1 to 3).foldLeft(inner) { (acc, i) =>
+      val cap = C * math.pow(10, i - 1).toLong
+      val sp = s"ss[$i] + in$i > $cap"
+      s"SELECT *, CASE WHEN $sp THEN 0 ELSE ss[$i] + in$i END AS sn$i, " +
+        s"CASE WHEN $sp THEN ss[$i] + in$i + ss[${i + 1}] ELSE 0 END AS g$i, " +
+        s"CASE WHEN $sp THEN 1 ELSE 0 END AS spl$i, " +
+        s"CASE WHEN $sp THEN ss[$i] + in$i ELSE 0 END AS in${i + 1} " +
+        s"FROM ($acc)"
+    }
+    val sNew = (1 to 3).map(i => s"sn$i").mkString(", ") + ", ss[4] + in4"
+    s"SELECT i, struct_pack(s := [$sNew]::BIGINT[], " +
+      "w := w0 + f + g1 + g2 + g3, k := k0 + spl1 + spl2 + spl3) AS st " +
+      s"FROM ($nested)"
+  }
 
   // ── leveled spill chain (4 levels, capacity C·10^(i−1)) ──────────────
   private val C = 500L
@@ -78,22 +110,6 @@ object CostQueries {
       "else 0L end)").mkString(" + ")
   private def lvSpillsS: String = (1 to 3).map(i =>
     s"(case when ${spS(i)} then 1L else 0L end)").mkString(" + ")
-
-  private def sTmpD(i: Int): String =
-    if (i == 1) "(r.st.s[1] + s.f)"
-    else s"(r.st.s[$i] + ${spillInD(i)})"
-  private def spD(i: Int): String =
-    s"(${sTmpD(i)} > ${C * math.pow(10, i - 1).toLong})"
-  private def spillInD(i: Int): String =
-    s"(CASE WHEN ${spD(i - 1)} THEN ${sTmpD(i - 1)} ELSE 0 END)"
-  private def sNewD(i: Int): String =
-    if (i == 4) sTmpD(4)
-    else s"(CASE WHEN ${spD(i)} THEN 0 ELSE ${sTmpD(i)} END)"
-  private def lvGainD: String = "s.f + " + (1 to 3).map(i =>
-    s"(CASE WHEN ${spD(i)} THEN ${sTmpD(i)} + r.st.s[${i + 1}] ELSE 0 END)")
-    .mkString(" + ")
-  private def lvSpillsD: String = (1 to 3).map(i =>
-    s"(CASE WHEN ${spD(i)} THEN 1 ELSE 0 END)").mkString(" + ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -268,20 +284,12 @@ object CostQueries {
         |      r := [0,0,0,0,0,0,0]::BIGINT[], b := [0,0,0,0,0,0,0]::BIGINT[],
         |      w := 0::BIGINT) AS st
         |  UNION ALL
-        |  SELECT s.i, struct_pack(
-        |      r := [${(1 to 7).map(rNewD).mkString(", ")}]::BIGINT[],
-        |      b := [${(1 to 7).map(bNewD).mkString(", ")}]::BIGINT[],
-        |      w := r.st.w + $wGainD)
-        |  FROM rec r JOIN seq s ON s.i = r.i + 1),
+        |  $tieredStepD),
         |lrec AS (
         |  SELECT 0::BIGINT AS i, struct_pack(
         |      s := [0,0,0,0]::BIGINT[], w := 0::BIGINT, k := 0::BIGINT) AS st
         |  UNION ALL
-        |  SELECT s.i, struct_pack(
-        |      s := [${(1 to 4).map(sNewD).mkString(", ")}]::BIGINT[],
-        |      w := r.st.w + $lvGainD,
-        |      k := r.st.k + $lvSpillsD)
-        |  FROM lrec r JOIN seq s ON s.i = r.i + 1),
+        |  $leveledStepD),
         |tfin AS (SELECT st.w AS tiered_written FROM rec, nf
         |         WHERE rec.i = nf.n_flushes),
         |lfin AS (SELECT st.w AS leveled_written, st.k AS n_spills

@@ -340,24 +340,24 @@ object EvalQueries {
 
     "q183_kcore_peel" -> {
       val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
-      s"""WITH e0 AS (SELECT doc_a, doc_b FROM ($q23)),
-         |d1 AS (SELECT id, COUNT(*) AS deg FROM (
+      s"""WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q23)),
+         |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
          |         SELECT doc_a AS id FROM e0 UNION ALL SELECT doc_b FROM e0)
          |       GROUP BY id),
-         |k1 AS (SELECT id FROM d1 WHERE deg >= 2),
-         |e1 AS (SELECT doc_a, doc_b FROM e0
+         |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE deg >= 2),
+         |e1 AS MATERIALIZED (SELECT doc_a, doc_b FROM e0
          |       WHERE doc_a IN (SELECT id FROM k1) AND doc_b IN (SELECT id FROM k1)),
-         |d2 AS (SELECT id, COUNT(*) AS deg FROM (
+         |d2 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
          |         SELECT doc_a AS id FROM e1 UNION ALL SELECT doc_b FROM e1)
          |       GROUP BY id),
-         |k2 AS (SELECT id FROM d2 WHERE deg >= 2),
-         |e2 AS (SELECT doc_a, doc_b FROM e1
+         |k2 AS MATERIALIZED (SELECT id FROM d2 WHERE deg >= 2),
+         |e2 AS MATERIALIZED (SELECT doc_a, doc_b FROM e1
          |       WHERE doc_a IN (SELECT id FROM k2) AND doc_b IN (SELECT id FROM k2)),
-         |d3 AS (SELECT id, COUNT(*) AS deg FROM (
+         |d3 AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
          |         SELECT doc_a AS id FROM e2 UNION ALL SELECT doc_b FROM e2)
          |       GROUP BY id),
-         |k3 AS (SELECT id FROM d3 WHERE deg >= 2),
-         |e3 AS (SELECT doc_a, doc_b FROM e2
+         |k3 AS MATERIALIZED (SELECT id FROM d3 WHERE deg >= 2),
+         |e3 AS MATERIALIZED (SELECT doc_a, doc_b FROM e2
          |       WHERE doc_a IN (SELECT id FROM k3) AND doc_b IN (SELECT id FROM k3))
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS round,

@@ -33,8 +33,15 @@ object ImpactQueries {
     // from train baskets only — no leakage); rank top-5 deterministic
     // (score desc, part asc), hit@5 + MRR_e4 (rank > 5 → 0). Eligible
     // users: ≥ 2 distinct purchase events. Co-matrix work is bounded
-    // by basket sizes (q198's shape), per-user scoring by the user's
-    // own history — never corpus².
+    // by basket sizes (q198's shape). The co-matrix is truncated to
+    // each item's TOP-K=50 strongest neighbors (w desc, pb asc) BEFORE
+    // the scoring join — q207's item-CF discipline — so scoring fan-out
+    // is ≤ 50·|train| instead of Σ_p degree(p), which is superlinear
+    // under popularity skew (the r10 verdict's one scale-killer: this
+    // query was 130.7 s / 24 % of the bench and its oracle spilled past
+    // 32 GB before the truncation). Production item-CF serves from a
+    // truncated neighbor list anyway; the eval now measures the system
+    // a user would actually ship.
     "q377_rec_eval" -> ((s, dir) => {
       val cp = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
@@ -55,7 +62,11 @@ object ImpactQueries {
           col("x.c") === col("y.c") && col("x.p") =!= col("y.p"))
         .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
         .agg(count(lit(1)).as("w"))
-      val scores = train.join(co0, col("p") === col("pa"))
+      // top-K neighbor truncation: one extra shuffle on pa, bounded output
+      val coK = co0.withColumn("nrk", row_number().over(
+          Window.partitionBy("pa").orderBy(col("w").desc, col("pb").asc)))
+        .filter(col("nrk") <= 50).drop("nrk")
+      val scores = train.join(coK, col("p") === col("pa"))
         .groupBy(col("c").as("sc"), col("pb").as("cand"))
         .agg(sum("w").as("score"))
       // drop candidates the user already owns (train parts)
@@ -201,9 +212,12 @@ object ImpactQueries {
         |co AS (SELECT x.p AS pa, y.p AS pb, COUNT(*) AS w
         |       FROM train x JOIN train y ON x.c = y.c AND x.p != y.p
         |       GROUP BY x.p, y.p),
-        |scores AS (SELECT train.c AS sc, co.pb AS cand, SUM(w) AS score
-        |           FROM train JOIN co ON train.p = co.pa
-        |           GROUP BY train.c, co.pb),
+        |cok AS (SELECT pa, pb, w FROM
+        |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY pa ORDER BY w DESC, pb) AS nrk
+        |           FROM co) t WHERE nrk <= 50),
+        |scores AS (SELECT train.c AS sc, cok.pb AS cand, SUM(w) AS score
+        |           FROM train JOIN cok ON train.p = cok.pa
+        |           GROUP BY train.c, cok.pb),
         |fresh AS (SELECT * FROM scores WHERE NOT EXISTS
         |            (SELECT 1 FROM train t WHERE t.c = scores.sc AND t.p = scores.cand)),
         |top AS (SELECT * FROM

@@ -16,7 +16,7 @@ import graft.functions.TextFunctions.sqlTokens
   * boolean retrieval, and funnel conversion latency.
   *
   * Reference intent: the reference's "retrieval" is SELECT-by-key from
-  * Postgres (services/backend/api/routers/forecast.py); everything here
+  * Postgres (services/forecast-service/app/main.py); everything here
   * is the corpus-scale generalisation, same disciplines as the rest of
   * the repo — banded/filtered candidates instead of all-pairs, one
   * wide shuffle per operator, scaled-BIGINT scores the DuckDB oracle

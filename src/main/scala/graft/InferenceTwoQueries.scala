@@ -336,46 +336,40 @@ object InferenceTwoQueries {
         |GROUP BY b.g, b.n, b.lo_rank, b.hi_rank
         |ORDER BY b.g""".stripMargin,
 
+    // The oracle deliberately does NOT replay the Spark fold: the SPRT
+    // llr is a prefix sum and the stopping decision is its FIRST
+    // bound-crossing, so the whole sequential test collapses to one
+    // windowed cumulative sum + MIN(i) over crossings — an independent
+    // closed form that must agree with the fold sample-for-sample (the
+    // r10 recursive replay re-ran the orders⋈customer join once per
+    // recursion step and took 181 s at sf0.1; this runs in under a
+    // second and is a stronger check because the two formulations share
+    // no code shape).
     "q436_sprt" ->
-      """WITH RECURSIVE o AS (SELECT c.c_nationkey AS g,
+      """WITH o AS MATERIALIZED (SELECT c.c_nationkey AS g,
         |    o.o_orderkey AS k, CAST(o.o_orderdate AS DATE) AS d,
         |    CASE WHEN CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) <= 2
         |         THEN 1 ELSE 0 END AS y
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |seq AS (SELECT g, k, d, y,
-        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d, k) AS i FROM o),
+        |seq AS MATERIALIZED (SELECT g, y,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d, k) AS i,
+        |    SUM(CASE WHEN y = 1 THEN 100083 ELSE -66691 END)
+        |      OVER (PARTITION BY g ORDER BY d, k
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM o),
         |ng AS (SELECT g, COUNT(*) AS n, SUM(y) AS s FROM o GROUP BY g),
-        |rec AS (
-        |  SELECT g, i,
-        |    CASE WHEN y = 1 THEN 100083 ELSE -66691 END AS llr,
-        |    CASE WHEN (CASE WHEN y = 1 THEN 100083 ELSE -66691 END) >= 2944439
-        |         THEN 2 WHEN (CASE WHEN y = 1 THEN 100083 ELSE -66691 END)
-        |           <= -2944439 THEN 1 ELSE 0 END AS dec,
-        |    0::BIGINT AS nd, 1::BIGINT AS ii
-        |  FROM seq WHERE i = 1
-        |  UNION ALL
-        |  SELECT s2.g, s2.i,
-        |    CASE WHEN r.dec != 0 THEN r.llr
-        |         ELSE r.llr + CASE WHEN s2.y = 1 THEN 100083 ELSE -66691 END
-        |    END,
-        |    CASE WHEN r.dec != 0 THEN r.dec
-        |         WHEN r.llr + CASE WHEN s2.y = 1 THEN 100083 ELSE -66691 END
-        |           >= 2944439 THEN 2
-        |         WHEN r.llr + CASE WHEN s2.y = 1 THEN 100083 ELSE -66691 END
-        |           <= -2944439 THEN 1 ELSE 0 END,
-        |    CASE WHEN r.dec != 0 THEN r.nd
-        |         WHEN r.llr + CASE WHEN s2.y = 1 THEN 100083 ELSE -66691 END
-        |             >= 2944439
-        |           OR r.llr + CASE WHEN s2.y = 1 THEN 100083 ELSE -66691 END
-        |             <= -2944439 THEN r.ii + 1 ELSE 0 END,
-        |    CASE WHEN r.dec != 0 THEN r.ii ELSE r.ii + 1 END
-        |  FROM rec r JOIN seq s2 ON s2.g = r.g AND s2.i = r.i + 1),
-        |fin AS (SELECT r.g, r.llr, r.dec, r.nd FROM rec r
-        |        JOIN ng ON r.g = ng.g WHERE r.i = ng.n)
+        |cr AS (SELECT g, MIN(i) AS istar FROM seq
+        |       WHERE cum >= 2944439 OR cum <= -2944439 GROUP BY g),
+        |dec AS (SELECT s.g, s.i AS nd, s.cum,
+        |    CASE WHEN s.cum >= 2944439 THEN 2 ELSE 1 END AS decision
+        |  FROM seq s JOIN cr ON s.g = cr.g AND s.i = cr.istar),
+        |lastv AS (SELECT s.g, s.cum AS cum_last
+        |  FROM seq s JOIN ng ON s.g = ng.g AND s.i = ng.n)
         |SELECT ng.g, CAST(ng.n AS BIGINT) AS n, CAST(ng.s AS BIGINT) AS s,
-        |  CAST(fin.dec AS BIGINT) AS decision,
-        |  CAST(fin.nd AS BIGINT) AS n_at_decision,
-        |  CAST(fin.llr AS BIGINT) AS llr_final_e6
-        |FROM fin JOIN ng ON fin.g = ng.g ORDER BY ng.g""".stripMargin
+        |  CAST(COALESCE(dec.decision, 0) AS BIGINT) AS decision,
+        |  CAST(COALESCE(dec.nd, 0) AS BIGINT) AS n_at_decision,
+        |  CAST(COALESCE(dec.cum, lastv.cum_last) AS BIGINT) AS llr_final_e6
+        |FROM ng LEFT JOIN dec ON ng.g = dec.g
+        |JOIN lastv ON ng.g = lastv.g ORDER BY ng.g""".stripMargin
   )
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * document round-trip.
   *
   * Reference intent: the reference stores rows in Postgres and JSON on
-  * Kafka (services/backend, spark_streaming.py) — at 100 TB the same
+  * Kafka (services/forecast-service/app/main.py, spark_streaming.py) — at 100 TB the same
   * data lives in evolving parquet snapshots and document blobs, vector
   * indexes answer dot-product queries, and the sales domain's own
   * classic (which products sell together) becomes a corpus-scale

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** LFSR wave (round 10, ninety-seventh wave): maximal period by
-  * Lagrange's theorem.
+/** LFSR wave (round 10, ninety-seventh wave; round 11 rewrite):
+  * maximal period by Lagrange's theorem, certified by JUMP-AHEAD.
   *
   * q508 certifies that the 16-bit Galois LFSR with taps 0xB400 (the
   * primitive polynomial x¹⁶+x¹⁴+x¹³+x¹¹+1 — the classic PRNG/scramb-
@@ -13,46 +13,82 @@ import org.apache.spark.sql.functions._
   * the group order 65535 = 3·5·17·257 (Lagrange), so period = 65535
   * iff x returns to the seed at 65535 AND differs from it at the
   * four maximal proper divisors 65535/p = 21845, 13107, 3855, 255.
-  * One 65535-step fold per seed carries the state and snapshots it
-  * at those five checkpoints; 16 hash-drawn nonzero seeds from order
-  * keys all certify, plus the step-function sanity (state never 0,
-  * always < 2¹⁶). The same 65535-step recursion runs in DuckDB, and
-  * the driver replays one full orbit imperatively.
+  *
+  * Round-11 rewrite: the r10 version ran a 65535-step higher-order
+  * fold per seed (HOFs are CodegenFallback → interpreted; 9.9 s of
+  * bench for 16 seeds) and a 65535-level recursive CTE in the oracle.
+  * The LFSR step is LINEAR over GF(2), so state-after-k-steps is a
+  * 16×16 bit-matrix power applied to the seed: M^k is precomputed in
+  * Scala at plan-build time (k ∈ {255, 3855, 13107, 21845, 65535} —
+  * five 16-entry literal tables), and each checkpoint state is 16
+  * codegen'd mask-and-XOR terms. This jump-ahead is the same
+  * mechanism a distributed PRNG uses to give every partition its own
+  * substream without replaying the generator — the actually
+  * scale-relevant form of the operator. The range sanity (state
+  * nonzero, < 2¹⁶) is checked at the five checkpoint states; the
+  * spec (LfsrSpec) certifies the matrix powers against an imperative
+  * full-orbit replay, so the shortcut itself is gated.
   */
 object LfsrQueries {
 
   private val Taps = 46080L // 0xB400
-  private val Checks = Seq(255L, 3855L, 13107L, 21845L)
+  private val Checks = Seq(255L, 3855L, 13107L, 21845L, 65535L)
+
+  /** Image of each basis state 2^i under one Galois step. */
+  private def stepMatrix: Array[Long] =
+    Array.tabulate(16)(i => { val x = 1L << i; (x >> 1) ^ ((x & 1L) * Taps) })
+
+  /** Compose linear maps a∘b (apply b, then a), each as basis images. */
+  private def compose(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.map(img => (0 until 16).foldLeft(0L)((acc, j) =>
+      if (((img >> j) & 1L) == 1L) acc ^ a(j) else acc))
+
+  /** M^k by square-and-multiply over GF(2). */
+  private def matPow(k: Long): Array[Long] = {
+    var result = Array.tabulate(16)(i => 1L << i) // identity
+    var base = stepMatrix
+    var e = k
+    while (e > 0) {
+      if ((e & 1L) == 1L) result = compose(base, result)
+      base = compose(base, base)
+      e >>= 1
+    }
+    result
+  }
+
+  /** SQL for M^k applied to column `seed`: XOR of the basis images the
+    * seed's bits select. Pure bit arithmetic — whole-stage codegen.
+    * Dialects differ: Spark XORs with `^` (DuckDB's `^` is POWER) and
+    * shifts via shiftright(); DuckDB XORs with xor() and shifts via
+    * `>>`. */
+  private def jumpSparkSql(k: Long): String =
+    matPow(k).zipWithIndex.map { case (img, i) =>
+      s"((shiftright(seed, $i) & 1L) * ${img}L)"
+    }.reduce((a, b) => s"($a ^ $b)")
+
+  private def jumpDuckSql(k: Long): String =
+    matPow(k).zipWithIndex.map { case (img, i) =>
+      s"(((seed >> $i) & 1) * $img)"
+    }.reduce((a, b) => s"xor($a, $b)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ── G453: LFSR maximal-period certificate ──────────────────────────
+    // ── G453: LFSR maximal-period certificate (jump-ahead form) ────────
     "q508_lfsr_period" -> ((s, dir) => {
-      val step = s"((acc.x div 2L) ^ ((acc.x % 2L) * ${Taps}L))"
-      val snaps = Checks.map(c => s"'c$c', case when z = ${c}L then " +
-        s"$step else acc.c$c end")
-        .mkString(",\n|    ")
-      val fold =
-        s"""aggregate(sequence(1, 65535),
-           |  named_struct('x', seed, ${Checks.map(c => s"'c$c', 0L")
-              .mkString(", ")}, 'bad', 0L),
-           |  (acc, z) -> named_struct(
-           |    'x', $step,
-           |    $snaps,
-           |    'bad', acc.bad + (case when $step = 0L or $step >= 65536L
-           |      then 1L else 0L end)))""".stripMargin
+      val snapCols = Checks.map(c => expr(jumpSparkSql(c)).as(s"x$c"))
       val seeds = Tables.orders(s, dir)
         .filter(expr("pmod(md5_60(concat('sd:', cast(o_orderkey as string))), " +
           "937) = 0"))
         .select(col("o_orderkey").as("k"),
           expr("pmod(md5_60(concat('seed:', cast(o_orderkey as string))), " +
             "65535) + 1").as("seed"))
-      val run = seeds.withColumn("st", expr(fold))
+      val run = seeds.select(col("k") +: col("seed") +: snapCols: _*)
         .select(col("k"), col("seed"),
-          expr("st.x").as("x_full"),
-          expr("st.bad").as("n_range_violations"),
-          expr("case when st.x = seed then 1L else 0L end").as("returns"),
-          expr("case when " + Checks.map(c => s"st.c$c != seed")
+          col("x65535").as("x_full"),
+          expr(Checks.map(c => s"case when x$c = 0L or x$c >= 65536L " +
+            "then 1L else 0L end").mkString(" + ")).as("n_range_violations"),
+          expr("case when x65535 = seed then 1L else 0L end").as("returns"),
+          expr("case when " + Checks.init.map(c => s"x$c != seed")
             .mkString(" and ") + " then 1L else 0L end").as("divisors_clear"))
       run.agg(count(lit(1)).as("n_seeds"),
           sum("returns").as("n_return_at_65535"),
@@ -69,38 +105,27 @@ object LfsrQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    def jump(k: Long) = jumpDuckSql(k)
+    Map(
 
     "q508_lfsr_period" ->
-      s"""WITH RECURSIVE seeds AS (SELECT o_orderkey AS k,
+      s"""WITH seeds AS (SELECT o_orderkey AS k,
         |    CAST('0x' || substr(md5('seed:' || CAST(o_orderkey AS VARCHAR)),
         |      1, 15) AS BIGINT) % 65535 + 1 AS seed
         |  FROM orders
         |  WHERE CAST('0x' || substr(md5('sd:' || CAST(o_orderkey AS VARCHAR)),
         |    1, 15) AS BIGINT) % 937 = 0),
-        |rec AS (
-        |  SELECT k, seed, 0::BIGINT AS i, seed AS x,
-        |    ${Checks.map(c => s"0::BIGINT AS c$c").mkString(", ")},
-        |    0::BIGINT AS bad
-        |  FROM seeds
-        |  UNION ALL
-        |  SELECT z.k, z.seed, z.i, z.nx,
-        |    ${Checks.map(c =>
-             s"CASE WHEN z.i = $c THEN z.nx ELSE z.c$c END").mkString(",\n|    ")},
-        |    z.bad + (CASE WHEN z.nx = 0 OR z.nx >= 65536 THEN 1 ELSE 0 END)
-        |  FROM (
-        |    SELECT r.k, r.seed, r.i + 1 AS i,
-        |      xor(r.x // 2, (r.x % 2) * $Taps) AS nx,
-        |      ${Checks.map(c => s"r.c$c").mkString(", ")}, r.bad
-        |    FROM rec r WHERE r.i < 65535) z),
-        |fin AS (SELECT k, seed, x,
-        |    ${Checks.map(c => s"c$c").mkString(", ")}, bad
-        |  FROM rec WHERE i = 65535),
-        |per AS (SELECT k, seed, bad,
-        |    CASE WHEN x = seed THEN 1 ELSE 0 END AS returns,
-        |    CASE WHEN ${Checks.map(c => s"c$c != seed").mkString(" AND ")}
+        |snap AS (SELECT k, seed,
+        |    ${Checks.map(c => s"${jump(c)} AS x$c").mkString(",\n        |    ")}
+        |  FROM seeds),
+        |per AS (SELECT k, seed,
+        |    ${Checks.map(c => s"CASE WHEN x$c = 0 OR x$c >= 65536 " +
+             "THEN 1 ELSE 0 END").mkString(" + ")} AS bad,
+        |    CASE WHEN x65535 = seed THEN 1 ELSE 0 END AS returns,
+        |    CASE WHEN ${Checks.init.map(c => s"x$c != seed").mkString(" AND ")}
         |      THEN 1 ELSE 0 END AS divisors_clear
-        |  FROM fin)
+        |  FROM snap)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds,
         |  CAST(SUM(returns) AS BIGINT) AS n_return_at_65535,
         |  CAST(SUM(divisors_clear) AS BIGINT) AS n_divisors_clear,
@@ -111,5 +136,9 @@ object LfsrQueries {
         |  bit_xor(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
         |    CAST(seed AS VARCHAR)), 1, 15) AS BIGINT)) AS xor60_seeds
         |FROM per""".stripMargin
-  )
+    )
+  }
+
+  /** Exposed for LfsrSpec: certify M^k against imperative stepping. */
+  private[graft] def matPowFor(k: Long): Array[Long] = matPow(k)
 }

@@ -155,31 +155,31 @@ object MatchingQueries {
     Map(
 
     "q450_stable_matching" ->
-      s"""WITH RECURSIVE base AS (
+      s"""WITH RECURSIVE base AS MATERIALIZED (
         |  SELECT c.c_nationkey + 1 AS i, l.l_suppkey AS skey,
         |    CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS v
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey),
-        |w AS (SELECT i, skey, SUM(v) AS w0 FROM base GROUP BY i, skey),
-        |top AS (SELECT skey, ROW_NUMBER() OVER (ORDER BY skey) AS sidx
+        |w AS MATERIALIZED (SELECT i, skey, SUM(v) AS w0 FROM base GROUP BY i, skey),
+        |top AS MATERIALIZED (SELECT skey, ROW_NUMBER() OVER (ORDER BY skey) AS sidx
         |  FROM (SELECT skey, SUM(w0) AS tw FROM w GROUP BY skey
         |        ORDER BY tw DESC, skey LIMIT 25) t),
-        |grid AS (SELECT n.i, top.skey, top.sidx, COALESCE(w.w0, 0) AS wv
+        |grid AS MATERIALIZED (SELECT n.i, top.skey, top.sidx, COALESCE(w.w0, 0) AS wv
         |  FROM (SELECT n_nationkey + 1 AS i FROM nation) n
         |  CROSS JOIN top
         |  LEFT JOIN w ON w.i = n.i AND w.skey = top.skey),
-        |pnr AS (SELECT i, list(sidx ORDER BY wv DESC, sidx) AS lst
+        |pnr AS MATERIALIZED (SELECT i, list(sidx ORDER BY wv DESC, sidx) AS lst
         |        FROM grid GROUP BY i),
-        |pn1 AS (SELECT list_transform(list_sort(list(struct_pack(
+        |pn1 AS MATERIALIZED (SELECT list_transform(list_sort(list(struct_pack(
         |    i := i, lst := lst))), z -> z.lst) AS pn FROM pnr),
-        |rsr AS (SELECT sidx, list(i ORDER BY wv DESC, i) AS onj
+        |rsr AS MATERIALIZED (SELECT sidx, list(i ORDER BY wv DESC, i) AS onj
         |        FROM grid GROUP BY sidx),
-        |rsx AS (SELECT sidx, list_transform(range(1, 26),
+        |rsx AS MATERIALIZED (SELECT sidx, list_transform(range(1, 26),
         |    ii -> list_position(onj, ii)) AS rnk FROM rsr),
-        |rs1 AS (SELECT list_transform(list_sort(list(struct_pack(
+        |rs1 AS MATERIALIZED (SELECT list_transform(list_sort(list(struct_pack(
         |    sidx := sidx, rnk := rnk))), z -> z.rnk) AS rs FROM rsx),
-        |ns AS (SELECT COUNT(*) AS n_sup FROM top),
-        |mats AS (SELECT pn1.pn, rs1.rs, ns.n_sup FROM pn1, rs1, ns),
+        |ns AS MATERIALIZED (SELECT COUNT(*) AS n_sup FROM top),
+        |mats AS MATERIALIZED (SELECT pn1.pn, rs1.rs, ns.n_sup FROM pn1, rs1, ns),
         |it AS (
         |  SELECT 0::BIGINT AS step,
         |    struct_pack(np := list_transform(range(1, 26), x -> 0::BIGINT),

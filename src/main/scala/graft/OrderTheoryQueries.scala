@@ -240,24 +240,24 @@ object OrderTheoryQueries {
     "q481_weighted_majority" -> {
       val upW = (1 to 5).map(i => s"r.w[$i] * s.e$i").mkString(" + ")
       val totW = (1 to 5).map(i => s"r.w[$i]").mkString(" + ")
-      s"""WITH RECURSIVE vols AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      s"""WITH RECURSIVE vols AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d,
         |    COUNT(*) AS vol,
         |    date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7
         |      + 1 AS dow
         |  FROM orders GROUP BY 1),
-        |lagd AS (SELECT d, vol, dow,
+        |lagd AS MATERIALIZED (SELECT d, vol, dow,
         |    LAG(vol, 1) OVER (ORDER BY d) AS pvol
         |  FROM vols),
-        |upd AS (SELECT d, dow, pvol,
+        |upd AS MATERIALIZED (SELECT d, dow, pvol,
         |    CASE WHEN vol > pvol THEN 1 ELSE 0 END AS up,
         |    LAG(CASE WHEN vol > pvol THEN 1 ELSE 0 END, 1) OVER (ORDER BY d)
         |      AS pup
         |  FROM lagd),
-        |game AS (SELECT d, up, 1 AS e1, 0 AS e2, pup AS e3, 1 - pup AS e4,
+        |game AS MATERIALIZED (SELECT d, up, 1 AS e1, 0 AS e2, pup AS e3, 1 - pup AS e4,
         |    CASE WHEN dow <= 5 THEN 1 ELSE 0 END AS e5,
         |    ROW_NUMBER() OVER (ORDER BY d) AS i
         |  FROM upd WHERE pvol IS NOT NULL AND pup IS NOT NULL),
-        |nd AS (SELECT COUNT(*) AS n_days FROM game),
+        |nd AS MATERIALIZED (SELECT COUNT(*) AS n_days FROM game),
         |rec AS (
         |  SELECT 0::BIGINT AS i,
         |    list_transform(range(1, 6), p -> 1000000000000)::BIGINT[] AS w,

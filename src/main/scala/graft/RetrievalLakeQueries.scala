@@ -12,7 +12,7 @@ import graft.functions.TextFunctions.{tokens, sqlTokens}
   * equivalence, and the as-of join semantics matrix.
   *
   * Reference intent: the reference serves forecasts out of Postgres
-  * (services/backend/app/main.py — point lookups only); a 100-TB
+  * (services/forecast-service/app/main.py — point lookups only); a 100-TB
   * corpus needs the index machinery itself certified: WAND (Broder et
   * al. 2003) is WHY a top-k query can skip most postings, delta-gap
   * varints are WHY a posting list fits in cache, deletion vectors are

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * carries (row, best-so-far) and emits the score histogram. Bounds
   * 0 ≤ best ≤ 2·min(n,m) are certified per user, and the spec replays
   * the full DP in the driver bit-equal. q475 measures Azar et al.'s
-  * (1994) power of two choices on real keys: within each of 32 hash
+  * (1994) power of two choices on real keys: within each of 512 hash
   * shards (the shard fold is sequential; shards are the parallel
   * unit, exactly how a scale-out placement service shards its
-  * balancer state), items arrive in an independent hash order and
+  * balancer state — and the shard count is sized so the sequential
+  * grain stays SHORT: ~300 items/shard at sf0.1, which keeps the
+  * DuckDB oracle's recursive replay at ~300 levels instead of the
+  * ~4,700 that made the r10 gate take half an hour on this query
+  * alone), items arrive in an independent hash order and
   * go to h1 (one-choice) vs the lesser-loaded of {h1, h2}
   * (two-choice greedy). Loads are conserved by construction and the
   * fold certifies it; the famous Θ(log n/log log n) → Θ(log log n)
@@ -34,7 +38,7 @@ object SequentialQueries {
 
   private val Pattern = Seq("signup", "view", "click", "view", "click", "purchase")
   private val Bins = 32 // bins per shard (q475)
-  private val Shards = 32
+  private val Shards = 512 // sized so per-shard fold depth ≈ |orders|/512
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

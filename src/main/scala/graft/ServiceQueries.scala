@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * dwell-time profiles.
   *
   * Reference intent: the reference serves one user-facing product — a
-  * store dashboard backed by Postgres reads (services/backend,
+  * store dashboard backed by Postgres reads (services/forecast-service/app/main.py,
   * web-ui). These operators are the service features the same product
   * grows into: replica repair that ships only the diff, leading-
   * indicator analysis between metric series, "customers also bought"

@@ -51,22 +51,35 @@ object SlidingSketchQueries {
       s"array(element_at(concat($l, $c), 3)) else concat($l, $c) end)"
   }
 
-  private def leD(k: Int) =
-    s"list_filter(r.lv[$k], x -> x > s.i - $W)"
-
-  private def cD(k: Int): String =
-    if (k == 1) "[s.i]"
-    else {
-      val p = cD(k - 1); val l = leD(k - 1)
-      s"(CASE WHEN len($l) + len($p) = 3 THEN [($l || $p)[2]] " +
-        s"ELSE CAST([] AS BIGINT[]) END)"
+  /** DuckDB recursive step, LINEAR form. The Spark fold's textual
+    * recursion (cS/keepS) inlines two copies of level k−1 into level k,
+    * so a direct SQL transliteration is 2^Levels subexpression copies —
+    * DuckDB evaluated them all and the r10 oracle burned 88 s at sf0.01.
+    * Here each level is computed ONCE in a chain of nested subqueries:
+    * m_k = expired(level k) ++ carry_k; merge when |m_k| = 3 keeps the
+    * newest (m_k[3]) and carries the merged pair keyed by its newer
+    * index (m_k[2]); the top level never merges upward. Identical
+    * semantics, linear text, linear evaluation. */
+  private def stepD: String = {
+    val lcols = (1 to Levels).map(k =>
+      s"list_filter(r.lv[$k], x -> x > s.i - $W) AS l$k").mkString(", ")
+    val inner = s"SELECT s.u, s.i, s.b, [s.i]::BIGINT[] AS c1, $lcols " +
+      "FROM rec r JOIN seq s ON s.u = r.u AND s.i = r.i + 1"
+    val nested = (1 to Levels).foldLeft(inner) { (acc, k) =>
+      val m = s"(l$k || c$k)"
+      val keep =
+        if (k == Levels) s"$m AS k$k"
+        else s"CASE WHEN len($m) = 3 THEN [$m[3]] ELSE $m END AS k$k"
+      val carry =
+        if (k == Levels) ""
+        else s", CASE WHEN len($m) = 3 THEN [$m[2]] " +
+          s"ELSE CAST([] AS BIGINT[]) END AS c${k + 1}"
+      s"SELECT *, $keep$carry FROM ($acc)"
     }
-
-  private def keepD(k: Int): String = {
-    val l = leD(k); val c = cD(k)
-    if (k == Levels) s"($l || $c)"
-    else s"(CASE WHEN len($l) + len($c) = 3 THEN [($l || $c)[3]] " +
-      s"ELSE $l || $c END)"
+    val expired = (1 to Levels).map(k => s"l$k").mkString(", ")
+    val kept = (1 to Levels).map(k => s"k$k").mkString(", ")
+    s"SELECT u, i, CASE WHEN b = 0 THEN [$expired] ELSE [$kept] END AS lv " +
+      s"FROM ($nested)"
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,8 +140,6 @@ object SlidingSketchQueries {
   )
 
   def oracleSql: Map[String, String] = {
-    val keepAll = (1 to Levels).map(keepD).mkString(",\n        |      ")
-    val expireAll = (1 to Levels).map(leD).mkString(",\n        |      ")
     Map(
 
     "q452_dgim_window" ->
@@ -148,11 +159,7 @@ object SlidingSketchQueries {
         |      x -> CAST([] AS BIGINT[])) AS lv
         |  FROM nu
         |  UNION ALL
-        |  SELECT s.u, s.i, CASE WHEN s.b = 0
-        |      THEN [$expireAll]
-        |      ELSE [$keepAll]
-        |    END
-        |  FROM rec r JOIN seq s ON s.u = r.u AND s.i = r.i + 1),
+        |  $stepD),
         |fin AS (SELECT r.u, r.lv, nu.n_u FROM rec r
         |        JOIN nu ON r.u = nu.u WHERE r.i = nu.n_u),
         |der AS (SELECT f.u, f.n_u, tr.truth,

@@ -576,11 +576,11 @@ object TextQueries {
     ).mkString(",\n")
     val b0 = sqlBandBucket((0 until RowsPerBand).map(j => s"s$j"))
     val b1 = sqlBandBucket((RowsPerBand until NumSigs).map(j => s"s$j"))
-    s"""WITH shing AS (SELECT doc_id, $sh AS sh FROM documents),
-       |hx AS (SELECT doc_id, ${sqlHashArray("sh", "")} AS h0, ${sqlHashArray("sh", "1:")} AS h1 FROM shing),
-       |raw AS (SELECT doc_id,
+    s"""WITH shing AS MATERIALIZED (SELECT doc_id, $sh AS sh FROM documents),
+       |hx AS MATERIALIZED (SELECT doc_id, ${sqlHashArray("sh", "")} AS h0, ${sqlHashArray("sh", "1:")} AS h1 FROM shing),
+       |raw AS MATERIALIZED (SELECT doc_id,
        |$sigSelects
        |FROM hx),
-       |sigs AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, $b0 AS b0, $b1 AS b1 FROM raw)""".stripMargin
+       |sigs AS MATERIALIZED (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, $b0 AS b0, $b1 AS b1 FROM raw)""".stripMargin
   }
 }

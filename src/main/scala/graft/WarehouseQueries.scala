@@ -14,7 +14,7 @@ import graft.functions.VectorFunctions.asDouble
   * embedding Gram matrix.
   *
   * Reference intent: the reference's analytics stop at per-store daily
-  * sums read back from Postgres (services/backend/api/routers/sales.py);
+  * sums read back from Postgres (services/forecast-service/app/main.py, services/web-ui/app);
   * these are the warehouse-grade operators the same data demands once it
   * no longer fits one Postgres: engagement streaks a marketing query
   * would segment on, order-statistics that respect weights, phrase

@@ -13,6 +13,21 @@ class LfsrSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q508 jump-ahead matrix powers match imperative stepping") {
+    // the query's M^k literals are only trustworthy if they agree with
+    // the actual generator — replay k steps imperatively per (k, seed)
+    def step(x: Long): Long = (x / 2) ^ ((x % 2) * 46080L)
+    for (k <- Seq(255L, 3855L, 13107L, 21845L, 65535L);
+         seed <- Seq(1L, 0xACE1L, 12345L, 65534L)) {
+      var x = seed; var i = 0L
+      while (i < k) { x = step(x); i += 1 }
+      val m = LfsrQueries.matPowFor(k)
+      val jumped = (0 until 16).foldLeft(0L)((acc, b) =>
+        if (((seed >> b) & 1L) == 1L) acc ^ m(b) else acc)
+      assert(jumped == x, s"M^$k applied to seed=$seed")
+    }
+  }
+
   test("q508 LFSR: full orbit replay confirms the divisor shortcut") {
     def step(x: Long): Long = (x / 2) ^ ((x % 2) * 46080L)
     // one seed, full orbit: period is exactly 65535 and hits every

@@ -72,7 +72,7 @@ class SequentialSpec extends AnyFunSuite {
       .map(_.getLong(0))
     val loads = scala.collection.mutable.Map[(Long, Int), Long]()
       .withDefaultValue(0L)
-    ks.map(k => (math.floorMod(md5_60(s"shard:$k"), 32L),
+    ks.map(k => (math.floorMod(md5_60(s"shard:$k"), 512L),
         md5_60(s"ord:$k"), k,
         math.floorMod(md5_60(s"c1:$k"), 32L).toInt,
         math.floorMod(md5_60(s"c2:$k"), 32L).toInt))
@@ -82,7 +82,7 @@ class SequentialSpec extends AnyFunSuite {
           loads((shard, c)) += 1L
         }
       }
-    val allLoads = (0L until 32L).flatMap(s => (0 until 32).map(b =>
+    val allLoads = (0L until 512L).flatMap(s => (0 until 32).map(b =>
       loads((s, b))))
     assert(two.getLong(2) == allLoads.max, "max load bit-equal to replay")
     assert(two.getLong(3) == allLoads.min, "min load bit-equal to replay")
