@@ -29,37 +29,31 @@ object CombinatoricsQueries {
 
     // ── G462: ballot problem — exhaustive Catalan + measured ───────────
     "q517_ballot_catalan" -> ((s, dir) => {
-      // walk encoded by bits of v: bit j = +1 step, else −1; the fold
-      // carries (position, min position)
-      def walk(vExpr: String): String =
-        s"""aggregate(sequence(0, 15),
-           |  named_struct('p', 0L, 'mn', 0L),
-           |  (acc, j) -> element_at(transform(array(
-           |      acc.p + (case when (($vExpr) div (case j when 0 then 1L
-           |        when 1 then 2L when 2 then 4L when 3 then 8L
-           |        when 4 then 16L when 5 then 32L when 6 then 64L
-           |        when 7 then 128L when 8 then 256L when 9 then 512L
-           |        when 10 then 1024L when 11 then 2048L when 12 then 4096L
-           |        when 13 then 8192L when 14 then 16384L
-           |        else 32768L end)) % 2 = 1 then 1L else -1L end)),
-           |    np -> named_struct('p', np, 'mn', least(acc.mn, np))), 1))"""
-          .stripMargin
-      val exhaustive = Tables.orders(s, dir).sparkSession.range(0, 65536)
-        .select(col("id").as("v"))
-        .withColumn("w", expr(walk("v")))
+      // walk encoded by bits of v: bit j = +1 step, else −1, carried as
+      // CHAINED SCALAR COLUMNS (position p, running min mn) — 16 codegen
+      // steps per row instead of the r10 interpreted fold (3.7 s bench)
+      def walkChain(df: DataFrame): DataFrame =
+        (0 until 16).foldLeft(
+          df.withColumn("p", lit(0L)).withColumn("mn", lit(0L))) { (d, j) =>
+          d.withColumn("p", expr(
+              s"p + (case when (v div ${1L << j}L) % 2 = 1 then 1L else -1L end)"))
+            .withColumn("mn", expr("least(mn, p)"))
+        }
+      val exhaustive = walkChain(
+        Tables.orders(s, dir).sparkSession.range(0, 65536)
+          .select(col("id").as("v")))
         .agg(count(lit(1)).as("n_walks"),
-          sum(expr("case when w.p = 0L then 1L else 0L end")).as("n_balanced"),
-          sum(expr("case when w.p = 0L and w.mn >= 0L then 1L else 0L end"))
+          sum(expr("case when p = 0L then 1L else 0L end")).as("n_balanced"),
+          sum(expr("case when p = 0L and mn >= 0L then 1L else 0L end"))
             .as("n_dyck"))
-      val sample = Tables.orders(s, dir)
+      val sample = walkChain(Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"),
           expr("pmod(md5_60(concat('bw:', cast(o_orderkey as string))), 65536)")
-            .as("v"))
-        .withColumn("w", expr(walk("v")))
+            .as("v")))
         .agg(count(lit(1)).as("n_keys"),
-          sum(expr("case when w.p = 0L then 1L else 0L end"))
+          sum(expr("case when p = 0L then 1L else 0L end"))
             .as("n_keys_balanced"),
-          sum(expr("case when w.p = 0L and w.mn >= 0L then 1L else 0L end"))
+          sum(expr("case when p = 0L and mn >= 0L then 1L else 0L end"))
             .as("n_keys_dyck"))
       exhaustive.crossJoin(sample)
         .select(col("n_walks"), col("n_balanced"),

@@ -55,36 +55,64 @@ object EmpiricalQueries {
       val dupPairs = FeatureQueries.dupPairsTable(s, dir)
         .select(col("doc_a").as("ida"), col("doc_b").as("idb"))
       val pairIds = sampPairs.unionByName(dupPairs).distinct()
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), expr(
-          s"array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), " +
-            "i -> substring(text, i, 5)))").as("sh"))
       // fresh family over universe docs ONLY (sample docs + dup docs —
       // a sliver of the corpus at any scale): HOF minhash is fine here,
-      // the corpus-wide scan stays on the codegen'd minhash_sigs kernel
+      // the corpus-wide scan stays on the codegen'd minhash_sigs kernel.
+      // Join documents down to the universe FIRST, THEN shingle — the
+      // r10 draft shingled the whole corpus before the join pruned it
+      // (and `docs` feeds both pair sides, so that ran twice: 9.1 s of
+      // bench for a ~5% universe).
       import graft.functions.TextFunctions.{hashArray, minChunk, bandBucket}
       val univ = pairIds
         .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
       val sigCols =
         (0 until 4).map(j => minChunk(col("h0"), j).as(s"f$j")) ++
         (0 until 4).map(j => minChunk(col("h1"), j).as(s"f${j + 4}"))
-      val docs = univ.join(sh, "doc_id")
-        .withColumn("h0", hashArray(col("sh"), "sc0:"))
-        .withColumn("h1", hashArray(col("sh"), "sc1:"))
-        .select((col("doc_id") +: col("sh") +: sigCols): _*)
-        .withColumn("fb0", bandBucket((0 until 4).map(j => col(s"f$j"))))
-        .withColumn("fb1", bandBucket((4 until 8).map(j => col(s"f$j"))))
-        .select("doc_id", "sh", "fb0", "fb1")
-      val pairs = pairIds
+      // land the universe-doc signature sliver ONCE — it feeds three
+      // consumers below (both pair sides + the token table) and Spark
+      // shares no subplans across a DAG, so without landing it the
+      // shingle+minhash pass (interpreted HOFs — fine once, not 3×)
+      // re-ran per consumer (9-10 s of r10/r11 bench)
+      val docsPath = PipelineQueries.cachedFixture(s"scurve|$dir") { work =>
+        univ.join(Tables.documents(s, dir), "doc_id")
+          .select(col("doc_id"), expr(
+            s"array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), " +
+              "i -> substring(text, i, 5)))").as("sh"))
+          .withColumn("h0", hashArray(col("sh"), "sc0:"))
+          .withColumn("h1", hashArray(col("sh"), "sc1:"))
+          .select((col("doc_id") +: col("sh") +: sigCols): _*)
+          .withColumn("fb0", bandBucket((0 until 4).map(j => col(s"f$j"))))
+          .withColumn("fb1", bandBucket((4 until 8).map(j => col(s"f$j"))))
+          .select("doc_id", "sh", "fb0", "fb1")
+          .write.mode("overwrite").parquet(s"$work/docs")
+      }
+      val docs = s.read.parquet(s"$docsPath/docs")
+      // exact |A∩B| via token explode-join (codegen end to end) — the
+      // r10 draft intersected the two shingle arrays row-wise
+      // (ArrayIntersect is CodegenFallback: a boxed hash set of ~300
+      // UTF8Strings per side per pair = 10 s of bench); here side A
+      // explodes once per (pair, shingle) and hash-joins side B's doc
+      // token table, so the intersection count is one shuffle of
+      // narrow rows — the same shape a corpus-scale verify stage uses
+      // (q144's discipline)
+      val base = pairIds
         .join(docs.select(col("doc_id").as("ida"), col("sh").as("asha"),
           col("fb0").as("ab0"), col("fb1").as("ab1")), "ida")
-        .join(docs.select(col("doc_id").as("idb"), col("sh").as("bshb"),
+        .join(docs.select(col("doc_id").as("idb"), expr("size(sh)").as("nb"),
           col("fb0").as("bb0"), col("fb1").as("bb1")), "idb")
-        .select(
-          expr("size(array_intersect(asha, bshb))").as("inter"),
-          expr("size(asha)").as("na"), expr("size(bshb)").as("nb"),
+        .select(col("ida"), col("idb"), col("asha"),
+          expr("size(asha)").as("na"), col("nb"),
           expr("case when ab0 = bb0 or ab1 = bb1 then 1L else 0L end")
             .as("collide"))
+      val docTok = docs.select(col("doc_id").as("idb"),
+        explode(col("sh")).as("t"))
+      val interCnt = base
+        .select(col("ida"), col("idb"), explode(col("asha")).as("t"))
+        .join(docTok, Seq("idb", "t"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      val pairs = base.drop("asha")
+        .join(interCnt, Seq("ida", "idb"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
         .withColumn("j_e6", expr("inter * 1000000 div (na + nb - inter)"))
         .withColumn("j2", expr("j_e6 * j_e6 div 1000000"))
         .withColumn("j4", expr("j2 * j2 div 1000000"))

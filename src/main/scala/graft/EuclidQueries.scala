@@ -88,36 +88,29 @@ object EuclidQueries {
 
     // ── G461: Zeckendorf greedy representation ─────────────────────────
     "q516_zeckendorf" -> ((s, dir) => {
-      val fibArr = Fibs.reverse.mkString(", ")
       val nums = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"),
           expr("1L + pmod(md5_60(concat('zk:', cast(o_orderkey as string))), 1000000L)")
             .as("n"))
-      // adjacency is cleaner checked directly: consecutive fibs f_i,
-      // f_{i+1} both taken ⟺ some residual ≥ f_{i+1} + f_i … the greedy
-      // residual after taking f is < previous gap, so track explicitly:
-      val adjChk =
-        s"""size(filter(sequence(1, ${Fibs.size - 1}), i ->
-           |  element_at(taken, i) = 1L and element_at(taken, i + 1) = 1L))"""
-          .stripMargin
-      val takenArr =
-        s"""reverse(aggregate(array($fibArr),
-           |  named_struct('rem', n, 'tk', cast(array() as array<bigint>)),
-           |  (acc, f) -> case when acc.rem >= f then named_struct(
-           |      'rem', acc.rem - f, 'tk', concat(acc.tk, array(1L)))
-           |    else named_struct('rem', acc.rem,
-           |      'tk', concat(acc.tk, array(0L))) end,
-           |  q -> q.tk))""".stripMargin
-      val sumBack =
-        s"""aggregate(zip_with(taken, array(${Fibs.mkString(", ")}),
-           |  (t, f) -> t * f), 0L, (x, y) -> x + y)""".stripMargin
-      val run = nums
-        .withColumn("taken", expr(takenArr))
-        .withColumn("n_parts", expr(
-          "aggregate(taken, 0L, (x, y) -> x + y)"))
+      // greedy largest-fib-first as CHAINED SCALAR COLUMNS (one take
+      // flag + one residual update per fib, all whole-stage codegen) —
+      // the r10 draft folded with per-step array concat (interpreted +
+      // 29 allocations per row = 7 s of bench). ti = take flag for
+      // Fibs(i) (ascending index, so adjacency reads t_i·t_{i+1}).
+      val desc = Fibs.zipWithIndex.reverse
+      val run0 = desc.foldLeft(nums.withColumn("rem", col("n"))) {
+        case (d, (f, i)) =>
+          d.withColumn(s"t$i", expr(s"case when rem >= ${f}L then 1L else 0L end"))
+            .withColumn("rem", expr(s"rem - t$i * ${f}L"))
+      }
+      val nIdx = Fibs.indices
+      val run = run0
+        .withColumn("n_parts", expr(nIdx.map(i => s"t$i").mkString(" + ")))
         .withColumn("sum_ok", expr(
-          s"case when ($sumBack) = n then 1L else 0L end"))
-        .withColumn("n_adjacent", expr(s"cast(($adjChk) as bigint)"))
+          s"case when (${nIdx.map(i => s"t$i * ${Fibs(i)}L").mkString(" + ")}) = n " +
+            "then 1L else 0L end"))
+        .withColumn("n_adjacent", expr(
+          nIdx.init.map(i => s"t$i * t${i + 1}").mkString(" + ")))
       run.agg(count(lit(1)).as("n_nums"),
           sum("sum_ok").as("n_sum_ok"),
           sum(expr("case when n_adjacent = 0L then 1L else 0L end"))

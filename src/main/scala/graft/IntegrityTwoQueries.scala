@@ -32,15 +32,18 @@ object IntegrityTwoQueries {
 
   /** Luhn checksum of the digit string in column expression `e`
     * (Spark dialect): sum over digits right-to-left, doubling every
-    * second one, 9-wrapping. */
+    * second one, 9-wrapping. Every string this query feeds it is
+    * EXACTLY 10 digits (9-digit payload + check digit, preserved by
+    * both attacks), so the sum unrolls to 10 codegen'd scalar terms —
+    * position 11−i is digit i from the right — instead of the r10
+    * interpreted fold that re-reversed the string per step (4 calls
+    * per row × 10 boxed steps = 4.1 s of bench). */
   private def luhnSum(e: String): String =
-    s"""aggregate(sequence(1, length($e)), 0L, (a, i) ->
-       |  a + (case when i % 2 = 1
-       |    then cast(substring(reverse($e), i, 1) as bigint)
-       |    else (case when 2 * cast(substring(reverse($e), i, 1) as bigint) > 9
-       |          then 2 * cast(substring(reverse($e), i, 1) as bigint) - 9
-       |          else 2 * cast(substring(reverse($e), i, 1) as bigint) end)
-       |  end))""".stripMargin
+    (1 to 10).map { i =>
+      val d = s"cast(substring($e, ${11 - i}, 1) as bigint)"
+      if (i % 2 == 1) d
+      else s"(case when 2 * $d > 9 then 2 * $d - 9 else 2 * $d end)"
+    }.mkString("(", " + ", ")")
 
   private def luhnSumD(e: String): String =
     s"""list_sum(list_transform(range(1, length($e) + 1), i ->

@@ -13,21 +13,17 @@ import org.apache.spark.sql.functions._
   * truth), and (b) Miller–Rabin with witness bases {2, 3}, which is
   * PROVABLY deterministic below 1,373,653 (Pomerance–Selfridge–
   * Wagstaff) — not probabilistic at this range. The MR machinery is
-  * all exact integer folds: s = ν₂(m−1) by a pinned divisibility
-  * CASE, d = (m−1)/2ˢ, aᵈ mod m by 20-step left-to-right
-  * square-and-multiply (products ≤ 10¹² — BIGINT-safe), then the
-  * witness chase x → x² mod m for r < s looking for m−1. The
-  * theorem is COUNTED: agreement on every key, plus the prime
-  * density beside the odd-restricted PNT estimate 2/ln(m) — which
-  * the corpus hits within 0.3%. The oracle
-  * replays both modpow folds as recursive CTEs per (key, base).
+  * one native codegen'd Expression per base (graft.plans.MrKernel:
+  * s = ν₂(m−1), d = (m−1)/2ˢ, aᵈ mod m by square-and-multiply with
+  * products ≤ 10¹² — BIGINT-safe — then the witness chase x → x² mod
+  * m for r < s looking for m−1). The theorem is COUNTED: agreement on
+  * every key, plus the prime density beside the odd-restricted PNT
+  * estimate 2/ln(m) — which the corpus hits within 0.3%. The oracle
+  * independently replays both modpow folds as recursive CTEs per
+  * (key, base) — a cross-engine check of the kernel itself.
   */
 object PrimalityQueries {
 
-  // 2^e for e ∈ [0, 20] as a pinned CASE
-  private def pow2(e: String): String =
-    "(case " + (0 to 20).map(k => s"when $e = $k then ${1L << k}").mkString(" ") +
-      " end)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -37,36 +33,25 @@ object PrimalityQueries {
         .select(col("o_orderkey").as("k"),
           expr("5L + 2L * pmod(md5_60(concat('mr:', cast(o_orderkey as string))), 500000L)")
             .as("m"))
-        .withColumn("s2", expr(
-          "(case " + (20 to 1 by -1).map(t =>
-            s"when (m - 1) % ${1L << t} = 0 then ${t}L").mkString(" ") +
-            " else 0L end)"))
-        .withColumn("dd", expr(s"(m - 1) div ${pow2("s2")}"))
-      // ground truth: any odd divisor 3..999 with d² ≤ m divides m
+      // ground truth: a composite m has a PRIME divisor ≤ √m, so the 167
+      // odd primes < 1000 suffice as trial divisors (q514's discipline)
+      val oddPrimes = (3 to 999 by 2).filter(n =>
+        (3 to math.sqrt(n).toInt by 2).forall(n % _ != 0))
       val comp = base
         .select(col("k"), col("m"),
-          explode(expr("sequence(3, 999, 2)")).as("d"))
+          explode(lit(oddPrimes.map(_.toLong).toArray)).as("d"))
         .filter(expr("d * d <= m and m % d = 0"))
         .groupBy("k").agg(count(lit(1)).as("n_div"))
-      def modpow(a: Int): String =
-        s"""aggregate(sequence(0, 19), 1L,
-           |  (x, z) -> element_at(transform(array((x * x) % m),
-           |    t -> case when (dd div ${pow2("(19 - z)")}) % 2 = 1
-           |      then (t * ${a}L) % m else t end), 1))""".stripMargin
-      def mrPass(a: Int): String =
-        s"""aggregate(sequence(1, 19),
-           |  named_struct('x', x$a, 'ok',
-           |    case when x$a = 1L or x$a = m - 1L then 1L else 0L end),
-           |  (acc, r) -> case when acc.ok = 1L or r > s2 - 1L then acc
-           |    else named_struct('x', (acc.x * acc.x) % m,
-           |      'ok', case when (acc.x * acc.x) % m = m - 1L
-           |            then 1L else 0L end) end,
-           |  f -> f.ok)""".stripMargin
+      // modpow + witness chase in ONE native codegen'd Expression per
+      // base ([[graft.plans.MrKernel]]): the r10 draft ran both as
+      // interpreted HOF folds (7.7 s of bench) and a chained-Project
+      // rewrite still paid one row materialization per squaring (the
+      // 80-Project chain never fused into whole-stage codegen). The
+      // kernel is the charter's preference order at work: a custom
+      // Catalyst Expression with doGenCode beats per-row lambdas.
       val mr = base
-        .withColumn("x2", expr(modpow(2)))
-        .withColumn("x3", expr(modpow(3)))
-        .withColumn("p2", expr(mrPass(2)))
-        .withColumn("p3", expr(mrPass(3)))
+        .withColumn("p2", expr("mr_pass(m, 2)"))
+        .withColumn("p3", expr("mr_pass(m, 3)"))
         .withColumn("mr_prime", expr(
           "case when p2 = 1L and p3 = 1L then 1L else 0L end"))
       val joined = mr.join(comp, Seq("k"), "left")

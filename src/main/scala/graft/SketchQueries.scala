@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Reference intent: the reference counts everything exactly in
   * PostgreSQL (services/db) — fine at 10⁵ rows, impossible at 10¹².
   * q421 is the deterministic counter-based heavy-hitter summary
-  * (Misra–Gries 1982): 256 shard folds of k=8 counters each, merged by
+  * (Misra–Gries 1982): 512 shard folds of k=8 counters each, merged by
   * plain addition, with BOTH sides of the ε-deficit guarantee
   * (est ≤ true ≤ est + Σ⌊n_s/(k+1)⌋) counted against exact truth.
   * q422 builds HyperLogLog (Flajolet et al. 2007) from scratch — 256
@@ -32,7 +32,7 @@ object SketchQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── G366: Misra–Gries mergeable heavy hitters ──────────────────────
-    // Items: user ids over the event stream. 256 shards by md5(eid)
+    // Items: user ids over the event stream. 512 shards by md5(eid)
     // (sized so each shard's sequential fold — and the oracle's
     // recursive replay — stays a few hundred steps at sf0.1; the
     // merge-by-addition and deficit bound B = Σ_s ⌊n_s/(k+1)⌋ are
@@ -48,7 +48,7 @@ object SketchQueries {
       val ev = Tables.events(s, dir)
         .select(col("user_id").as("it"), unix_micros(col("ts")).as("us"),
           col("event_id").as("eid"))
-        .withColumn("sh", expr("pmod(md5_60(cast(eid as string)), 256)"))
+        .withColumn("sh", expr("pmod(md5_60(cast(eid as string)), 512)"))
       val step =
         """(acc, z) -> case
           |  when exists(acc, e -> e.it = z.it)
@@ -234,7 +234,7 @@ object SketchQueries {
       """WITH RECURSIVE ev AS (SELECT user_id AS it, epoch_us(ts) AS us,
         |    event_id AS eid,
         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
-        |      AS BIGINT) % 256 AS sh
+        |      AS BIGINT) % 512 AS sh
         |  FROM events),
         |seq AS (SELECT sh, it, ROW_NUMBER() OVER
         |    (PARTITION BY sh ORDER BY us, eid) AS i FROM ev),

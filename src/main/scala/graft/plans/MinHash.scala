@@ -696,10 +696,69 @@ case class SrpBucket(child: Expression, start: Int, n: Int, dims: Int)
     copy(child = newChild)
 }
 
+/** Deterministic Miller–Rabin single-base pass for ODD m ≥ 3 (q497's
+  * candidate shape): m−1 = dd·2^s2, x = a^dd mod m by square-and-
+  * multiply, pass iff x ∈ {1, m−1} or some squaring x^(2^r), r < s2,
+  * hits m−1. One tight codegen'd loop — the r10 query ran this as two
+  * interpreted HOF folds per row, and the r11 chained-Project rewrite
+  * still paid one row materialization per squaring (80 Projects never
+  * fused; WSCG span count was zero). Products stay ≤ 10¹² for
+  * m ≤ 10⁶+3 — BIGINT-safe, same arithmetic the oracle replays. */
+object MrKernel {
+  def pass(m: Long, a: Long): Long = {
+    var dd = m - 1L
+    var s2 = 0L
+    while (dd % 2L == 0L) { dd /= 2L; s2 += 1L }
+    var x = 1L
+    var base = a % m
+    var e = dd
+    while (e > 0L) {
+      if ((e & 1L) == 1L) x = x * base % m
+      base = base * base % m
+      e >>= 1
+    }
+    if (x == 1L || x == m - 1L) return 1L
+    var r = 1L
+    while (r < s2) {
+      x = x * x % m
+      if (x == m - 1L) return 1L
+      r += 1L
+    }
+    0L
+  }
+}
+
+/** `mr_pass(m, a)` → 0/1 bigint: Miller–Rabin pass of odd m at base a. */
+case class MrPass(child: Expression, a: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mr_pass needs a bigint column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MrKernel.pass(input.asInstanceOf[Long], a.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MrKernel.pass($c, ${a}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MrPass =
+    copy(child = newChild)
+}
+
 /** Session extensions: registers the engine's native functions.
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("mr_pass"),
+      new ExpressionInfo(classOf[MrPass].getName, "mr_pass"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(a: Int, IntegerType)) => MrPass(v, a)
+        case _ => throw new IllegalArgumentException(
+          "usage: mr_pass(bigintCol, a) with a literal int base a")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
