@@ -1,0 +1,420 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecast-operations wave (round 11, first wave): hierarchical
+  * reconciliation, inverse-MAE ensembling, graded retrieval quality
+  * (nDCG), and the proper scoring rule for interval forecasts.
+  *
+  * Reference intent — every query names its consumer (r10 verdict
+  * "next" #4: no more theorem censuses):
+  *  - q523: the reference trains ~1,115 per-store models
+  *    (services/training-service/app/tasks.py) but its dashboard reads
+  *    ROLL-UPS; whether store forecasts sum to the totals forecast is
+  *    the hierarchical-coherence question (Hyndman et al., "Optimal
+  *    combination forecasts for hierarchical time series", 2011 —
+  *    bottom-up vs direct is its baseline pair). Consumer: the HQ
+  *    report built on services/web-ui/app reading per-store forecasts.
+  *  - q524: the reference picks ONE model per store
+  *    (train_utils.py walk-forward CV); the standard next step is
+  *    combining forecasters with inverse-validation-MAE weights (Bates
+  *    & Granger 1969). Consumer: the training-service's model-selection
+  *    loop, which today throws away the loser.
+  *  - q525: q117/q179 ship an int8-quantized vector index and audit
+  *    recall@10; recall is position-blind. nDCG@10 (Järvelin &
+  *    Kekäläinen 2002) grades WHERE the quantized index puts the true
+  *    neighbors. Consumer: the retrieval index's quality gate (q179's
+  *    counterpart, same two ranking arms).
+  *  - q526: q433 ships split-conformal prediction intervals and checks
+  *    coverage; coverage alone rewards uselessly wide intervals. The
+  *    interval (Winkler) score (Gneiting & Raftery 2007, §6.2) is the
+  *    proper scoring rule: width + (2/α)·miss distance, α = 0.2 so
+  *    2/α = 10 — exact integers. Consumer: q433's interval pipeline.
+  *
+  * House rules: exact integer arithmetic (cents, e4/e6 ratios, BIGINT
+  * div), every output totally ordered, day-grain aggregates before any
+  * window, per-key partitions only.
+  */
+object ForecastOpsQueries {
+
+  /** e6-scaled 1/log2(i+1) discount weights for positions 1..10 —
+    * design literals shared verbatim by both engines. */
+  private val DcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val Idcg: Long = (1 to 10).map(i => (11L - i) * DcgW(i - 1)).sum
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G468: hierarchical forecast reconciliation (bottom-up vs direct)
+    // Nation-grain weekday-mean forecasts roll up to region; the direct
+    // region forecast is fit independently. Measured per region: the
+    // structural incoherence gap Σ_dow|Σ_g f_g − f_r| (why naive
+    // per-level forecasting breaks reports), and the test MAE of both
+    // paths over a 28-day holdout. All grains are day-aggregates first —
+    // the fact table is touched once per grain, windows are per-key.
+    "q523_hier_reconcile" -> ((s, dir) => {
+      val nd = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").cast("long").as("r"),
+          col("c_nationkey").cast("long").as("g"),
+          expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      val cut = nd.agg(expr("max(dn) - 28").as("cut"))
+      val base = nd.crossJoin(broadcast(cut))
+        .withColumn("dow", expr("((dn % 7) + 7) % 7"))
+      val trainN = base.filter(col("dn") <= col("cut"))
+      val fN = trainN.groupBy("r", "g", "dow")
+        .agg(expr("sum(y) div count(1)").as("f_n"))
+      val bu = fN.groupBy("r", "dow").agg(sum("f_n").as("f_bu"))
+      val rd = base.groupBy("r", "dn", "dow", "cut").agg(sum("y").as("y"))
+      val fR = rd.filter(col("dn") <= col("cut")).groupBy("r", "dow")
+        .agg(expr("sum(y) div count(1)").as("f_r"))
+      val gap = bu.join(fR, Seq("r", "dow"))
+        .groupBy("r").agg(sum(expr("abs(f_bu - f_r)")).as("gap_c"),
+          sum("f_r").as("fr_c"))
+      val test = rd.filter(col("dn") > col("cut"))
+        .join(bu, Seq("r", "dow")).join(fR, Seq("r", "dow"))
+        .groupBy("r").agg(count(lit(1)).as("n_test"),
+          expr("sum(abs(y - f_bu)) div count(1)").as("mae_bu"),
+          expr("sum(abs(y - f_r)) div count(1)").as("mae_direct"))
+      test.join(gap, "r")
+        .withColumn("incoherence_e4", expr("gap_c * 10000 div fr_c"))
+        .withColumn("winner", when(col("mae_bu") <= col("mae_direct"),
+          "bottom_up").otherwise("direct"))
+        .select("r", "n_test", "mae_bu", "mae_direct", "incoherence_e4",
+          "winner")
+        .orderBy("r")
+    }),
+
+    // ── G469: inverse-MAE forecast ensembling (Bates–Granger) ──────────
+    // Per nation: fit weekday-mean (A) and overall-mean (B) on days
+    // ≤ max−56; weight by inverse validation MAE over (max−56, max−28];
+    // score A, B, and the blend on the last 28 days. Weights are e6
+    // integers w_A = maeB·10⁶ div (maeA+maeB) — the blend is exact. A
+    // validation dow absent from fit falls back to B's level (coalesce),
+    // mirrored in the oracle.
+    "q524_forecast_ensemble" -> ((s, dir) => {
+      val ndaily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("g"),
+          expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      val cut = ndaily.agg(expr("max(dn) - 28").as("c2"),
+        expr("max(dn) - 56").as("c1"))
+      val base = ndaily.crossJoin(broadcast(cut))
+        .withColumn("dow", expr("((dn % 7) + 7) % 7"))
+      val fit = base.filter(col("dn") <= col("c1"))
+      val fA = fit.groupBy("g", "dow").agg(expr("sum(y) div count(1)").as("fa"))
+      val fB = fit.groupBy("g").agg(expr("sum(y) div count(1)").as("fb"))
+      def scoredSlice(p: DataFrame => DataFrame): DataFrame =
+        p(base).join(fA, Seq("g", "dow"), "left").join(fB, Seq("g"))
+          .withColumn("fa", coalesce(col("fa"), col("fb")))
+      val w = scoredSlice(_.filter(col("dn") > col("c1") && col("dn") <= col("c2")))
+        .groupBy("g")
+        .agg(expr("sum(abs(y - fa)) div count(1)").as("mae_a_val"),
+          expr("sum(abs(y - fb)) div count(1)").as("mae_b_val"))
+        .withColumn("w_a_e6", expr(
+          "case when mae_a_val + mae_b_val = 0 then 500000L " +
+            "else mae_b_val * 1000000 div (mae_a_val + mae_b_val) end"))
+      scoredSlice(_.filter(col("dn") > col("c2")))
+        .join(w, "g")
+        .withColumn("f_ens", expr(
+          "(w_a_e6 * fa + (1000000 - w_a_e6) * fb) div 1000000"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_test"), max("w_a_e6").as("w_a_e6"),
+          expr("sum(abs(y - fa)) div count(1)").as("mae_weekday"),
+          expr("sum(abs(y - fb)) div count(1)").as("mae_level"),
+          expr("sum(abs(y - f_ens)) div count(1)").as("mae_ensemble"))
+        .withColumn("ens_beats_best", expr(
+          "case when mae_ensemble <= least(mae_weekday, mae_level) " +
+            "then 1L else 0L end"))
+        .select("g", "n_test", "w_a_e6", "mae_weekday", "mae_level",
+          "mae_ensemble", "ens_beats_best")
+        .orderBy("g")
+    }),
+
+    // ── G470: nDCG@10 of the int8-quantized ranking (q179's twin) ──────
+    // Same two arms as q179 (exact fp cosine vs int8 integer scores,
+    // both deterministic, DECIMAL-exact); relevance grade of the item
+    // at exact rank e is 11−e (0 outside the exact top-10), discount
+    // weights 10⁶/log₂(i+1) are pinned literals. nDCG e4 on one row.
+    "q525_ndcg_retrieval" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{asDouble, cosineR6}
+      val e = Tables.embeddings(s, dir)
+      // TakeOrdered the top-10 FIRST, then rank the 10 survivors — the
+      // post-limit rank-attachment discipline (never an unpartitioned
+      // window over corpus-shaped input)
+      val exact = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("ve"))
+        .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+          .select(asDouble(col("embedding")).as("qe"))))
+        .select(col("vec_id"), cosineR6(col("ve"), col("qe")).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id").asc).limit(10)
+        .withColumn("re", row_number().over(
+          Window.orderBy(col("cos_r").desc, col("vec_id").asc)))
+        .select(col("vec_id"), (lit(11L) - col("re")).as("rel"))
+      val q8 = e
+        .select(col("vec_id"),
+          expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))").as("x6"))
+        .withColumn("m6", expr("array_max(transform(x6, v -> abs(v)))"))
+        .withColumn("qs", expr(
+          """transform(x6, v -> CASE WHEN m6 = 0 THEN 0L
+            | ELSE cast(sign(v) as bigint) * ((abs(v) * 254 + m6) div (2 * m6))
+            | END)""".stripMargin))
+        .select(col("vec_id"), col("qs"),
+          expr("aggregate(qs, 0L, (a, b) -> a + b * b)").as("qq"))
+      val qv = q8.filter(col("vec_id") === 0)
+        .select(col("qs").as("qqs"), col("qq").as("qqq"))
+      val approx = q8.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qs, qqs, (x, y) -> x * y), 0L, (a, b) -> a + b)"))
+        .withColumn("score", expr(
+          "cast(sign(dot) as decimal(38,0)) * " +
+            "((cast(dot as decimal(38,0)) * cast(dot as decimal(38,0)) * 1000000000000) " +
+            "div (cast(qq as decimal(38,0)) * cast(qqq as decimal(38,0))))"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+        .select("vec_id", "ra")
+      val wCase = "(case ra " + (1 to 10).map(i =>
+        s"when $i then ${DcgW(i - 1)}L").mkString(" ") + " end)"
+      approx.join(exact, Seq("vec_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .agg(sum(expr(s"rel * $wCase")).as("dcg_e6"),
+          sum(expr("case when rel > 0 then 1L else 0L end")).as("n_overlap"))
+        .withColumn("k", lit(10L))
+        .withColumn("idcg_e6", lit(Idcg))
+        .withColumn("ndcg_e4", expr("dcg_e6 * 10000 div idcg_e6"))
+        .select("k", "n_overlap", "dcg_e6", "idcg_e6", "ndcg_e4")
+    }),
+
+    // ── G471: interval (Winkler) score for q433's conformal bands ──────
+    // Same pipeline as q433 up to the test slice (28-day rolling-median
+    // point forecast, q̂ at 80% from the calibration slice), then the
+    // proper score per test day: S = 2q̂ + 10·(ℓ−y)⁺ + 10·(y−u)⁺ with
+    // [ℓ, u] = [f−q̂, f+q̂]. Emits coverage AND sharpness-vs-penalty so
+    // a too-wide band can no longer hide behind good coverage.
+    "q526_winkler_interval" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("d"))
+      val span = o.agg(min("d").as("d0"), max("d").as("d1"))
+      val spine = o.select("pri").distinct().crossJoin(broadcast(span))
+        .select(col("pri"), explode(expr("sequence(d0, d1)")).as("d"),
+          col("d0"), col("d1"))
+      val daily = spine
+        .join(o.groupBy("pri", "d").agg(count(lit(1)).as("y0")),
+          Seq("pri", "d"), "left")
+        .select(col("pri"),
+          datediff(col("d"), col("d0")).cast("long").as("i"),
+          datediff(col("d1"), col("d0")).cast("long").as("t"),
+          coalesce(col("y0"), lit(0L)).as("y"))
+      val w = Window.partitionBy("pri").orderBy("i").rowsBetween(-28, -1)
+      val scored = daily
+        .withColumn("hist", array_sort(collect_list(col("y")).over(w)))
+        .withColumn("f", expr("element_at(hist, 14)"))
+        .filter(col("i") >= 28)
+        .withColumn("res", abs(col("y") - col("f")))
+        .withColumn("cut", expr("28 + (t - 28) * 8 div 10"))
+      val cal = scored.filter(col("i") <= col("cut"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_cal"),
+          array_sort(collect_list(col("res"))).as("rs"))
+        .withColumn("k", expr("((n_cal + 1) * 8 + 9) div 10"))
+        .withColumn("qhat", expr("element_at(rs, cast(least(k, n_cal) as int))"))
+        .select("pri", "qhat")
+      scored.filter(col("i") > col("cut"))
+        .join(broadcast(cal), "pri")
+        .withColumn("winkler", expr(
+          "2 * qhat + 10 * greatest(f - qhat - y, 0L) " +
+            "+ 10 * greatest(y - f - qhat, 0L)"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_test"), max("qhat").as("qhat"),
+          sum(expr("case when y between f - qhat and f + qhat " +
+            "then 1L else 0L end")).as("n_covered"),
+          sum("winkler").as("winkler_sum"))
+        .withColumn("coverage_e4", expr("n_covered * 10000 div n_test"))
+        .withColumn("winkler_mean", expr("winkler_sum div n_test"))
+        .withColumn("penalty_share_e4", expr(
+          "case when winkler_sum = 0 then 0L else " +
+            "(winkler_sum - 2 * qhat * n_test) * 10000 div winkler_sum end"))
+        .select("pri", "n_test", "qhat", "coverage_e4", "winkler_mean",
+          "penalty_share_e4")
+        .orderBy("pri")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q523_hier_reconcile" ->
+      """WITH nd AS MATERIALIZED (SELECT n.n_regionkey AS r,
+        |    c.c_nationkey AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS dn,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |cut AS (SELECT MAX(dn) - 28 AS cut FROM nd),
+        |base AS MATERIALIZED (SELECT nd.*, ((dn % 7) + 7) % 7 AS dow, cut.cut
+        |        FROM nd, cut),
+        |fn AS (SELECT r, g, dow, SUM(y) // COUNT(*) AS f_n
+        |       FROM base WHERE dn <= cut GROUP BY 1, 2, 3),
+        |bu AS MATERIALIZED (SELECT r, dow, SUM(f_n) AS f_bu FROM fn
+        |       GROUP BY 1, 2),
+        |rd AS MATERIALIZED (SELECT r, dn, dow, cut, SUM(y) AS y FROM base
+        |       GROUP BY 1, 2, 3, 4),
+        |fr AS MATERIALIZED (SELECT r, dow, SUM(y) // COUNT(*) AS f_r
+        |       FROM rd WHERE dn <= cut GROUP BY 1, 2),
+        |gap AS (SELECT bu.r, SUM(ABS(f_bu - f_r)) AS gap_c, SUM(f_r) AS fr_c
+        |        FROM bu JOIN fr ON bu.r = fr.r AND bu.dow = fr.dow
+        |        GROUP BY bu.r),
+        |test AS (SELECT rd.r, COUNT(*) AS n_test,
+        |    SUM(ABS(y - f_bu)) // COUNT(*) AS mae_bu,
+        |    SUM(ABS(y - f_r)) // COUNT(*) AS mae_direct
+        |  FROM rd JOIN bu ON rd.r = bu.r AND rd.dow = bu.dow
+        |  JOIN fr ON rd.r = fr.r AND rd.dow = fr.dow
+        |  WHERE rd.dn > rd.cut GROUP BY rd.r)
+        |SELECT CAST(test.r AS BIGINT) AS r,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(mae_bu AS BIGINT) AS mae_bu,
+        |  CAST(mae_direct AS BIGINT) AS mae_direct,
+        |  CAST(gap_c * 10000 // fr_c AS BIGINT) AS incoherence_e4,
+        |  CASE WHEN mae_bu <= mae_direct THEN 'bottom_up' ELSE 'direct' END
+        |    AS winner
+        |FROM test JOIN gap ON test.r = gap.r ORDER BY r""".stripMargin,
+
+    "q524_forecast_ensemble" ->
+      """WITH ndaily AS MATERIALIZED (SELECT c.c_nationkey AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS dn,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT MAX(dn) - 28 AS c2, MAX(dn) - 56 AS c1 FROM ndaily),
+        |base AS MATERIALIZED (SELECT ndaily.*, ((dn % 7) + 7) % 7 AS dow,
+        |    cut.c1, cut.c2 FROM ndaily, cut),
+        |fa AS MATERIALIZED (SELECT g, dow, SUM(y) // COUNT(*) AS fa
+        |      FROM base WHERE dn <= c1 GROUP BY 1, 2),
+        |fb AS MATERIALIZED (SELECT g, SUM(y) // COUNT(*) AS fb
+        |      FROM base WHERE dn <= c1 GROUP BY 1),
+        |vl AS (SELECT b.g,
+        |    SUM(ABS(b.y - COALESCE(fa.fa, fb.fb))) // COUNT(*) AS mae_a_val,
+        |    SUM(ABS(b.y - fb.fb)) // COUNT(*) AS mae_b_val
+        |  FROM base b LEFT JOIN fa ON b.g = fa.g AND b.dow = fa.dow
+        |  JOIN fb ON b.g = fb.g
+        |  WHERE b.dn > b.c1 AND b.dn <= b.c2 GROUP BY b.g),
+        |w AS (SELECT g, mae_a_val, mae_b_val,
+        |    CASE WHEN mae_a_val + mae_b_val = 0 THEN 500000
+        |      ELSE mae_b_val * 1000000 // (mae_a_val + mae_b_val) END AS w_a_e6
+        |  FROM vl),
+        |ts AS (SELECT b.g, b.y, COALESCE(fa.fa, fb.fb) AS fav, fb.fb AS fbv,
+        |    w.w_a_e6
+        |  FROM base b LEFT JOIN fa ON b.g = fa.g AND b.dow = fa.dow
+        |  JOIN fb ON b.g = fb.g JOIN w ON b.g = w.g
+        |  WHERE b.dn > b.c2)
+        |SELECT CAST(g AS BIGINT) AS g, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(MAX(w_a_e6) AS BIGINT) AS w_a_e6,
+        |  CAST(SUM(ABS(y - fav)) // COUNT(*) AS BIGINT) AS mae_weekday,
+        |  CAST(SUM(ABS(y - fbv)) // COUNT(*) AS BIGINT) AS mae_level,
+        |  CAST(SUM(ABS(y - (w_a_e6 * fav + (1000000 - w_a_e6) * fbv)
+        |    // 1000000)) // COUNT(*) AS BIGINT) AS mae_ensemble,
+        |  CAST(CASE WHEN SUM(ABS(y - (w_a_e6 * fav + (1000000 - w_a_e6) * fbv)
+        |      // 1000000)) // COUNT(*)
+        |    <= LEAST(SUM(ABS(y - fav)) // COUNT(*),
+        |             SUM(ABS(y - fbv)) // COUNT(*)) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS ens_beats_best
+        |FROM ts GROUP BY g ORDER BY g""".stripMargin,
+
+    "q525_ndcg_retrieval" -> {
+      val cosR6 = graft.functions.VectorFunctions.sqlCosineR6("ve", "qe")
+      val wCase = "(CASE ra " + (1 to 10).map(i =>
+        s"WHEN $i THEN ${DcgW(i - 1)}").mkString(" ") + " END)"
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+        |      FROM embeddings WHERE vec_id != 0),
+        |exact AS (SELECT vec_id, 11 - ROW_NUMBER() OVER
+        |    (ORDER BY $cosR6 DESC, vec_id) AS rel
+        |  FROM e, q QUALIFY ROW_NUMBER() OVER
+        |    (ORDER BY $cosR6 DESC, vec_id) <= 10),
+        |x AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(round(v * 1000000) AS BIGINT)) AS x6
+        |  FROM embeddings),
+        |mx AS (SELECT vec_id, x6,
+        |    list_max(list_transform(x6, v -> ABS(v))) AS m6 FROM x),
+        |qz AS (SELECT vec_id,
+        |    list_transform(x6, v -> CASE WHEN m6 = 0 THEN 0
+        |      ELSE CAST(sign(v) AS BIGINT) * ((ABS(v) * 254 + m6) // (2 * m6))
+        |      END) AS qs
+        |  FROM mx),
+        |qq AS (SELECT vec_id, qs,
+        |    list_sum(list_transform(qs, v -> v * v)) AS qq FROM qz),
+        |qv AS (SELECT qs AS qqs, qq AS qqq FROM qq WHERE vec_id = 0),
+        |dots AS (SELECT a.vec_id,
+        |    list_sum(list_transform(range(1, len(a.qs) + 1),
+        |      i -> a.qs[i] * qv.qqs[i])) AS dot, a.qq, qv.qqq
+        |  FROM qq a, qv WHERE a.vec_id != 0),
+        |appr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+        |    CAST(sign(dot) AS HUGEINT) *
+        |      ((CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000000000)
+        |       // (CAST(qq AS HUGEINT) * CAST(qqq AS HUGEINT))) DESC,
+        |    vec_id) AS ra
+        |  FROM dots QUALIFY ra <= 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN COALESCE(exact.rel, 0) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(SUM(COALESCE(exact.rel, 0) * $wCase) AS BIGINT) AS dcg_e6,
+        |  CAST($Idcg AS BIGINT) AS idcg_e6,
+        |  CAST(SUM(COALESCE(exact.rel, 0) * $wCase) * 10000 // $Idcg
+        |    AS BIGINT) AS ndcg_e4
+        |FROM appr LEFT JOIN exact ON appr.vec_id = exact.vec_id""".stripMargin
+    },
+
+    "q526_winkler_interval" ->
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1,
+        |    date_diff('day', MIN(d), MAX(d)) AS t FROM o),
+        |spine AS (SELECT pri, UNNEST(range(0,
+        |    date_diff('day', d0, d1) + 1)) AS i
+        |  FROM (SELECT DISTINCT pri FROM o) p, span),
+        |cnt AS (SELECT pri, date_diff('day', d0, d) AS i, COUNT(*) AS y
+        |        FROM o, span GROUP BY pri, date_diff('day', d0, d)),
+        |daily AS (SELECT s.pri, s.i, COALESCE(c.y, 0) AS y
+        |          FROM spine s LEFT JOIN cnt c ON s.pri = c.pri AND s.i = c.i),
+        |hist AS (SELECT pri, i, y, list_sort(list(y) OVER
+        |    (PARTITION BY pri ORDER BY i
+        |     ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)) AS h
+        |  FROM daily),
+        |sc AS MATERIALIZED (SELECT pri, i, y, h[14] AS f, ABS(y - h[14]) AS res,
+        |    28 + (t - 28) * 8 // 10 AS cut
+        |  FROM hist, span WHERE i >= 28),
+        |cal AS (SELECT pri, COUNT(*) AS n_cal,
+        |    list_sort(list(res)) AS rs FROM sc WHERE i <= cut GROUP BY pri),
+        |q AS (SELECT pri,
+        |    rs[CAST(LEAST(((n_cal + 1) * 8 + 9) // 10, n_cal) AS INT)] AS qhat
+        |  FROM cal),
+        |ts AS (SELECT sc.pri, sc.y, sc.f, q.qhat,
+        |    2 * q.qhat + 10 * GREATEST(sc.f - q.qhat - sc.y, 0)
+        |      + 10 * GREATEST(sc.y - sc.f - q.qhat, 0) AS winkler
+        |  FROM sc JOIN q ON sc.pri = q.pri WHERE sc.i > sc.cut)
+        |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(MAX(qhat) AS BIGINT) AS qhat,
+        |  CAST(SUM(CASE WHEN y BETWEEN f - qhat AND f + qhat
+        |    THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS coverage_e4,
+        |  CAST(SUM(winkler) // COUNT(*) AS BIGINT) AS winkler_mean,
+        |  CAST(CASE WHEN SUM(winkler) = 0 THEN 0 ELSE
+        |    (SUM(winkler) - 2 * MAX(qhat) * COUNT(*)) * 10000 // SUM(winkler)
+        |    END AS BIGINT) AS penalty_share_e4
+        |FROM ts GROUP BY pri ORDER BY pri""".stripMargin
+  )
+}

@@ -151,7 +151,8 @@ object SparkEntry {
     (NecklaceQueries.queries, NecklaceQueries.oracleSql),
     (BaselQueries.queries, BaselQueries.oracleSql),
     (KaprekarQueries.queries, KaprekarQueries.oracleSql),
-    (ErasureQueries.queries, ErasureQueries.oracleSql)
+    (ErasureQueries.queries, ErasureQueries.oracleSql),
+    (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
