@@ -152,7 +152,8 @@ object SparkEntry {
     (BaselQueries.queries, BaselQueries.oracleSql),
     (KaprekarQueries.queries, KaprekarQueries.oracleSql),
     (ErasureQueries.queries, ErasureQueries.oracleSql),
-    (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql)
+    (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql),
+    (CurationOpsQueries.queries, CurationOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
