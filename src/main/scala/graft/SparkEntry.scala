@@ -153,7 +153,8 @@ object SparkEntry {
     (KaprekarQueries.queries, KaprekarQueries.oracleSql),
     (ErasureQueries.queries, ErasureQueries.oracleSql),
     (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql),
-    (CurationOpsQueries.queries, CurationOpsQueries.oracleSql)
+    (CurationOpsQueries.queries, CurationOpsQueries.oracleSql),
+    (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
