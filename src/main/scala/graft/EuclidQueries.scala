@@ -41,27 +41,17 @@ object EuclidQueries {
             .as("a"),
           expr("1L + pmod(md5_60(concat('gb:', cast(o_orderkey as string))), 999999L)")
             .as("b"))
-      // state (r, r2, s, s2, t, t2, steps); stop when r2 = 0
-      val fold =
-        """aggregate(sequence(1, 90),
-          |  named_struct('r', a, 'r2', b, 's', 1L, 's2', 0L,
-          |    't', 0L, 't2', 1L, 'steps', 0L),
-          |  (acc, z) -> case when acc.r2 = 0L then acc
-          |    else element_at(transform(array(acc.r div acc.r2),
-          |      q -> named_struct(
-          |        'r', acc.r2, 'r2', acc.r - q * acc.r2,
-          |        's', acc.s2, 's2', acc.s - q * acc.s2,
-          |        't', acc.t2, 't2', acc.t - q * acc.t2,
-          |        'steps', acc.steps + 1L)), 1)
-          |    end)""".stripMargin
+      // one codegen'd kernel call per row (graft.plans.EgcdKernel —
+      // semantics identical to the old 90-step capped fold, which was
+      // interpreted and cost this query its last 3 s of bench)
       val digits = "(case when least(a, b) >= 100000L then 6L " +
         "when least(a, b) >= 10000L then 5L when least(a, b) >= 1000L then 4L " +
         "when least(a, b) >= 100L then 3L when least(a, b) >= 10L then 2L " +
         "else 1L end)"
-      val run = pairs.withColumn("st", expr(fold))
+      val run = pairs.withColumn("st", expr("egcd90(a, b)"))
         .select(col("k"), col("a"), col("b"),
-          expr("st.r").as("g"), expr("st.s").as("bz_s"),
-          expr("st.t").as("bz_t"), expr("st.steps").as("steps"),
+          expr("element_at(st, 1)").as("g"), expr("element_at(st, 2)").as("bz_s"),
+          expr("element_at(st, 3)").as("bz_t"), expr("element_at(st, 4)").as("steps"),
           expr(s"$digits").as("nd"))
         .withColumn("divides_ok", expr(
           "case when a % g = 0L and b % g = 0L then 1L else 0L end"))

@@ -26,10 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object NumberTheoryQueries {
 
-  // 2^e for e ∈ [0, 20] (q497's pinned-CASE discipline)
-  private def pow2(e: String): String =
-    "(case " + (0 to 20).map(k => s"when $e = $k then ${1L << k}").mkString(" ") +
-      " end)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -50,14 +46,10 @@ object NumberTheoryQueries {
           explode(lit(oddPrimes.map(_.toLong).toArray)).as("d"))
         .filter(expr("d * d <= m and m % d = 0"))
         .groupBy("k").agg(count(lit(1)).as("n_div"))
-      // Fermat: x = 2^(m−1) mod m via 20-bit square-and-multiply on
-      // the full exponent m−1 (not the odd part — no witness chase)
-      val modpow =
-        s"""aggregate(sequence(0, 19), 1L,
-           |  (x, z) -> element_at(transform(array((x * x) % m),
-           |    t -> case when ((m - 1L) div ${pow2("(19 - z)")}) % 2 = 1
-           |      then (t * 2L) % m else t end), 1))""".stripMargin
-      val f = base.withColumn("fx", expr(modpow))
+      // Fermat: x = 2^(m−1) mod m — the full exponent, no witness chase
+      // — in one native codegen'd kernel (graft.plans.FermatKernel; the
+      // r10 interpreted 20-step HOF fold was the query's last 3 s)
+      val f = base.withColumn("fx", expr("fermat_pow(m, 2)"))
         .withColumn("fermat_pass", expr(
           "case when fx = 1L then 1L else 0L end"))
         .join(comp, Seq("k"), "left")

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -728,6 +728,91 @@ object MrKernel {
   }
 }
 
+/** Extended Euclid in one codegen'd loop: returns [g, s, t, steps]
+  * with a·s + b·t = g, iteration-capped at 90 (never binds below
+  * Lamé's bound for inputs < 10⁶ — q515's fold semantics verbatim;
+  * the interpreted 90-step HOF fold was 13.5M boxed struct rebuilds
+  * per bench run). */
+object EgcdKernel {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  def egcd90(a: Long, b: Long): GenericArrayData = {
+    var r = a; var r2 = b
+    var s = 1L; var s2 = 0L
+    var t = 0L; var t2 = 1L
+    var steps = 0L
+    var i = 0
+    while (i < 90) {
+      if (r2 != 0L) {
+        val q = r / r2
+        val nr = r - q * r2; r = r2; r2 = nr
+        val ns = s - q * s2; s = s2; s2 = ns
+        val nt = t - q * t2; t = t2; t2 = nt
+        steps += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(r, s, t, steps))
+  }
+}
+
+/** `egcd90(a, b)` → array<bigint> [g, bezout_s, bezout_t, steps]. */
+case class Egcd90(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"egcd90 needs two bigint columns, got ${left.dataType.catalogString}, " +
+        right.dataType.catalogString)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EgcdKernel.egcd90(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.EgcdKernel.egcd90($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Egcd90 = copy(left = newLeft, right = newRight)
+}
+
+/** Fermat test companion to [[MrKernel]]: x = a^(m−1) mod m in one
+  * codegen'd square-and-multiply loop (full exponent, no witness
+  * chase — every base-a pseudoprime passes, which is exactly what
+  * q513 counts). Same ≤ 10¹² product bound. */
+object FermatKernel {
+  def pow(m: Long, a: Long): Long = {
+    var x = 1L
+    var base = a % m
+    var e = m - 1L
+    while (e > 0L) {
+      if ((e & 1L) == 1L) x = x * base % m
+      base = base * base % m
+      e >>= 1
+    }
+    x
+  }
+}
+
+/** `fermat_pow(m, a)` → bigint: a^(m−1) mod m (Fermat test residue). */
+case class FermatPow(child: Expression, a: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fermat_pow needs a bigint column, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    FermatKernel.pow(input.asInstanceOf[Long], a.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.FermatKernel.pow($c, ${a}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): FermatPow =
+    copy(child = newChild)
+}
+
 /** `mr_pass(m, a)` → 0/1 bigint: Miller–Rabin pass of odd m at base a. */
 case class MrPass(child: Expression, a: Int) extends UnaryExpression {
 
@@ -751,6 +836,22 @@ case class MrPass(child: Expression, a: Int) extends UnaryExpression {
   * Installed by Engine via `SparkSession.builder.withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("egcd90"),
+      new ExpressionInfo(classOf[Egcd90].getName, "egcd90"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => Egcd90(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: egcd90(aCol, bCol)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("fermat_pow"),
+      new ExpressionInfo(classOf[FermatPow].getName, "fermat_pow"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(a: Int, IntegerType)) => FermatPow(v, a)
+        case _ => throw new IllegalArgumentException(
+          "usage: fermat_pow(bigintCol, a) with a literal int base a")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("mr_pass"),
       new ExpressionInfo(classOf[MrPass].getName, "mr_pass"),

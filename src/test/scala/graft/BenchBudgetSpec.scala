@@ -60,7 +60,11 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q471_lsh_scurve" -> ("exact Jaccard ground truth for ~28k sampled " +
       "pairs via token explode-join, then the banded-collision census " +
       "against the analytic S-curve — pair mass is the audit itself " +
-      "(sits at the 3 s line; entry guards measurement jitter)"))
+      "(sits at the 3 s line; entry guards measurement jitter)"),
+    "q321_analyze_stats" -> ("EXACT multi-column ANALYZE: 6 simultaneous " +
+      "COUNT(DISTINCT) aggregations are an Expand x6 of the fact table " +
+      "by construction — the exact form is the point (the sketch path " +
+      "is q49's HLL); sits at the 3 s line"))
 
   test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
     val f = new java.io.File("bench_out.json")
