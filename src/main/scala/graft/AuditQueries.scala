@@ -431,7 +431,14 @@ object AuditQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q94_sketch_accuracy" -> {
-      val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
+      // the nested q23 copy's CTE names are suffixed: MATERIALIZED CTEs
+      // (sigCte, since r11) are hoisted by DuckDB's binder, so a nested
+      // `WITH shing AS MATERIALIZED ...` collides with the outer
+      // sigCte's `shing` ("Duplicate alias" binder error)
+      val q23 = Seq("shing", "hx", "raw", "sigs")
+        .foldLeft(TextQueries.oracleSql("q23_minhash_dup_pairs")) {
+          (sql, name) => sql.replace(name, name + "_q23")
+        }
       val matches = (0 until 8)
         .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
       TextQueries.sigCte +

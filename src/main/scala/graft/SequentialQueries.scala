@@ -185,11 +185,11 @@ object SequentialQueries {
     Map(
 
     "q474_sw_alignment" ->
-      s"""WITH RECURSIVE ev AS (SELECT user_id AS u, epoch_us(ts) AS us,
+      s"""WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id AS u, epoch_us(ts) AS us,
         |    event_id AS eid, event_type AS et FROM events),
-        |seq AS (SELECT u, et,
+        |seq AS MATERIALIZED (SELECT u, et,
         |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, eid) AS i FROM ev),
-        |nu AS (SELECT u, COUNT(*) AS n_u FROM ev GROUP BY u),
+        |nu AS MATERIALIZED (SELECT u, COUNT(*) AS n_u FROM ev GROUP BY u),
         |rec AS (
         |  SELECT u, 0::BIGINT AS i,
         |    list_transform(range(0, ${m + 1}), j -> 0)::BIGINT[] AS row,
@@ -211,7 +211,7 @@ object SequentialQueries {
         |FROM fin GROUP BY best ORDER BY best""".stripMargin,
 
     "q475_two_choice" ->
-      s"""WITH RECURSIVE o AS (SELECT o_orderkey AS k,
+      s"""WITH RECURSIVE o AS MATERIALIZED (SELECT o_orderkey AS k,
         |    CAST('0x' || substr(md5('shard:' || CAST(o_orderkey AS VARCHAR)),
         |      1, 15) AS BIGINT) % $Shards AS shard,
         |    CAST('0x' || substr(md5('ord:' || CAST(o_orderkey AS VARCHAR)),
@@ -224,10 +224,10 @@ object SequentialQueries {
         |one AS (SELECT COUNT(*) AS bins_hit, SUM(load) AS n_items,
         |    MAX(load) AS max_load, MIN(load) AS min_load_hit
         |  FROM (SELECT shard, h1, COUNT(*) AS load FROM o GROUP BY 1, 2)),
-        |seq AS (SELECT shard, h1, h2,
+        |seq AS MATERIALIZED (SELECT shard, h1, h2,
         |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, k) AS i
         |  FROM o),
-        |ns AS (SELECT shard, COUNT(*) AS n_sh FROM o GROUP BY shard),
+        |ns AS MATERIALIZED (SELECT shard, COUNT(*) AS n_sh FROM o GROUP BY shard),
         |rec AS (
         |  SELECT shard, 0::BIGINT AS i,
         |    list_transform(range(1, ${Bins + 1}), p -> 0)::BIGINT[] AS loads
@@ -262,13 +262,13 @@ object SequentialQueries {
         |ORDER BY scheme""".stripMargin,
 
     "q476_secretary" ->
-      """WITH RECURSIVE o AS (SELECT o_custkey AS c, o_orderkey AS k,
+      """WITH RECURSIVE o AS MATERIALIZED (SELECT o_custkey AS c, o_orderkey AS k,
         |    CAST(o_orderdate AS DATE) AS d,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
         |  FROM orders),
-        |seq AS (SELECT c, v,
+        |seq AS MATERIALIZED (SELECT c, v,
         |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY d, k, v) AS i FROM o),
-        |nc AS (SELECT c, COUNT(*) AS n, MAX(v) AS vmax,
+        |nc AS MATERIALIZED (SELECT c, COUNT(*) AS n, MAX(v) AS vmax,
         |    COUNT(*) * 367879 // 1000000 AS r
         |  FROM o GROUP BY c),
         |rec AS (

@@ -64,7 +64,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q321_analyze_stats" -> ("EXACT multi-column ANALYZE: 6 simultaneous " +
       "COUNT(DISTINCT) aggregations are an Expand x6 of the fact table " +
       "by construction — the exact form is the point (the sketch path " +
-      "is q49's HLL); sits at the 3 s line"))
+      "is q49's HLL); sits at the 3 s line"),
+    "q521_kaprekar" -> ("exhaustive 10,000-start convergence census plus " +
+      "the corpus-hash sample — fixed total work, measured 2.4-3.4 s " +
+      "across host windows; entry guards jitter at the line"),
+    "q458_hilbert_layout" -> ("full corpus laid out along a 2^16 Hilbert " +
+      "curve with per-block range stats — one corpus sort is the " +
+      "operator; measured 2.5-3.2 s across windows"),
+    "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
+      "span enumeration + real recovery of every decodable draw — fixed " +
+      "enumeration mass; measured 2.3-3.2 s across windows"))
 
   test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
     val f = new java.io.File("bench_out.json")
