@@ -87,13 +87,26 @@ object RoutingQueries {
     // ── G440: Chord routing with the distance-halving lemma ────────────
     "q495_chord_routing" -> ((s, dir) => {
       // the ring metadata: one sorted 32-position array, node-count-sized
-      val ring = Tables.orders(s, dir).sparkSession.range(0, Nodes)
+      val ring0 = Tables.orders(s, dir).sparkSession.range(0, Nodes)
         .agg(expr("array_sort(collect_list(" +
           s"pmod(md5_60(concat('node:', cast(id as string))), ${M}L)))")
           .as("arr"))
       def succ(x: String) =
         s"coalesce(array_min(filter(arr, p -> p > $x)), element_at(arr, 1))"
       def dist(a: String, b: String) = s"pmod(($b) - ($a), ${M}L)"
+      // Chord's actual data structure: each node's FINGER TABLE,
+      // computed once (Nodes × 61 succ scans on the one ring row)
+      // instead of once per (key, hop, finger) — the route fold below
+      // only reads array slots. fing[n][1] is n's plain ring successor;
+      // fing[n][1 + j + 1] = succ(n + 2^j). Routing decisions (hence
+      // hashes) are unchanged: these are the same successor values the
+      // fold used to recompute inline, where they cost ~60 interpreted
+      // 32-element filter scans per hop per key (8.2 s at sf0.1 for
+      // ~1.3k keys; the fold is HOF-interpreted, never codegen'd).
+      val ring = ring0.withColumn("fing", expr(
+        s"""transform(arr, n -> concat(array(${succ("n")}),
+           |  transform(sequence(0, 59),
+           |    j -> ${succ(s"pmod(n + ${pow2("j")}, ${M}L)")})))""".stripMargin))
       val keys = Tables.orders(s, dir)
         .filter(expr(s"pmod(md5_60(concat('pick:', cast(o_orderkey as string)))," +
           s" ${15000 / Keys}) = 0"))
@@ -103,9 +116,9 @@ object RoutingQueries {
           expr(s"pmod(md5_60(concat('start:', cast(o_orderkey as string))), " +
             s"${Nodes}L)").as("si"))
       // best next hop: the farthest finger successor(cur + 2^j) that
-      // still precedes the key (max ring distance from cur, ≤ dist to key)
-      val cand = s"""(array_max(transform(filter(transform(sequence(0, 59),
-           |  j -> ${succ(s"pmod(acc.cur + ${pow2("j")}, ${M}L)")}),
+      // still precedes the key (max ring distance from cur, ≤ dist to
+      // key) — read from the precomputed table slice fg[2..61]
+      val cand = s"""(array_max(transform(filter(slice(fg, 2, 60),
            |  c -> ${dist("acc.cur", "c")} <= ${dist("acc.cur", "kid")}
            |    and c != acc.cur),
            |  c -> named_struct('dd', ${dist("acc.cur", "c")}, 'c', c)))).c"""
@@ -118,9 +131,11 @@ object RoutingQueries {
              |    'hops', 0L, 'done', 0L, 'prog', 0L, 'hv', 0L),
              |  (acc, z) -> case
              |    when acc.done = 1L then acc
+             |    else element_at(transform(array(element_at(fing,
+             |        cast(array_position(arr, acc.cur) as int))), fg -> case
              |    when ${dist("acc.cur", "kid")} <=
-             |        ${dist("acc.cur", succ("acc.cur"))}
-             |      then named_struct('cur', ${succ("acc.cur")},
+             |        ${dist("acc.cur", "element_at(fg, 1)")}
+             |      then named_struct('cur', element_at(fg, 1),
              |        'hops', acc.hops + 1L, 'done', 1L, 'prog', acc.prog,
              |        'hv', acc.hv)
              |    else element_at(transform(array($cand),
@@ -131,6 +146,7 @@ object RoutingQueries {
              |        'hv', acc.hv + (case when
              |          2 * ${dist("nx", "kid")} < ${dist("acc.cur", "kid")}
              |          then 1L else 0L end))), 1)
+             |    end), 1)
              |    end)""".stripMargin))
         .select(col("k"), col("owner"),
           expr("st.cur").as("landed"), expr("st.hops").as("hops"),
@@ -185,14 +201,23 @@ object RoutingQueries {
       def dist(a: String, b: String) = md(s"($b) - ($a)")
       val pow2D = "(CASE " + (0 to 59).map(k =>
         s"WHEN j = $k THEN ${1L << k}").mkString(" ") + " END)"
+      // mirror of the Spark side's precomputed finger table: fg[cur][1]
+      // = ring successor, fg[cur][1+j+1] = succ(cur + 2^j); the
+      // recursion only reads list slots (MATERIALIZED so the 32×61
+      // succ scans run once, not once per recursion step)
+      def fgAt = s"(fing[CAST(list_position(arr, r.cur) AS INT)])"
       val cand = s"(list_max(list_transform(list_filter(" +
-        s"list_transform(range(0, 60), j -> ${succ(md(s"r.cur + $pow2D"))}), " +
+        s"$fgAt[2:61], " +
         s"c -> ${dist("r.cur", "c")} <= ${dist("r.cur", "s.kid")} " +
         s"AND c != r.cur), c -> {'dd': ${dist("r.cur", "c")}, 'c': c}))).c"
-      s"""WITH RECURSIVE ring AS (SELECT list_sort(list(
+      s"""WITH RECURSIVE ring0 AS (SELECT list_sort(list(
         |    ${md(s"CAST('0x' || substr(md5('node:' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)")}))
         |    AS arr
         |  FROM (SELECT UNNEST(range(0, $Nodes)) AS i)),
+        |ring AS MATERIALIZED (SELECT arr, list_transform(arr, n ->
+        |    list_prepend(${succ("n")}, list_transform(range(0, 60),
+        |      j -> ${succ(md(s"n + $pow2D"))}))) AS fing
+        |  FROM ring0),
         |keys AS (SELECT o_orderkey AS k,
         |    ${md(s"CAST('0x' || substr(md5('kid:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)")}
         |      AS kid,
@@ -213,21 +238,21 @@ object RoutingQueries {
         |    SELECT s.k, s.kid, r.i + 1 AS i,
         |      CASE WHEN r.done = 1 THEN r.cur
         |        WHEN ${dist("r.cur", "s.kid")} <=
-        |          ${dist("r.cur", succ("r.cur"))} THEN ${succ("r.cur")}
+        |          ${dist("r.cur", s"$fgAt[1]")} THEN $fgAt[1]
         |        ELSE $cand END AS ncur,
         |      CASE WHEN r.done = 1 THEN r.hops ELSE r.hops + 1 END AS nhops,
         |      CASE WHEN r.done = 1 THEN 1
         |        WHEN ${dist("r.cur", "s.kid")} <=
-        |          ${dist("r.cur", succ("r.cur"))} THEN 1 ELSE 0 END AS ndone,
+        |          ${dist("r.cur", s"$fgAt[1]")} THEN 1 ELSE 0 END AS ndone,
         |      CASE WHEN r.done = 1 THEN r.prog
         |        WHEN ${dist("r.cur", "s.kid")} <=
-        |          ${dist("r.cur", succ("r.cur"))} THEN r.prog
+        |          ${dist("r.cur", s"$fgAt[1]")} THEN r.prog
         |        ELSE r.prog + (CASE WHEN
         |          ${dist(s"($cand)", "s.kid")} < ${dist("r.cur", "s.kid")}
         |          THEN 0 ELSE 1 END) END AS nprog,
         |      CASE WHEN r.done = 1 THEN r.hv
         |        WHEN ${dist("r.cur", "s.kid")} <=
-        |          ${dist("r.cur", succ("r.cur"))} THEN r.hv
+        |          ${dist("r.cur", s"$fgAt[1]")} THEN r.hv
         |        ELSE r.hv + (CASE WHEN
         |          2 * ${dist(s"($cand)", "s.kid")} < ${dist("r.cur", "s.kid")}
         |          THEN 1 ELSE 0 END) END AS nhv

@@ -47,9 +47,6 @@ class BenchBudgetSpec extends AnyFunSuite {
       "two snapshot schemas with per-pair distribution stats; pair count " +
       "is schema-bounded (not corpus-bounded) but each pair reads its " +
       "column pair once"),
-    "q495_chord_routing" -> ("simulates greedy finger-table routing for " +
-      "every (node, key) probe pair over a 2^16 id ring — the hop-count " +
-      "census IS the workload; joins are bounded by probes x log(ring)"),
     "q407_rle_advisor" -> ("profiles run-length economics of every " +
       "(table, column, sort-order) candidate — the advisor's value is " +
       "the exhaustive candidate sweep, each candidate one ordered scan"),
