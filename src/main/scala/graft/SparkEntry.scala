@@ -154,7 +154,8 @@ object SparkEntry {
     (ErasureQueries.queries, ErasureQueries.oracleSql),
     (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql),
     (CurationOpsQueries.queries, CurationOpsQueries.oracleSql),
-    (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql)
+    (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql),
+    (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
