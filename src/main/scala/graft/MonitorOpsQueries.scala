@@ -47,23 +47,10 @@ import org.apache.spark.sql.functions._
   */
 object MonitorOpsQueries {
 
-  /** ln(2) in e9 fixed point — design literal shared by both engines. */
-  private val Ln2E9 = 693147181L
-
   private def sdiv(num: String, den: String) =
     s"case when ($num) >= 0 then ($num) div ($den) else -((-($num)) div ($den)) end"
   private def sdivSql(num: String, den: String) =
     s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) ELSE -((-($num)) // ($den)) END"
-
-  /** k = floor(log2(R/1e9)) for R ∈ [1e9, 2^20·1e9) as a pinned CASE. */
-  private def log2Case(r: String): String =
-    "(case " + (19 to 1 by -1).map(k =>
-      s"when $r >= ${(1L << k) * 1000000000L}L then $k").mkString(" ") +
-      " else 0 end)"
-  private def log2CaseSql(r: String): String =
-    "(CASE " + (19 to 1 by -1).map(k =>
-      s"WHEN $r >= ${(1L << k) * 1000000000L} THEN $k").mkString(" ") +
-      " ELSE 0 END)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -113,24 +100,12 @@ object MonitorOpsQueries {
       val sh = bc.join(tot, Seq("g"))
         .withColumn("p", expr("greatest(1L, (np + 1) * 1000000 div (tp + nbins))"))
         .withColumn("q", expr("greatest(1L, (nq + 1) * 1000000 div (tq + nbins))"))
-      // fixed-point ln(p/q): columns, never textual nesting (q452's
-      // exponential-subexpression trap)
-      val ln = sh
-        .withColumn("hi", greatest(col("p"), col("q")))
-        .withColumn("lo", least(col("p"), col("q")))
-        .withColumn("r", expr("hi * 1000000000 div lo"))
-        .withColumn("k", expr(log2Case("r")))
-        .withColumn("r2", expr("r div shiftleft(1L, k)"))
-        .withColumn("z", expr("(r2 - 1000000000) * 1000000000 div (r2 + 1000000000)"))
-        .withColumn("z2", expr("z * z div 1000000000"))
-        .withColumn("z3", expr("z * z2 div 1000000000"))
-        .withColumn("z5", expr("z3 * z2 div 1000000000"))
-        .withColumn("z7", expr("z5 * z2 div 1000000000"))
-        .withColumn("z9", expr("z7 * z2 div 1000000000"))
-        .withColumn("z11", expr("z9 * z2 div 1000000000"))
-        .withColumn("z13", expr("z11 * z2 div 1000000000"))
-        .withColumn("lnhl", expr(s"k * ${Ln2E9}L + 2 * (z + z3 div 3 " +
-          "+ z5 div 5 + z7 div 7 + z9 div 9 + z11 div 11 + z13 div 13)"))
+      // fixed-point ln(p/q) via the shared kernel (graft.ops.FixedLn —
+      // staged columns, never textual nesting: q452's trap)
+      val ln = graft.ops.FixedLn.lnE9(
+          sh.withColumn("hi", greatest(col("p"), col("q")))
+            .withColumn("lo", least(col("p"), col("q"))),
+          "hi", "lo", "lnhl")
         // (p−q) and ln(p/q) always share a sign, so each term is ≥ 0
         .withColumn("term", expr("abs(p - q) * lnhl"))
       ln.groupBy("g")
@@ -282,22 +257,8 @@ object MonitorOpsQueries {
         |  FROM bc JOIN tot ON bc.g = tot.g),
         |c1 AS (SELECT g, p, q, tp, tq, GREATEST(p, q) AS hi,
         |    LEAST(p, q) AS lo FROM sh),
-        |c2 AS (SELECT *, hi * 1000000000 // lo AS r FROM c1),
-        |c3 AS (SELECT *, ${log2CaseSql("r")} AS k FROM c2),
-        |c4 AS (SELECT *, r // (1::BIGINT << k) AS r2 FROM c3),
-        |c5 AS (SELECT *, (r2 - 1000000000) * 1000000000 //
-        |    (r2 + 1000000000) AS z FROM c4),
-        |c6 AS (SELECT *, z * z // 1000000000 AS z2 FROM c5),
-        |c7 AS (SELECT *, z * z2 // 1000000000 AS z3 FROM c6),
-        |c8 AS (SELECT *, z3 * z2 // 1000000000 AS z5 FROM c7),
-        |c9 AS (SELECT *, z5 * z2 // 1000000000 AS z7 FROM c8),
-        |c10 AS (SELECT *, z7 * z2 // 1000000000 AS z9 FROM c9),
-        |c11 AS (SELECT *, z9 * z2 // 1000000000 AS z11 FROM c10),
-        |c12 AS (SELECT *, z11 * z2 // 1000000000 AS z13 FROM c11),
-        |t AS (SELECT g, tp, tq, ABS(p - q) * (k * $Ln2E9 + 2 * (z
-        |    + z3 // 3 + z5 // 5 + z7 // 7 + z9 // 9 + z11 // 11
-        |    + z13 // 13)) AS term
-        |  FROM c12),
+        |${graft.ops.FixedLn.sqlLnE9Stages("c1", "hi", "lo", "lnhl", "lx")},
+        |t AS (SELECT g, tp, tq, ABS(p - q) * lnhl AS term FROM lx12),
         |agg AS (SELECT g, MAX(tp) AS n_base, MAX(tq) AS n_cur,
         |    SUM(term) // 1000000 AS psi_e9 FROM t GROUP BY g)
         |SELECT CAST(g AS BIGINT) AS g, CAST(n_base AS BIGINT) AS n_base,
