@@ -104,8 +104,15 @@ object ScaleProbe {
     }
 
     val ratio = hi.toDouble / lo.toDouble
-    final case class QRes(tLo: Double, tHi: Double, dirty: Boolean) {
+    final case class QRes(tLo: Double, tHi: Double, dirty: Boolean,
+                          outLo: Long = -1L, outHi: Long = -1L) {
       def exp: Double = math.log(tHi / tLo) / math.log(ratio)
+      def massRatio: Double =
+        if (outLo > 0 && outHi > 0) outHi.toDouble / outLo else -1.0
+      /** distance of the realized work growth from the fixture's ideal
+        * C× growth, in log space; 0 = the fixture delivered exactly C× */
+      def massSkew: Double =
+        if (massRatio <= 0) 0.0 else math.abs(math.log(massRatio / ratio))
     }
 
     // A steal/degradation window makes an exponent meaningless, and a
@@ -119,16 +126,49 @@ object ScaleProbe {
     // measurement prefers clean-over-dirty, then the LOWER exponent:
     // contention only ever inflates the hi-scale run, so across
     // attempts the quietest window is the honest one.
-    val maxAttempts = 3
+    //
+    // q23 exception — the SALT LOTTERY (round-11 profile, committed
+    // evidence): the corpus's near-dup mass is a few large template
+    // families at J≈0.7–0.9, and the b=2/r=4 banding catches a family
+    // only if one band's 4 argmin tokens all land in the shared token
+    // set — a per-(family, salt) coin flip at ~0.5. Whole families
+    // appear or vanish per copy: measured per-copy caught-pair mass
+    // ranged 2,833..248,340 (88×) across 18 salts, while the verified
+    // output ≈ candidates (all caught pairs are real). A 2-point time
+    // exponent therefore tracks the mass lottery, not the plan — the
+    // 0.59→0.71→0.659 round-to-round swing on UNCHANGED code. (Tuning
+    // the banding away is not a fix: aligning recall to the declared
+    // J≥0.2 threshold — r=2/b=4 — would also catch the corpus's fat
+    // low-J pair mass, inflating candidates ~5-10× for every consumer;
+    // the r=4 selectivity is the documented economics choice, q262.)
+    // The probe therefore measures each attempt's caught mass (untimed
+    // count over the memoized fixtures) and keeps, among clean
+    // attempts, the one whose hi/lo mass ratio is CLOSEST to the
+    // fixture's ideal C× — the draw where the fixture actually
+    // delivered the scaling it promises — exponent tie-broken low as
+    // before. Attempts continue past `baseAttempts` (to `maxAttempts`)
+    // until some clean draw lands within 2× of the ideal mass growth.
+    // The artifact records n_out at both scales for the kept draw AND
+    // the full per-attempt (t, mass) history, so the mass-linear cost
+    // is fittable from committed data and a skewed draw is visible,
+    // not silent.
+    val MassQueries = Set("q23_minhash_dup_pairs")
+    val SkewOk = math.log(2.0)
+    val baseAttempts = 3
+    val maxAttempts = 5
     var attempt = 0
     var best: Map[String, QRes] = Map.empty
+    var history: List[(Int, String, QRes)] = Nil
     val dirW = s"$work/warm"
     gen(1, 900, dirW)
     // untimed warm-up pass: every plan shape compiles and runs once
     // against its own fixture dir — codegen/kernels/shuffle infra hot,
     // timed passes keep their full per-snapshot pipeline cost
     ProbeQueries.foreach(q => timeOnce(q, dirW))
-    while (attempt < maxAttempts) {
+    def massSettled: Boolean = MassQueries.forall(q =>
+      best.get(q).exists(r => !r.dirty && r.massSkew <= SkewOk))
+    while (attempt < baseAttempts ||
+           (attempt < maxAttempts && !massSettled)) {
       val dir1 = s"$work/a$attempt/x$lo"
       val dirC = s"$work/a$attempt/x$hi"
       // per-attempt salt offsets keep every attempt's vocabulary disjoint
@@ -137,15 +177,31 @@ object ScaleProbe {
       waitForCleanHost(20000)
       val t1 = ProbeQueries.map(q => q -> timeOnce(q, dir1)).toMap
       val tC = ProbeQueries.map(q => q -> timeOnce(q, dirC)).toMap
-      val res = ProbeQueries.map(q =>
-        q -> QRes(t1(q)._1, tC(q)._1, t1(q)._2 || tC(q)._2)).toMap
+      // untimed caught-mass census for the lottery-prone queries: the
+      // per-dir sig/token memos are warm after the timed run, so this
+      // re-executes only the candidate+verify joins
+      def outRows(q: String, dir: String): Long =
+        SparkEntry.queries(q)(spark, dir).count()
+      val res = ProbeQueries.map { q =>
+        val (oLo, oHi) =
+          if (MassQueries(q)) (outRows(q, dir1), outRows(q, dirC))
+          else (-1L, -1L)
+        q -> QRes(t1(q)._1, tC(q)._1, t1(q)._2 || tC(q)._2, oLo, oHi)
+      }.toMap
       System.err.println(s"[scale] attempt $attempt: " +
         res.map { case (q, r) =>
-          f"$q=${r.exp}%.2f${if (r.dirty) "(dirty)" else ""}" }.mkString(" "))
+          f"$q=${r.exp}%.2f${if (r.dirty) "(dirty)" else ""}" +
+            (if (r.outLo >= 0) f"(mass ${r.outLo}->${r.outHi})" else "")
+        }.mkString(" "))
       res.foreach { case (q, r) =>
+        if (MassQueries(q)) history ::= (attempt, q, r)
         best.get(q) match {
           case Some(b) if !b.dirty && r.dirty => ()
-          case Some(b) if b.dirty == r.dirty && b.exp <= r.exp => ()
+          case Some(b) if b.dirty == r.dirty && MassQueries(q) &&
+            (b.massSkew < r.massSkew ||
+              (b.massSkew == r.massSkew && b.exp <= r.exp)) => ()
+          case Some(b) if b.dirty == r.dirty && !MassQueries(q) &&
+            b.exp <= r.exp => ()
           case _ => best += q -> r
         }
       }
@@ -154,11 +210,17 @@ object ScaleProbe {
 
     val per = ProbeQueries.map { q =>
       val r = best(q)
-      f"""\"$q\":{"t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"exponent":${r.exp}%.3f,"dirty":${r.dirty}}"""
+      val mass = if (r.outLo >= 0)
+        f""","n_out_lo":${r.outLo},"n_out_hi":${r.outHi},"mass_ratio":${r.massRatio}%.2f,"mass_skewed":${r.massSkew > SkewOk}"""
+      else ""
+      f"""\"$q\":{"t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"exponent":${r.exp}%.3f,"dirty":${r.dirty}$mass}"""
     }.mkString("{", ",", "}")
+    val hist = history.reverse.map { case (a, q, r) =>
+      f"""{"attempt":$a,"query":"$q","t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"n_out_lo":${r.outLo},"n_out_hi":${r.outHi},"dirty":${r.dirty}}"""
+    }.mkString("[", ",", "]")
     val worst = ProbeQueries.map(q => best(q).exp).max
     val json =
-      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","queries":$per}"""
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","mass_attempts":$hist,"queries":$per}"""
     Files.writeString(Paths.get("scale_out.json"), json + "\n")
     println(json)
     spark.stop()
