@@ -155,7 +155,8 @@ object SparkEntry {
     (ForecastOpsQueries.queries, ForecastOpsQueries.oracleSql),
     (CurationOpsQueries.queries, CurationOpsQueries.oracleSql),
     (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql),
-    (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql)
+    (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql),
+    (RagOpsQueries.queries, RagOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
