@@ -156,7 +156,8 @@ object SparkEntry {
     (CurationOpsQueries.queries, CurationOpsQueries.oracleSql),
     (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql),
     (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql),
-    (RagOpsQueries.queries, RagOpsQueries.oracleSql)
+    (RagOpsQueries.queries, RagOpsQueries.oracleSql),
+    (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
