@@ -85,17 +85,39 @@ object ImpactQueries {
       val test = s.read.parquet(s"$work/test")
       val train = s.read.parquet(s"$work/train")
       val coK = s.read.parquet(s"$work/cok")
+      // rank-by-counting (round 11): the metric only needs the TEST
+      // part's rank among non-owned candidates ordered by (score desc,
+      // cand asc) — that rank is 1 + |candidates strictly above it|, so
+      // the per-user top-5 sort window (a full shuffle+sort of the
+      // scored table) is replaced by one broadcast-joined count. Output
+      // is bit-identical: same ordering, same ≤5 cutoff.
+      // test-part score per user, WITHOUT materializing all scores:
+      // train ⋈ test (broadcast) ⋈ coK on (pa = owned part, pb = test)
+      val tscore = train
+        .join(broadcast(test.withColumnRenamed("c", "sc")),
+          col("c") === col("sc"))
+        .join(coK, col("p") === col("pa") && col("p_test") === col("pb"))
+        .groupBy(col("c").as("hc"), col("p_test").as("tcand"))
+        .agg(sum("w").as("tscore"))
       val scores = train.join(coK, col("p") === col("pa"))
         .groupBy(col("c").as("sc"), col("pb").as("cand"))
         .agg(sum("w").as("score"))
-      // drop candidates the user already owns (train parts)
-      val fresh = scores.join(train.select(col("c").as("tc"), col("p").as("tp")),
-          col("sc") === col("tc") && col("cand") === col("tp"), "left_anti")
-      val top = fresh.withColumn("rrk", row_number().over(
-          Window.partitionBy("sc").orderBy(col("score").desc, col("cand").asc)))
-        .filter(col("rrk") <= 5)
-      val hits = test.join(top, col("c") === col("sc") && col("p_test") === col("cand"), "left")
-        .select(col("c"), coalesce(col("rrk"), lit(0L)).as("hit_rank"))
+      // candidates ordered above the test part (excluding owned parts
+      // AFTER the above-filter so the anti-join sees few rows)
+      val above = scores.join(broadcast(tscore), col("sc") === col("hc"))
+        .filter(col("score") > col("tscore") ||
+          (col("score") === col("tscore") && col("cand") < col("tcand")))
+        .join(train.select(col("c").as("oc"), col("p").as("op")),
+          col("sc") === col("oc") && col("cand") === col("op"), "left_anti")
+        .groupBy(col("sc")).agg(count(lit(1)).as("n_above"))
+      val hits = test
+        .join(broadcast(tscore.select(col("hc"), lit(1L).as("scored"))),
+          col("c") === col("hc"), "left")
+        .join(above, col("c") === col("sc"), "left")
+        .select(col("c"), when(col("scored").isNull, lit(0L)).otherwise(
+          when(coalesce(col("n_above"), lit(0L)) < 5,
+            coalesce(col("n_above"), lit(0L)) + 1).otherwise(lit(0L)))
+          .as("hit_rank"))
       hits.agg(count(lit(1)).as("n_users"),
           sum(when(col("hit_rank") > 0, 1L).otherwise(0L)).as("n_hits"),
           sum(when(col("hit_rank") > 0, expr("10000 div hit_rank")).otherwise(0L)).as("rr_sum_e4"))
