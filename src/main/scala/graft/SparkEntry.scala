@@ -157,7 +157,8 @@ object SparkEntry {
     (RetrievalOpsQueries.queries, RetrievalOpsQueries.oracleSql),
     (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql),
     (RagOpsQueries.queries, RagOpsQueries.oracleSql),
-    (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql)
+    (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql),
+    (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

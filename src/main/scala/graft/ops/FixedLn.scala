@@ -82,7 +82,9 @@ object FixedLn {
       val from = if (i == 0) src else s"$pre$i"
       s"${pre}${i + 1} AS (SELECT *, $s FROM $from)"
     }
-    val fin = s"${pre}12 AS (SELECT *, _k * $Ln2E9 + 2 * (_z " +
+    // Ln2E9 forced to BIGINT: k reaches 19 at the kernel's range limit
+    // and 19 · 693147181 overflows the INT32 the bare literal infers
+    val fin = s"${pre}12 AS (SELECT *, _k * CAST($Ln2E9 AS BIGINT) + 2 * (_z " +
       "+ _z3 // 3 + _z5 // 5 + _z7 // 7 + _z9 // 9 + _z11 // 11 " +
       s"+ _z13 // 13) AS $out FROM $pre${steps.length})"
     (ctes :+ fin).mkString(",\n")
