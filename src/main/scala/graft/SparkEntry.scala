@@ -158,7 +158,8 @@ object SparkEntry {
     (MonitorOpsQueries.queries, MonitorOpsQueries.oracleSql),
     (RagOpsQueries.queries, RagOpsQueries.oracleSql),
     (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql),
-    (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql)
+    (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql),
+    (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
