@@ -68,6 +68,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q458_hilbert_layout" -> ("full corpus laid out along a 2^16 Hilbert " +
       "curve with per-block range stats — one corpus sort is the " +
       "operator; measured 2.5-3.2 s across windows"),
+    "q151_simkey_blocking" -> ("simhash16 over the whole corpus + the " +
+      "minimal half-space neighbor fan (already 1.8x reduced; measured " +
+      "scale exponent 0.486) — measured 2.8-3.2 s across windows; entry " +
+      "guards jitter at the line"),
     "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
       "span enumeration + real recovery of every decodable draw — fixed " +
       "enumeration mass; measured 2.3-3.2 s across windows"))
