@@ -99,7 +99,14 @@ object ImpactQueries {
         .join(coK, col("p") === col("pa") && col("p_test") === col("pb"))
         .groupBy(col("c").as("hc"), col("p_test").as("tcand"))
         .agg(sum("w").as("tscore"))
-      val scores = train.join(coK, col("p") === col("pa"))
+      // only users whose test part IS a candidate (has a tscore) can
+      // have a non-zero hit rank, so the scoring fan-out runs for that
+      // ~5% of users only — a ~20x cut of the aggregate's group count,
+      // same output (everyone else reports hit_rank 0 via scored=NULL)
+      val scores = train
+        .join(broadcast(tscore.select(col("hc"))), col("c") === col("hc"),
+          "left_semi")
+        .join(coK, col("p") === col("pa"))
         .groupBy(col("c").as("sc"), col("pb").as("cand"))
         .agg(sum("w").as("score"))
       // candidates ordered above the test part (excluding owned parts
@@ -250,22 +257,44 @@ object ImpactQueries {
         |el AS MATERIALIZED (SELECT * FROM rk WHERE np >= 2),
         |test AS MATERIALIZED (SELECT c, p AS p_test FROM el WHERE rk = 1),
         |train AS MATERIALIZED (SELECT c, p FROM el WHERE rk > 1),
-        |co AS MATERIALIZED (SELECT x.p AS pa, y.p AS pb, COUNT(*) AS w
-        |       FROM train x JOIN train y ON x.c = y.c AND x.p != y.p
-        |       GROUP BY x.p, y.p),
+        |coh AS MATERIALIZED (SELECT x.p AS pa, y.p AS pb, COUNT(*) AS w
+        |       FROM train x JOIN train y ON x.c = y.c AND x.p < y.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |co AS (SELECT pa, pb, w FROM coh
+        |       UNION ALL SELECT pb, pa, w FROM coh),
         |cok AS MATERIALIZED (SELECT pa, pb, w FROM
         |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY pa ORDER BY w DESC, pb) AS nrk
-        |           FROM co WHERE w >= 2) t WHERE nrk <= 50),
+        |           FROM co) t WHERE nrk <= 50),
+        |-- rank-by-counting (mirrors the engine's round-11 plan): the
+        |-- metric needs only the test part's rank = 1 + |non-owned
+        |-- candidates strictly above it|, so the per-user top-5 window
+        |-- over the full scored table (the 180 s of this oracle's sweep
+        |-- cost) is replaced by one counted join. Same ordering, same
+        |-- <=5 cutoff, bit-identical output.
+        |tsc AS MATERIALIZED (SELECT t.c, e.p_test AS tcand, SUM(k.w) AS tscore
+        |       FROM train t JOIN test e ON t.c = e.c
+        |       JOIN cok k ON k.pa = t.p AND k.pb = e.p_test
+        |       GROUP BY 1, 2),
+        |-- only users present in tsc can rank their test part, so the
+        |-- scoring fan runs for that ~5% slice only (same output)
         |scores AS MATERIALIZED (SELECT train.c AS sc, cok.pb AS cand, SUM(w) AS score
         |           FROM train JOIN cok ON train.p = cok.pa
+        |           WHERE train.c IN (SELECT c FROM tsc)
         |           GROUP BY train.c, cok.pb),
-        |fresh AS MATERIALIZED (SELECT * FROM scores WHERE NOT EXISTS
-        |            (SELECT 1 FROM train t WHERE t.c = scores.sc AND t.p = scores.cand)),
-        |top AS MATERIALIZED (SELECT * FROM
-        |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc ORDER BY score DESC, cand) AS rrk
-        |           FROM fresh) z WHERE rrk <= 5),
-        |hits AS MATERIALIZED (SELECT test.c, COALESCE(top.rrk, 0) AS hit_rank
-        |         FROM test LEFT JOIN top ON test.c = top.sc AND test.p_test = top.cand)
+        |above AS MATERIALIZED (SELECT s.sc, COUNT(*) AS n_above
+        |         FROM scores s JOIN tsc ON s.sc = tsc.c
+        |         WHERE (s.score > tsc.tscore
+        |                OR (s.score = tsc.tscore AND s.cand < tsc.tcand))
+        |           AND NOT EXISTS (SELECT 1 FROM train t
+        |                           WHERE t.c = s.sc AND t.p = s.cand)
+        |         GROUP BY s.sc),
+        |hits AS MATERIALIZED (SELECT test.c,
+        |         CASE WHEN tsc.c IS NULL THEN 0
+        |              WHEN COALESCE(above.n_above, 0) < 5
+        |                THEN COALESCE(above.n_above, 0) + 1
+        |              ELSE 0 END AS hit_rank
+        |         FROM test LEFT JOIN tsc ON test.c = tsc.c
+        |         LEFT JOIN above ON test.c = above.sc)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
         |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |       CAST(SUM(CASE WHEN hit_rank > 0 THEN 10000 // hit_rank ELSE 0 END) AS BIGINT) AS rr_sum_e4,
