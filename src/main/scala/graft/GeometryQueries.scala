@@ -197,15 +197,15 @@ object GeometryQueries {
         s"j -> j >= 2 AND ${crossD("r.stk", "j", "s.x", "s.y")} > 0)), 1)"
       val nxt = (i: String) => s"((($i) % m) + 1)"
       val nxt2 = (i: String) => nxt(nxt(i))
-      s"""WITH RECURSIVE cust AS (SELECT c_custkey AS ck,
+      s"""WITH RECURSIVE cust AS MATERIALIZED (SELECT c_custkey AS ck,
         |    CAST(c_nationkey AS BIGINT) AS nk,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
         |  FROM customer),
-        |cnt AS (SELECT o_custkey AS ck, COUNT(*) AS y FROM orders GROUP BY 1),
-        |pts AS (SELECT DISTINCT nk, x, COALESCE(y, 0) AS y
+        |cnt AS MATERIALIZED (SELECT o_custkey AS ck, COUNT(*) AS y FROM orders GROUP BY 1),
+        |pts AS MATERIALIZED (SELECT DISTINCT nk, x, COALESCE(y, 0) AS y
         |  FROM cust LEFT JOIN cnt USING (ck)),
-        |np AS (SELECT nk, COUNT(*) AS n_points FROM pts GROUP BY nk),
-        |seq AS (SELECT nk, x, y, 0 AS dir,
+        |np AS MATERIALIZED (SELECT nk, COUNT(*) AS n_points FROM pts GROUP BY nk),
+        |seq AS MATERIALIZED (SELECT nk, x, y, 0 AS dir,
         |    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x, y) AS i FROM pts
         |  UNION ALL
         |  SELECT nk, x, y, 1,

@@ -232,7 +232,7 @@ object ResourceQueries {
     Map(
 
     "q477_ucb_bandit" ->
-      s"""WITH RECURSIVE ranked AS (SELECT source, doc_id,
+      s"""WITH RECURSIVE ranked AS MATERIALIZED (SELECT source, doc_id,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS e,
         |    CAST('0x' || substr(md5('pull:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) AS h,
@@ -240,7 +240,7 @@ object ResourceQueries {
         |      CAST('0x' || substr(md5('pull:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |        AS BIGINT), doc_id) AS rk
         |  FROM documents WHERE source IN ($armsIn)),
-        |rwrow AS (SELECT
+        |rwrow AS MATERIALIZED (SELECT
         |  ${(1 to Arms).map(a =>
              s"(SELECT list(e ORDER BY h, doc_id) FROM ranked WHERE source = 'src${a - 1}' AND rk <= $Pulls) AS a$a, " +
              s"(SELECT COUNT(*) FROM ranked WHERE source = 'src${a - 1}' AND rk <= $Pulls) AS l$a").mkString(",\n|  ")}),

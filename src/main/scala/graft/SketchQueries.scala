@@ -231,14 +231,14 @@ object SketchQueries {
   def oracleSql: Map[String, String] = Map(
 
     "q421_misra_gries" ->
-      """WITH RECURSIVE ev AS (SELECT user_id AS it, epoch_us(ts) AS us,
+      """WITH RECURSIVE ev AS MATERIALIZED (SELECT user_id AS it, epoch_us(ts) AS us,
         |    event_id AS eid,
         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) % 512 AS sh
         |  FROM events),
-        |seq AS (SELECT sh, it, ROW_NUMBER() OVER
+        |seq AS MATERIALIZED (SELECT sh, it, ROW_NUMBER() OVER
         |    (PARTITION BY sh ORDER BY us, eid) AS i FROM ev),
-        |ns AS (SELECT sh, COUNT(*) AS n_s FROM ev GROUP BY sh),
+        |ns AS MATERIALIZED (SELECT sh, COUNT(*) AS n_s FROM ev GROUP BY sh),
         |rec AS (
         |  SELECT sh, i, [struct_pack(it := it, c := 1::BIGINT)] AS st
         |  FROM seq WHERE i = 1
