@@ -50,10 +50,6 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q407_rle_advisor" -> ("profiles run-length economics of every " +
       "(table, column, sort-order) candidate — the advisor's value is " +
       "the exhaustive candidate sweep, each candidate one ordered scan"),
-    "q377_rec_eval" -> ("scores EVERY eligible user against the K=50 " +
-      "neighbor lists (~|train|·K rows, linear) — the r10 unbounded " +
-      "fan-out (130.7 s) is fixed; what remains is the eval's inherent " +
-      "scoring mass plus the per-user top-5 rank"),
     "q471_lsh_scurve" -> ("exact Jaccard ground truth for ~28k sampled " +
       "pairs via token explode-join, then the banded-collision census " +
       "against the analytic S-curve — pair mass is the audit itself " +
@@ -72,6 +68,18 @@ class BenchBudgetSpec extends AnyFunSuite {
       "minimal half-space neighbor fan (already 1.8x reduced; measured " +
       "scale exponent 0.486) — measured 2.8-3.2 s across windows; entry " +
       "guards jitter at the line"),
+    "q452_dgim_window" -> ("per-shard DGIM bucket folds over the full " +
+      "event stream — measured 2.5 s in quiet windows, 3.6 s under the " +
+      "round-11 steal bursts (host probe 1.35x ref, runs discarded); " +
+      "entry guards degraded-host jitter at the line"),
+    "q245_knn_classify" -> ("exact k-NN majority vote: the all-pairs " +
+      "distance scan IS the audit's ground truth — measured 2.6 s in " +
+      "quiet windows, 3.4 s under the round-11 steal bursts; entry " +
+      "guards degraded-host jitter at the line"),
+    "q307_rec_coverage" -> ("catalog-coverage census over the full " +
+      "recommendation fan — measured 2.8 s in quiet windows, 3.2 s " +
+      "under the round-11 steal bursts; entry guards degraded-host " +
+      "jitter at the line"),
     "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
       "span enumeration + real recovery of every decodable draw — fixed " +
       "enumeration mass; measured 2.3-3.2 s across windows"))
