@@ -159,7 +159,8 @@ object SparkEntry {
     (RagOpsQueries.queries, RagOpsQueries.oracleSql),
     (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql),
     (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql),
-    (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql)
+    (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql),
+    (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
