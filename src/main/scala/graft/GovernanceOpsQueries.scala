@@ -114,7 +114,9 @@ object GovernanceOpsQueries {
       val nOrders = items.select("okey").distinct()
         .agg(count(lit(1)).as("n_orders"))
       val pf = items.groupBy("pk").agg(count(lit(1)).as("pn"))
-      val byLift = co.filter(col("co") >= 5)
+      // min-support 2 (not q198's 5): the lift arm must stay
+      // populated at every declared check scale (max co = 3 at sf0.1)
+      val byLift = co.filter(col("co") >= 2)
         .join(pf.select(col("pk").as("pa"), col("pn").as("na")), Seq("pa"))
         .join(pf.select(col("pk").as("pb"), col("pn").as("nb")), Seq("pb"))
         .crossJoin(broadcast(nOrders))
@@ -212,7 +214,7 @@ object GovernanceOpsQueries {
          |  GROUP BY pk),
          |lifted AS (SELECT co.pa, co.pb, 'lift' AS arm FROM co
          |  JOIN pf na ON na.pk = co.pa JOIN pf nb ON nb.pk = co.pb, no
-         |  WHERE co.co >= 5
+         |  WHERE co.co >= 2
          |  ORDER BY (CAST(co.co AS HUGEINT) * no.n_orders * 10000)
          |    // (CAST(na.pn AS HUGEINT) * nb.pn) DESC, co.pa, co.pb
          |  LIMIT 20),
