@@ -98,9 +98,12 @@ object GovernanceOpsQueries {
         .withColumn("na", count(when(col("rel") === 0L, 1)).over(w))
         .withColumn("rr", sum("rel").over(cw))
         .withColumn("nn", sum(expr("1 - rel")).over(cw))
+      // nn = 0 guard (ADVICE r11): a qid whose judged pool has zero
+      // non-relevant docs must score bpref = 1.0, not NULL — na is 0
+      // there, so clamping the divisor to 1 yields exactly 1000000
       t.filter(col("rel") === 1L)
         .withColumn("term_e6", expr(
-          "1000000 - least(na, rr) * 1000000 div least(rr, nn)"))
+          "1000000 - least(na, rr) * 1000000 div greatest(least(rr, nn), 1L)"))
         .groupBy("qid")
         .agg(max("rr").as("r_judged"), max("nn").as("n_judged_nonrel"),
           expr("sum(term_e6) div max(rr)").as("bpref_e6"))
@@ -198,7 +201,8 @@ object GovernanceOpsQueries {
          |SELECT CAST(qid AS BIGINT) AS qid,
          |  CAST(MAX(rr) AS BIGINT) AS r_judged,
          |  CAST(MAX(nn) AS BIGINT) AS n_judged_nonrel,
-         |  CAST(SUM(1000000 - LEAST(na, rr) * 1000000 // LEAST(rr, nn))
+         |  CAST(SUM(1000000 - LEAST(na, rr) * 1000000
+         |      // GREATEST(LEAST(rr, nn), 1))
          |    // MAX(rr) AS BIGINT) AS bpref_e6
          |FROM t WHERE rel = 1 GROUP BY qid ORDER BY qid""".stripMargin
     },

@@ -113,6 +113,14 @@ object ScaleProbe {
         * C× growth, in log space; 0 = the fixture delivered exactly C× */
       def massSkew: Double =
         if (massRatio <= 0) 0.0 else math.abs(math.log(massRatio / ratio))
+      /** exponent with the salt-lottery mass draw divided out (ADVICE
+        * r11): time is mass-linear for the lottery queries, so scaling
+        * the hi/lo time ratio by ideal-over-realized mass growth
+        * recovers the exponent the PLAN would show under an ideal C×
+        * draw. Only meaningful when mass was measured. */
+      def expMassNorm: Double =
+        if (massRatio <= 0) exp
+        else math.log(tHi / tLo * ratio / massRatio) / math.log(ratio)
     }
 
     // A steal/degradation window makes an exponent meaningless, and a
@@ -211,7 +219,7 @@ object ScaleProbe {
     val per = ProbeQueries.map { q =>
       val r = best(q)
       val mass = if (r.outLo >= 0)
-        f""","n_out_lo":${r.outLo},"n_out_hi":${r.outHi},"mass_ratio":${r.massRatio}%.2f,"mass_skewed":${r.massSkew > SkewOk}"""
+        f""","n_out_lo":${r.outLo},"n_out_hi":${r.outHi},"mass_ratio":${r.massRatio}%.2f,"mass_skewed":${r.massSkew > SkewOk},"exponent_mass_norm":${r.expMassNorm}%.3f"""
       else ""
       f"""\"$q\":{"t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"exponent":${r.exp}%.3f,"dirty":${r.dirty}$mass}"""
     }.mkString("{", ",", "}")
@@ -219,8 +227,15 @@ object ScaleProbe {
       f"""{"attempt":$a,"query":"$q","t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"n_out_lo":${r.outLo},"n_out_hi":${r.outHi},"dirty":${r.dirty}}"""
     }.mkString("[", ",", "]")
     val worst = ProbeQueries.map(q => best(q).exp).max
+    // unsettled disclosure (ADVICE r11): if the loop exhausted its
+    // attempts without any clean draw within 2x of ideal mass growth,
+    // worst_exponent still partly reflects the lottery — say so at the
+    // top level, and publish the mass-normalized worst exponent beside
+    // it so a reader has the plan-only number either way.
+    val settled = massSettled
+    val worstNorm = ProbeQueries.map(q => best(q).expMassNorm).max
     val json =
-      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","mass_attempts":$hist,"queries":$per}"""
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"mass_settled":$settled,"worst_exponent_mass_norm":$worstNorm%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","mass_attempts":$hist,"queries":$per}"""
     Files.writeString(Paths.get("scale_out.json"), json + "\n")
     println(json)
     spark.stop()

@@ -160,7 +160,8 @@ object SparkEntry {
     (FeatureOpsQueries.queries, FeatureOpsQueries.oracleSql),
     (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql),
     (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql),
-    (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql)
+    (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql),
+    (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

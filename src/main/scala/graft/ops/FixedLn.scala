@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.expr
 /** Exact fixed-point natural log — the shared kernel born in q534's PSI
   * and reused wherever a pipeline needs ln of a ratio without floats
   * (q539 DSIR importance weights). ln(hi/lo) at e9 for BIGINT inputs
-  * hi ≥ lo ≥ 1, hi/lo < 2^20:
+  * hi ≥ lo ≥ 1, hi/lo < 2^22:
   *
   *   r  = hi·1e9 div lo                      (e9 ratio, ≥ 1e9)
   *   k  = floor(log2(r/1e9))                 (pinned CASE ladder)
@@ -26,13 +26,17 @@ object FixedLn {
   /** ln(2) at e9 — design literal shared by both engines. */
   val Ln2E9 = 693147181L
 
-  /** k = floor(log2(R/1e9)) for R ∈ [1e9, 2^20·1e9) as a pinned CASE. */
+  /** k = floor(log2(R/1e9)) for R ∈ [1e9, 2^22·1e9) as a pinned CASE.
+    * Ladder top is 21 (ADVICE r11): q541's magnitude guard can emit
+    * hi/lo up to ~4e6 when the lo leg clamps to 1, and a saturated
+    * ladder would push the atanh argument past 1/3 and void the error
+    * bound. k=21 keeps r2 ∈ [1, 2) across the whole widened domain. */
   def log2Case(r: String): String =
-    "(case " + (19 to 1 by -1).map(k =>
+    "(case " + (21 to 1 by -1).map(k =>
       s"when $r >= ${(1L << k) * 1000000000L}L then $k").mkString(" ") +
       " else 0 end)"
   def log2CaseSql(r: String): String =
-    "(CASE " + (19 to 1 by -1).map(k =>
+    "(CASE " + (21 to 1 by -1).map(k =>
       s"WHEN $r >= ${(1L << k) * 1000000000L} THEN $k").mkString(" ") +
       " ELSE 0 END)"
 
@@ -82,8 +86,8 @@ object FixedLn {
       val from = if (i == 0) src else s"$pre$i"
       s"${pre}${i + 1} AS (SELECT *, $s FROM $from)"
     }
-    // Ln2E9 forced to BIGINT: k reaches 19 at the kernel's range limit
-    // and 19 · 693147181 overflows the INT32 the bare literal infers
+    // Ln2E9 forced to BIGINT: k reaches 21 at the kernel's range limit
+    // and 21 · 693147181 overflows the INT32 the bare literal infers
     val fin = s"${pre}12 AS (SELECT *, _k * CAST($Ln2E9 AS BIGINT) + 2 * (_z " +
       "+ _z3 // 3 + _z5 // 5 + _z7 // 7 + _z9 // 9 + _z11 // 11 " +
       s"+ _z13 // 13) AS $out FROM $pre${steps.length})"

@@ -23,6 +23,29 @@ class BenchBudgetSpec extends AnyFunSuite {
   /** An allowlisted query measured below this is a stale entry. */
   val StaleBelowSec = 2.0
 
+  /** Steal-aware budget (VERDICT r11 "next" #1): the bench artifact
+    * carries its own host-contention measurement
+    * (`host.probe_best_vs_ref` — best observed probe time vs the
+    * committed quiet-window reference), so a run taken under a steal
+    * burst gets its budget inflated by the SAME factor the host was
+    * slow, clamped to [1.0, StealClampMax]. The clamp keeps the gate
+    * honest: a genuinely regressed query (>= 1.5x budget) trips even
+    * on a maximally-degraded disclosed host, because
+    * 3.0 * 1.45 < 3.0 * 1.5. */
+  val StealClampMax = 1.45
+
+  def effectiveBudget(probeBestVsRef: Double): Double =
+    BudgetSec * math.min(StealClampMax, math.max(1.0, probeBestVsRef))
+
+  /** Pure gate kernel: queries over the steal-adjusted budget that are
+    * not justified in the allowlist, worst first. */
+  def overBudget(times: Map[String, Double], probeBestVsRef: Double,
+                 allowed: Set[String]): Seq[(String, Double)] = {
+    val budget = effectiveBudget(probeBestVsRef)
+    times.toSeq.filter { case (n, t) => t > budget && !allowed(n) }
+      .sortBy(-_._2)
+  }
+
   /** Queries over budget whose cost is argued inherent, not accidental:
     * each entry names what the seconds buy and why no cheaper plan
     * exists at this check scale. */
@@ -98,11 +121,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     val declared = SparkEntry.queries.size
     assume(times.size >= declared * 9 / 10,
       s"artifact covers ${times.size}/$declared queries — dev subset run")
-    val offenders = times.toSeq
-      .filter { case (n, t) => t > BudgetSec && !allow.contains(n) }
-      .sortBy(-_._2)
+    val probe = (json \ "host" \ "probe_best_vs_ref").extractOpt[Double]
+      .getOrElse(1.0)
+    val offenders = overBudget(times, probe, allow.keySet)
     assert(offenders.isEmpty,
-      "\nOver-budget queries — fix the plan or justify in BenchBudgetSpec:\n  " +
+      f"\nOver-budget queries at steal-adjusted budget " +
+        f"${effectiveBudget(probe)}%.2f s (probe $probe%.3fx) — fix the " +
+        "plan or justify in BenchBudgetSpec:\n  " +
         offenders.map { case (n, t) => f"$n: $t%.2f s" }.mkString("\n  "))
     // self-pruning: a justification for a query now comfortably under
     // budget is stale and must be deleted (entries for queries missing
@@ -112,5 +137,24 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"stale BenchBudgetSpec allowlist entries (now < ${StaleBelowSec}s " +
         s"or gone): ${stale.mkString(", ")}")
+  }
+
+  test("a real 1.5x-budget regression trips even on a degraded host") {
+    // a query at 1.5x the quiet-window budget, on a host whose probe
+    // reports ANY amount of steal (clamped at StealClampMax = 1.45):
+    // must always be flagged — steal-awareness forgives jitter at the
+    // line, never a genuine regression.
+    val regressed = Map("qX_regressed" -> BudgetSec * 1.5)
+    for (probe <- Seq(0.9, 1.0, 1.341, 2.0, 10.0)) {
+      assert(overBudget(regressed, probe, Set.empty).nonEmpty,
+        s"1.5x regression escaped the gate at probe=$probe")
+    }
+    // ...while a 10% jitter trip under the round-11 disclosed steal
+    // factor (1.341x) is forgiven — the exact q333 case from r11.
+    val jitter = Map("q333_bpe_merges" -> 3.20)
+    assert(overBudget(jitter, 1.341, Set.empty).isEmpty,
+      "steal-window jitter at 3.20s should pass under probe=1.341")
+    assert(overBudget(jitter, 1.0, Set.empty).nonEmpty,
+      "3.20s on a QUIET host is a real over-budget and must trip")
   }
 }
