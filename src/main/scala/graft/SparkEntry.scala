@@ -161,7 +161,8 @@ object SparkEntry {
     (ScoringOpsQueries.queries, ScoringOpsQueries.oracleSql),
     (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql),
     (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql),
-    (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql)
+    (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql),
+    (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
