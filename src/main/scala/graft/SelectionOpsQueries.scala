@@ -1,0 +1,448 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Model-selection and data-valuation wave (round 12, third wave).
+  *
+  * Reference intent — every query names its consumer:
+  *  - q558: the M5 competition's WRMSSE (Makridakis et al. 2020) — the
+  *    revenue-weighted root mean squared SCALED error, where the scale
+  *    is the training window's naive-1 difference energy. It is THE
+  *    published aggregate for exactly the reference's shape (many
+  *    per-store sales series rolled into one number). Consumer: q523's
+  *    HQ report — the single score its per-store MAE table lacks.
+  *  - q559: purged K-fold CV with embargo (López de Prado 2018, ch. 7)
+  *    — contiguous day blocks, ±5-day embargo around each test block,
+  *    with a min-gap audit proving no train day leaks into the
+  *    embargo. Consumer: q30's walk-forward CV harness, for the
+  *    overlapping-label features q56/q62 build (trailing windows leak
+  *    across a naive K-fold boundary).
+  *  - q560: leave-one-source-out data valuation under the q543 unigram
+  *    LM: refit the (+1-smoothed) LM without each source's counts and
+  *    measure the held-out NLL delta — positive delta = removing the
+  *    source hurts = the source is valuable. The LOO refit is pure
+  *    count subtraction, so all 20 ablations come from ONE corpus scan
+  *    (q268's trick, model-backed). Consumer: the q89 mixture builder's
+  *    source-weighting loop.
+  *  - q561: Bradley–Terry strengths (Bradley & Terry 1952; Hunter 2004
+  *    MM algorithm, 5 pinned iterations in e6 fixed point) over daily
+  *    pairwise error duels between four forecast arms (weekday-mean,
+  *    level-mean, inverse-MAE ensemble, seasonal-naive-7). Consumer:
+  *    q524's selection loop — BT ranks arms across ALL series at once,
+  *    robust to per-series scale, where per-series MAE argmin is not.
+  *
+  * House rules: exact integer arithmetic everywhere except the two
+  * pinned-op-order double sqrts in q558 (q13's RMSE discipline);
+  * FixedLn for logarithms; totally ordered outputs.
+  */
+object SelectionOpsQueries {
+
+  /** q561: pinned MM iteration count. */
+  private val BtIters = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── G503: M5 WRMSSE over the nation hierarchy ──────────────────────
+    "q558_wrmsse" -> ((s, dir) => {
+      val dec = "decimal(38, 0)"
+      val nd = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("g"),
+          expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      val cut = nd.agg(expr("max(dn) - 28").as("cut"))
+      val d = nd.crossJoin(broadcast(cut))
+        .withColumn("dow", expr("((dn % 7) + 7) % 7"))
+      val fit = d.filter(col("dn") <= col("cut"))
+      val fA = fit.groupBy("g", "dow").agg(expr("sum(y) div count(1)").as("fa0"))
+      val fB = fit.groupBy("g").agg(expr("sum(y) div count(1)").as("fb"))
+      // training-window naive-1 scale: squared diffs of CONSECUTIVE
+      // observed days (the M5 denominator), DECIMAL(38,0) energy sums
+      val diffs = fit
+        .withColumn("py", lag("y", 1).over(Window.partitionBy("g").orderBy("dn")))
+        .filter(col("py").isNotNull)
+        .groupBy("g").agg(count(lit(1)).as("n_diffs"),
+          sum(expr(s"cast(y - py as $dec) * (y - py)")).as("ssd"))
+      val test = d.filter(col("dn") > col("cut"))
+        .join(fA, Seq("g", "dow"), "left").join(fB, Seq("g"))
+        .withColumn("f", coalesce(col("fa0"), col("fb")))
+        .groupBy("g").agg(count(lit(1)).as("n_test"),
+          sum(expr(s"cast(y - f as $dec) * (y - f)")).as("sse"),
+          sum("y").as("rev_test"))
+      // M5 weights: revenue share of the LAST 28 TRAIN days
+      val wrev = fit.filter(col("dn") > col("cut") - 28)
+        .groupBy("g").agg(sum("y").as("rev_w"))
+      val wtot = wrev.agg(sum("rev_w").as("rev_all"))
+      test.join(diffs, Seq("g")).join(wrev, Seq("g"))
+        .crossJoin(broadcast(wtot))
+        // pinned op order (q13's RMSE discipline): one double expr,
+        // identical literal sequence in the oracle
+        .withColumn("rmsse_e6", expr(
+          "cast(round(sqrt(cast(sse as double) * n_diffs / " +
+            "cast(greatest(ssd, cast(1 as decimal(38,0))) as double) / n_test) " +
+            "* 1000000) as bigint)"))
+        .withColumn("w_e6", expr("rev_w * 1000000 div rev_all"))
+        .withColumn("contrib_e6", expr("w_e6 * rmsse_e6 div 1000000"))
+        .select("g", "n_test", "rmsse_e6", "w_e6", "contrib_e6")
+        .orderBy("g")
+    }),
+
+    // ── G504: purged K-fold manifest with embargo ──────────────────────
+    // K = 5 contiguous day blocks over the global order calendar;
+    // embargo = 5 days each side of the test block. min_gap audits the
+    // manifest: every train day is > 5 days from the fold's block.
+    "q559_purged_cv" -> ((s, dir) => {
+      val days = Tables.orders(s, dir)
+        .select(expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .distinct()
+      val span = days.agg(min("dn").as("d0"), max("dn").as("d1"))
+      val tagged = days.crossJoin(broadcast(span))
+        .withColumn("fold", expr("least(4L, (dn - d0) * 5 div (d1 - d0 + 1))"))
+      val blocks = tagged.groupBy("fold")
+        .agg(min("dn").as("test_lo"), max("dn").as("test_hi"),
+          count(lit(1)).as("n_test"))
+      tagged.select("dn", "fold").crossJoin(broadcast(blocks)
+          .withColumnRenamed("fold", "f"))
+        .filter(col("fold") =!= col("f"))
+        .withColumn("purged", expr(
+          "case when dn >= test_lo - 5 and dn <= test_hi + 5 then 1L else 0L end"))
+        .withColumn("gap", expr(
+          "case when dn < test_lo then test_lo - dn else dn - test_hi end"))
+        .groupBy(col("f").as("fold"))
+        .agg(max("test_lo").as("test_lo"), max("test_hi").as("test_hi"),
+          max("n_test").as("n_test"),
+          sum(expr("1 - purged")).as("n_train"),
+          sum("purged").as("n_purged"),
+          min(when(col("purged") === 0L, col("gap"))).as("min_gap"))
+        .orderBy("fold")
+    }),
+
+    // ── G505: leave-one-source-out unigram-LM data valuation ───────────
+    // Train = doc_id % 10 != 0, heldout = doc_id % 10 = 0. LOO counts
+    // are global-minus-source subtractions — one scan funds all 20
+    // ablations. The per-token fan is |heldout vocab| × |sources|
+    // (bound the vocab to top-k + UNK at web scale). Ratios carry
+    // q541's e6 magnitude guard, so the plan survives corpus growth.
+    "q560_loo_source_value" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      val train = toks.filter(col("doc_id") % 10 =!= 0)
+      val held = toks.filter(col("doc_id") % 10 === 0)
+      val c = train.groupBy("tok").agg(count(lit(1)).as("c"))
+      val cs = train.groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
+      val glob = c.agg(sum("c").as("nn"), count(lit(1)).as("vv"))
+      val ns = cs.groupBy("source").agg(sum("c_s").as("n_s"))
+      val h = held.groupBy("tok").agg(count(lit(1)).as("h"))
+      def nllTerm(df: DataFrame, num: String, den: String, out: String): DataFrame = {
+        val staged = df
+          .withColumn("sc", expr(s"greatest(1L, ($num) div 1000000)"))
+          .withColumn("hi", expr(s"($num) div sc"))
+          .withColumn("lo", expr(s"greatest(1L, ($den) div sc)"))
+        graft.ops.FixedLn.lnE9(staged, "hi", "lo", "lnr")
+          .withColumn(out, expr("h * lnr"))
+          .drop("sc", "hi", "lo", "lnr")
+      }
+      // full-model NLL: Σ_tok h · ln((N+V)/(c_tok+1)), one row
+      val full = nllTerm(
+          h.join(c, Seq("tok"), "left").na.fill(0L, Seq("c"))
+            .crossJoin(broadcast(glob)),
+          "nn + vv", "c + 1", "t")
+        .agg(sum("t").as("nll_full_e9"))
+      // LOO: per (source, heldout token) with subtracted counts
+      val loo = h.crossJoin(broadcast(ns))
+        .join(c.withColumnRenamed("c", "c"), Seq("tok"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(cs, Seq("source", "tok"), "left").na.fill(0L, Seq("c_s"))
+        .crossJoin(broadcast(glob))
+      nllTerm(loo, "nn - n_s + vv", "c - c_s + 1", "t")
+        .groupBy("source").agg(max("n_s").as("n_train_tokens"),
+          sum("t").as("nll_loo_e9"))
+        .crossJoin(broadcast(full))
+        .withColumn("delta_e9", col("nll_loo_e9") - col("nll_full_e9"))
+        .select("source", "n_train_tokens", "nll_full_e9", "nll_loo_e9",
+          "delta_e9")
+        .orderBy("source")
+    }),
+
+    // ── G506: Bradley–Terry arm ranking from daily error duels ─────────
+    // Four arms forecast each nation-day in the 28-day holdout; every
+    // day each arm pair duels on absolute error (ties = no match).
+    // Strengths via Hunter's MM: π_i ← W_i / Σ_j n_ij/(π_i+π_j), 5
+    // pinned iterations in e6 fixed point, renormalized to Σπ = 4e6.
+    // The duel table is corpus-sized; the MM iterations run on the
+    // 4×4 win matrix — metadata-sized, still declarative (no collect).
+    "q561_bradley_terry" -> ((s, dir) => {
+      val nd = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("g"),
+          expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
+      val cut = nd.agg(expr("max(dn) - 56").as("c1"), expr("max(dn) - 28").as("c2"))
+      val d = nd.crossJoin(broadcast(cut))
+        .withColumn("dow", expr("((dn % 7) + 7) % 7"))
+      val fit = d.filter(col("dn") <= col("c1"))
+      val fA = fit.groupBy("g", "dow").agg(expr("sum(y) div count(1)").as("fa0"))
+      val fB = fit.groupBy("g").agg(expr("sum(y) div count(1)").as("fb"))
+      val scored = d.join(fA, Seq("g", "dow"), "left").join(fB, Seq("g"))
+        .withColumn("fa", coalesce(col("fa0"), col("fb")))
+      val w = scored.filter(col("dn") > col("c1") && col("dn") <= col("c2"))
+        .groupBy("g")
+        .agg(expr("sum(abs(y - fa)) div count(1)").as("mae_a_val"),
+          expr("sum(abs(y - fb)) div count(1)").as("mae_b_val"))
+        .withColumn("w_a_e6", expr(
+          "case when mae_a_val + mae_b_val = 0 then 500000L " +
+            "else mae_b_val * 1000000 div (mae_a_val + mae_b_val) end"))
+      val lag7 = nd.select(col("g"), (col("dn") + 7).as("dn"), col("y").as("y7"))
+      val duelBase = scored.filter(col("dn") > col("c2"))
+        .join(w.select("g", "w_a_e6"), Seq("g"))
+        .join(lag7, Seq("g", "dn")) // only days where the naive-7 arm exists
+        .withColumn("f_ens", expr(
+          "(w_a_e6 * fa + (1000000 - w_a_e6) * fb) div 1000000"))
+        .select(col("g"), col("dn"),
+          abs(col("y") - col("fa")).as("e_weekday"),
+          abs(col("y") - col("fb")).as("e_level"),
+          abs(col("y") - col("f_ens")).as("e_ensemble"),
+          abs(col("y") - col("y7")).as("e_naive7"))
+      val arms = Seq("weekday", "level", "ensemble", "naive7")
+      val pairsDf = arms.combinations(2).map { case Seq(i, j) =>
+        duelBase.select(lit(i).as("i"), lit(j).as("j"),
+          when(col(s"e_$i") < col(s"e_$j"), 1L).otherwise(0L).as("wi"),
+          when(col(s"e_$j") < col(s"e_$i"), 1L).otherwise(0L).as("wj"))
+      }.reduce(_ unionByName _)
+      val mat0 = pairsDf.groupBy("i", "j")
+        .agg(sum("wi").as("w_ij"), sum("wj").as("w_ji"))
+        .withColumn("n_ij", col("w_ij") + col("w_ji"))
+      // symmetric closure so each item sees all its opponents
+      val matPlan = mat0.select("i", "j", "w_ij", "n_ij").unionByName(
+        mat0.select(col("j").as("i"), col("i").as("j"),
+          col("w_ji").as("w_ij"), col("n_ij")))
+      // LAND the 12-row win matrix before iterating: each MM iteration
+      // references π twice, so the unrolled lineage re-derives its
+      // input 2^5-fold — against the corpus-sized duel scan that is the
+      // q537/q477 pick-chain trap; against an 12-row parquet it's free
+      val matPath = PipelineQueries.cachedFixture(s"q561|$dir") { work =>
+        matPlan.coalesce(1).write.mode("overwrite").parquet(s"$work/mat")
+      }
+      val mat = s.read.parquet(s"$matPath/mat")
+      val wins = mat.groupBy("i").agg(sum("w_ij").as("wtot"),
+        sum("n_ij").as("n_matches"))
+      var pi = wins.select(col("i"), lit(1000000L).as("pi"))
+      for (_ <- 1 to BtIters) {
+        val denom = mat
+          .join(pi.withColumnRenamed("i", "ii").withColumnRenamed("pi", "pi_i"),
+            col("i") === col("ii"))
+          .join(pi.withColumnRenamed("i", "jj").withColumnRenamed("pi", "pi_j"),
+            col("j") === col("jj"))
+          .groupBy("i")
+          .agg(sum(expr("n_ij * 1000000000000 div (pi_i + pi_j)")).as("den"))
+        val upd = wins.join(denom, Seq("i"))
+          .withColumn("pi_raw", expr("wtot * 1000000000000 div greatest(den, 1L)"))
+        val tot = upd.agg(sum("pi_raw").as("tot"))
+        pi = upd.crossJoin(broadcast(tot))
+          .select(col("i"), expr("pi_raw * 4000000 div tot").as("pi"))
+      }
+      wins.join(pi, Seq("i"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pi").desc, col("i"))).cast(LongType))
+        .select(col("i").as("arm"), col("wtot").as("wins"),
+          col("n_matches"), col("pi").as("strength_e6"), col("rank"))
+        .orderBy("arm")
+    })
+  )
+
+  /** q561 oracle: the MM iterations unrolled as CTE pairs — generated
+    * from the same [[BtIters]] the engine unrolls. Every step is
+    * MATERIALIZED: π_t is referenced twice by den_{t+1}, so plain CTEs
+    * re-evaluate the whole chain 2^5-fold (the q537/q477 trap). */
+  private def btIterSql: String =
+    (1 to BtIters).map { t =>
+      val prev = if (t == 1) "pi0" else s"pi${t - 1}"
+      s"""den$t AS MATERIALIZED (SELECT m.i,
+         |    SUM(m.n_ij * 1000000000000 // (a.pi + b.pi)) AS den
+         |  FROM mat m JOIN $prev a ON m.i = a.i JOIN $prev b ON m.j = b.i
+         |  GROUP BY m.i),
+         |upd$t AS MATERIALIZED (SELECT w.i,
+         |    w.wtot * 1000000000000 // GREATEST(den.den, 1) AS pi_raw
+         |  FROM wins w JOIN den$t den ON w.i = den.i),
+         |pi$t AS MATERIALIZED (SELECT i,
+         |    pi_raw * 4000000 // (SELECT SUM(pi_raw) FROM upd$t) AS pi
+         |  FROM upd$t)""".stripMargin
+    }.mkString(",\n")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q558_wrmsse" ->
+      """WITH nd AS MATERIALIZED (SELECT c.c_nationkey AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS dn,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT MAX(dn) - 28 AS cut FROM nd),
+        |d AS MATERIALIZED (SELECT nd.*, cut.cut, ((dn % 7) + 7) % 7 AS dow
+        |  FROM nd, cut),
+        |fit AS MATERIALIZED (SELECT * FROM d WHERE dn <= cut),
+        |fa AS (SELECT g, dow, SUM(y) // COUNT(*) AS fa0 FROM fit
+        |  GROUP BY 1, 2),
+        |fb AS (SELECT g, SUM(y) // COUNT(*) AS fb FROM fit GROUP BY 1),
+        |diffs AS (SELECT g, COUNT(*) AS n_diffs,
+        |    SUM(CAST(y - py AS HUGEINT) * (y - py)) AS ssd
+        |  FROM (SELECT g, y, LAG(y) OVER (PARTITION BY g ORDER BY dn) AS py
+        |        FROM fit) WHERE py IS NOT NULL GROUP BY g),
+        |test AS (SELECT d.g, COUNT(*) AS n_test,
+        |    SUM(CAST(d.y - COALESCE(fa.fa0, fb.fb) AS HUGEINT)
+        |      * (d.y - COALESCE(fa.fa0, fb.fb))) AS sse
+        |  FROM d LEFT JOIN fa ON d.g = fa.g AND d.dow = fa.dow
+        |  JOIN fb ON d.g = fb.g WHERE d.dn > d.cut GROUP BY d.g),
+        |wrev AS (SELECT g, SUM(y) AS rev_w FROM fit
+        |  WHERE dn > cut - 28 GROUP BY g),
+        |wtot AS (SELECT SUM(rev_w) AS rev_all FROM wrev)
+        |SELECT CAST(t.g AS BIGINT) AS g, CAST(t.n_test AS BIGINT) AS n_test,
+        |  CAST(round(sqrt(CAST(t.sse AS DOUBLE) * di.n_diffs /
+        |    CAST(GREATEST(di.ssd, 1) AS DOUBLE) / t.n_test) * 1000000)
+        |    AS BIGINT) AS rmsse_e6,
+        |  CAST(w.rev_w * 1000000 // wtot.rev_all AS BIGINT) AS w_e6,
+        |  CAST((w.rev_w * 1000000 // wtot.rev_all) *
+        |    CAST(round(sqrt(CAST(t.sse AS DOUBLE) * di.n_diffs /
+        |      CAST(GREATEST(di.ssd, 1) AS DOUBLE) / t.n_test) * 1000000)
+        |      AS BIGINT) // 1000000 AS BIGINT) AS contrib_e6
+        |FROM test t JOIN diffs di ON t.g = di.g JOIN wrev w ON t.g = w.g,
+        |  wtot ORDER BY t.g""".stripMargin,
+
+    "q559_purged_cv" ->
+      """WITH days AS (SELECT DISTINCT
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS dn FROM orders),
+        |span AS (SELECT MIN(dn) AS d0, MAX(dn) AS d1 FROM days),
+        |tagged AS (SELECT dn,
+        |    LEAST(4, (dn - d0) * 5 // (d1 - d0 + 1)) AS fold
+        |  FROM days, span),
+        |blocks AS (SELECT fold, MIN(dn) AS test_lo, MAX(dn) AS test_hi,
+        |    COUNT(*) AS n_test FROM tagged GROUP BY fold),
+        |x AS (SELECT t.dn, b.fold AS f, b.test_lo, b.test_hi, b.n_test,
+        |    CASE WHEN t.dn >= b.test_lo - 5 AND t.dn <= b.test_hi + 5
+        |      THEN 1 ELSE 0 END AS purged,
+        |    CASE WHEN t.dn < b.test_lo THEN b.test_lo - t.dn
+        |      ELSE t.dn - b.test_hi END AS gap
+        |  FROM tagged t JOIN blocks b ON t.fold <> b.fold)
+        |SELECT CAST(f AS BIGINT) AS fold,
+        |  CAST(MAX(test_lo) AS BIGINT) AS test_lo,
+        |  CAST(MAX(test_hi) AS BIGINT) AS test_hi,
+        |  CAST(MAX(n_test) AS BIGINT) AS n_test,
+        |  CAST(SUM(1 - purged) AS BIGINT) AS n_train,
+        |  CAST(SUM(purged) AS BIGINT) AS n_purged,
+        |  CAST(MIN(CASE WHEN purged = 0 THEN gap END) AS BIGINT) AS min_gap
+        |FROM x GROUP BY f ORDER BY fold""".stripMargin,
+
+    "q560_loo_source_value" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, source,
+        |    UNNEST(${sqlTokens("text")}) AS tok FROM documents),
+        |train AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 != 0),
+        |held AS MATERIALIZED (SELECT * FROM toks WHERE doc_id % 10 = 0),
+        |c AS (SELECT tok, COUNT(*) AS c FROM train GROUP BY tok),
+        |cs AS (SELECT source, tok, COUNT(*) AS c_s FROM train
+        |  GROUP BY source, tok),
+        |gtot AS (SELECT SUM(c) AS nn, COUNT(*) AS vv FROM c),
+        |ns AS (SELECT source, SUM(c_s) AS n_s FROM cs GROUP BY source),
+        |h AS (SELECT tok, COUNT(*) AS h FROM held GROUP BY tok),
+        |f0 AS (SELECT h.tok, h.h, COALESCE(c.c, 0) AS c, gtot.nn, gtot.vv
+        |  FROM h CROSS JOIN gtot LEFT JOIN c ON h.tok = c.tok),
+        |f1 AS (SELECT *, GREATEST(1, (nn + vv) // 1000000) AS sc FROM f0),
+        |f2 AS (SELECT *, (nn + vv) // sc AS hi,
+        |    GREATEST(1, (c + 1) // sc) AS lo FROM f1),
+        |${graft.ops.FixedLn.sqlLnE9Stages("f2", "hi", "lo", "lnr", "pf")},
+        |fullnll AS (SELECT SUM(h * lnr) AS nll_full_e9 FROM pf12),
+        |l0 AS (SELECT h.tok, h.h, ns.source, ns.n_s,
+        |    COALESCE(c.c, 0) AS c, COALESCE(cs.c_s, 0) AS c_s,
+        |    gtot.nn, gtot.vv
+        |  FROM h CROSS JOIN ns CROSS JOIN gtot
+        |  LEFT JOIN c ON h.tok = c.tok
+        |  LEFT JOIN cs ON cs.source = ns.source AND cs.tok = h.tok),
+        |l1 AS (SELECT *, GREATEST(1, (nn - n_s + vv) // 1000000) AS sc
+        |  FROM l0),
+        |l2 AS (SELECT *, (nn - n_s + vv) // sc AS hi,
+        |    GREATEST(1, (c - c_s + 1) // sc) AS lo FROM l1),
+        |${graft.ops.FixedLn.sqlLnE9Stages("l2", "hi", "lo", "lnr", "pl")},
+        |loo AS (SELECT source, MAX(n_s) AS n_train_tokens,
+        |    SUM(h * lnr) AS nll_loo_e9 FROM pl12 GROUP BY source)
+        |SELECT source, CAST(n_train_tokens AS BIGINT) AS n_train_tokens,
+        |  CAST(nll_full_e9 AS BIGINT) AS nll_full_e9,
+        |  CAST(nll_loo_e9 AS BIGINT) AS nll_loo_e9,
+        |  CAST(nll_loo_e9 - nll_full_e9 AS BIGINT) AS delta_e9
+        |FROM loo, fullnll ORDER BY source""".stripMargin,
+
+    "q561_bradley_terry" ->
+      s"""WITH nd AS MATERIALIZED (SELECT c.c_nationkey AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS dn,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT MAX(dn) - 56 AS c1, MAX(dn) - 28 AS c2 FROM nd),
+        |d AS MATERIALIZED (SELECT nd.*, cut.c1, cut.c2,
+        |    ((dn % 7) + 7) % 7 AS dow FROM nd, cut),
+        |fit AS MATERIALIZED (SELECT * FROM d WHERE dn <= c1),
+        |fa AS (SELECT g, dow, SUM(y) // COUNT(*) AS fa0 FROM fit
+        |  GROUP BY 1, 2),
+        |fb AS (SELECT g, SUM(y) // COUNT(*) AS fb FROM fit GROUP BY 1),
+        |scored AS MATERIALIZED (SELECT d.g, d.dn, d.y, d.c1, d.c2,
+        |    COALESCE(fa.fa0, fb.fb) AS fa, fb.fb AS fb
+        |  FROM d LEFT JOIN fa ON d.g = fa.g AND d.dow = fa.dow
+        |  JOIN fb ON d.g = fb.g),
+        |w AS (SELECT g, SUM(ABS(y - fa)) // COUNT(*) AS mae_a_val,
+        |    SUM(ABS(y - fb)) // COUNT(*) AS mae_b_val
+        |  FROM scored WHERE dn > c1 AND dn <= c2 GROUP BY g),
+        |wg AS (SELECT g, CASE WHEN mae_a_val + mae_b_val = 0 THEN 500000
+        |    ELSE mae_b_val * 1000000 // (mae_a_val + mae_b_val) END AS w_a_e6
+        |  FROM w),
+        |duel AS MATERIALIZED (SELECT s.g, s.dn,
+        |    ABS(s.y - s.fa) AS e_weekday,
+        |    ABS(s.y - s.fb) AS e_level,
+        |    ABS(s.y - (wg.w_a_e6 * s.fa + (1000000 - wg.w_a_e6) * s.fb)
+        |      // 1000000) AS e_ensemble,
+        |    ABS(s.y - l.y) AS e_naive7
+        |  FROM scored s JOIN wg ON s.g = wg.g
+        |  JOIN nd l ON l.g = s.g AND l.dn = s.dn - 7
+        |  WHERE s.dn > s.c2),
+        |duels AS (
+        |  SELECT 'weekday' AS i, 'level' AS j,
+        |    CASE WHEN e_weekday < e_level THEN 1 ELSE 0 END AS wi,
+        |    CASE WHEN e_level < e_weekday THEN 1 ELSE 0 END AS wj FROM duel
+        |  UNION ALL SELECT 'weekday', 'ensemble',
+        |    CASE WHEN e_weekday < e_ensemble THEN 1 ELSE 0 END,
+        |    CASE WHEN e_ensemble < e_weekday THEN 1 ELSE 0 END FROM duel
+        |  UNION ALL SELECT 'weekday', 'naive7',
+        |    CASE WHEN e_weekday < e_naive7 THEN 1 ELSE 0 END,
+        |    CASE WHEN e_naive7 < e_weekday THEN 1 ELSE 0 END FROM duel
+        |  UNION ALL SELECT 'level', 'ensemble',
+        |    CASE WHEN e_level < e_ensemble THEN 1 ELSE 0 END,
+        |    CASE WHEN e_ensemble < e_level THEN 1 ELSE 0 END FROM duel
+        |  UNION ALL SELECT 'level', 'naive7',
+        |    CASE WHEN e_level < e_naive7 THEN 1 ELSE 0 END,
+        |    CASE WHEN e_naive7 < e_level THEN 1 ELSE 0 END FROM duel
+        |  UNION ALL SELECT 'ensemble', 'naive7',
+        |    CASE WHEN e_ensemble < e_naive7 THEN 1 ELSE 0 END,
+        |    CASE WHEN e_naive7 < e_ensemble THEN 1 ELSE 0 END FROM duel),
+        |mat0 AS (SELECT i, j, SUM(wi) AS w_ij, SUM(wj) AS w_ji,
+        |    SUM(wi) + SUM(wj) AS n_ij FROM duels GROUP BY i, j),
+        |mat AS MATERIALIZED (SELECT i, j, w_ij, n_ij FROM mat0
+        |  UNION ALL SELECT j, i, w_ji, n_ij FROM mat0),
+        |wins AS MATERIALIZED (SELECT i, SUM(w_ij) AS wtot,
+        |    SUM(n_ij) AS n_matches FROM mat GROUP BY i),
+        |pi0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wins),
+        |$btIterSql
+        |SELECT wins.i AS arm, CAST(wins.wtot AS BIGINT) AS wins,
+        |  CAST(wins.n_matches AS BIGINT) AS n_matches,
+        |  CAST(p.pi AS BIGINT) AS strength_e6,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY p.pi DESC, wins.i) AS BIGINT)
+        |    AS rank
+        |FROM wins JOIN pi$BtIters p ON wins.i = p.i ORDER BY arm""".stripMargin
+  )
+}

@@ -162,7 +162,8 @@ object SparkEntry {
     (DiagnosticsOpsQueries.queries, DiagnosticsOpsQueries.oracleSql),
     (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql),
     (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql),
-    (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql)
+    (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql),
+    (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
