@@ -163,7 +163,8 @@ object SparkEntry {
     (GovernanceOpsQueries.queries, GovernanceOpsQueries.oracleSql),
     (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql),
     (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql),
-    (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql)
+    (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql),
+    (AdvisoryOpsQueries.queries, AdvisoryOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
