@@ -175,10 +175,14 @@ object AdvisoryOpsQueries {
         s"aggregate(sequence(1, $MaxReplicas), array(1000000000L), " +
           "(acc, k) -> concat(acc, array(element_at(acc, -1) * a_e6 " +
           "div (cast(k as bigint) * 1000000))))"))
-      val tk = lad.select(col("a_e6"), posexplode(col("ts")).as(Seq("k", "t")))
+      // s_below = Σ_{j<k} t_j folded straight from the ladder array —
+      // no window at all (a global cumsum window would be the
+      // WindowSweepSpec scale-killer shape, pointless on 17 rows)
+      val tk = lad.select(col("a_e6"), col("ts"),
+        posexplode(col("ts")).as(Seq("k", "t")))
       val cum = tk.withColumn("s_below", expr(
-          "sum(t) over (order by k rows between unbounded preceding " +
-            "and 1 preceding)"))
+          "aggregate(slice(ts, 1, k), 0L, (a, b) -> a + b)"))
+        .drop("ts")
         .filter(col("k").between(1, MaxReplicas))
       cum
         .withColumn("c", col("k").cast("long"))

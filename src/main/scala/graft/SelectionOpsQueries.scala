@@ -199,10 +199,14 @@ object SelectionOpsQueries {
         .withColumn("w_a_e6", expr(
           "case when mae_a_val + mae_b_val = 0 then 500000L " +
             "else mae_b_val * 1000000 div (mae_a_val + mae_b_val) end"))
-      val lag7 = nd.select(col("g"), (col("dn") + 7).as("dn"), col("y").as("y7"))
-      val duelBase = scored.filter(col("dn") > col("c2"))
+      // seasonal-naive arm: the most recent observation ≥ 7 days back
+      // (an as-of lookup, not a strict dn−7 equi-join — at sparse
+      // check scales most nation-days lack an exact 7-day-old twin)
+      val w7 = Window.partitionBy("g").orderBy("dn")
+        .rangeBetween(Window.unboundedPreceding, -7)
+      val duelBase = scored.withColumn("y7", last("y").over(w7))
+        .filter(col("dn") > col("c2") && col("y7").isNotNull)
         .join(w.select("g", "w_a_e6"), Seq("g"))
-        .join(lag7, Seq("g", "dn")) // only days where the naive-7 arm exists
         .withColumn("f_ens", expr(
           "(w_a_e6 * fa + (1000000 - w_a_e6) * fb) div 1000000"))
         .select(col("g"), col("dn"),
@@ -402,15 +406,17 @@ object SelectionOpsQueries {
         |wg AS (SELECT g, CASE WHEN mae_a_val + mae_b_val = 0 THEN 500000
         |    ELSE mae_b_val * 1000000 // (mae_a_val + mae_b_val) END AS w_a_e6
         |  FROM w),
+        |sc7 AS MATERIALIZED (SELECT *, LAST_VALUE(y) OVER (PARTITION BY g
+        |    ORDER BY dn RANGE BETWEEN UNBOUNDED PRECEDING AND 7 PRECEDING)
+        |    AS y7 FROM scored),
         |duel AS MATERIALIZED (SELECT s.g, s.dn,
         |    ABS(s.y - s.fa) AS e_weekday,
         |    ABS(s.y - s.fb) AS e_level,
         |    ABS(s.y - (wg.w_a_e6 * s.fa + (1000000 - wg.w_a_e6) * s.fb)
         |      // 1000000) AS e_ensemble,
-        |    ABS(s.y - l.y) AS e_naive7
-        |  FROM scored s JOIN wg ON s.g = wg.g
-        |  JOIN nd l ON l.g = s.g AND l.dn = s.dn - 7
-        |  WHERE s.dn > s.c2),
+        |    ABS(s.y - s.y7) AS e_naive7
+        |  FROM sc7 s JOIN wg ON s.g = wg.g
+        |  WHERE s.dn > s.c2 AND s.y7 IS NOT NULL),
         |duels AS (
         |  SELECT 'weekday' AS i, 'level' AS j,
         |    CASE WHEN e_weekday < e_level THEN 1 ELSE 0 END AS wi,

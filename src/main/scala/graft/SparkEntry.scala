@@ -164,7 +164,8 @@ object SparkEntry {
     (LifecycleOpsQueries.queries, LifecycleOpsQueries.oracleSql),
     (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql),
     (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql),
-    (AdvisoryOpsQueries.queries, AdvisoryOpsQueries.oracleSql)
+    (AdvisoryOpsQueries.queries, AdvisoryOpsQueries.oracleSql),
+    (SequentialOpsQueries.queries, SequentialOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -43,7 +43,8 @@ class WindowSweepSpec extends AnyFunSuite {
     "q273_neyman_allocation" -> "largest-remainder rank over the per-month stratum table (|months| rows, pre-aggregated)",
     "q430_littles_law" -> "±1 delta table: ≤ 2 rows per observed day (calendar-span-bounded, q215's shape)",
     "q431_burn_rate" -> "daily error-rate grain (calendar-span-bounded, ≤ |days| rows)",
-    "q481_weighted_majority" -> "daily volume-direction grain (calendar-span-bounded, ≤ |days| rows)")
+    "q481_weighted_majority" -> "daily volume-direction grain (calendar-span-bounded, ≤ |days| rows)",
+    "q561_bradley_terry" -> "final rank over the 4-row arm-strength table (|arms| rows, read from the 12-row win-matrix fixture)")
 
   test("no query plan runs an unpartitioned Window over unbounded input") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
