@@ -165,7 +165,8 @@ object SparkEntry {
     (CorpusOpsQueries.queries, CorpusOpsQueries.oracleSql),
     (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql),
     (AdvisoryOpsQueries.queries, AdvisoryOpsQueries.oracleSql),
-    (SequentialOpsQueries.queries, SequentialOpsQueries.oracleSql)
+    (SequentialOpsQueries.queries, SequentialOpsQueries.oracleSql),
+    (TuningOpsQueries.queries, TuningOpsQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
