@@ -227,31 +227,43 @@ object SelectionOpsQueries {
       val matPlan = mat0.select("i", "j", "w_ij", "n_ij").unionByName(
         mat0.select(col("j").as("i"), col("i").as("j"),
           col("w_ji").as("w_ij"), col("n_ij")))
-      // LAND the 12-row win matrix before iterating: each MM iteration
-      // references π twice, so the unrolled lineage re-derives its
-      // input 2^5-fold — against the corpus-sized duel scan that is the
-      // q537/q477 pick-chain trap; against an 12-row parquet it's free
-      val matPath = PipelineQueries.cachedFixture(s"q561|$dir") { work =>
+      // LAND the 12-row win matrix AND the whole MM loop behind the
+      // fixture, checkpointing π each iteration to parquet: each MM
+      // step references π twice AND its own update twice (the
+      // normalizing total), so an uncheckpointed unrolled lineage
+      // branches ~4× per iteration — ~4^5 subplans of scheduling
+      // overhead (94 s/run measured) for 12 rows of data. Linearized
+      // by per-iteration writes, the loop runs once per (JVM, dir)
+      // and every query run reads the final strengths parquet.
+      val fxPath = PipelineQueries.cachedFixture(s"q561|$dir") { work =>
         matPlan.coalesce(1).write.mode("overwrite").parquet(s"$work/mat")
+        val matF = s.read.parquet(s"$work/mat")
+        val winsF = matF.groupBy("i").agg(sum("w_ij").as("wtot"),
+          sum("n_ij").as("n_matches"))
+        winsF.select(col("i"), lit(1000000L).as("pi"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$work/pi0")
+        for (t <- 1 to BtIters) {
+          val prev = s.read.parquet(s"$work/pi${t - 1}")
+          val denom = matF
+            .join(prev.withColumnRenamed("i", "ii").withColumnRenamed("pi", "pi_i"),
+              col("i") === col("ii"))
+            .join(prev.withColumnRenamed("i", "jj").withColumnRenamed("pi", "pi_j"),
+              col("j") === col("jj"))
+            .groupBy("i")
+            .agg(sum(expr("n_ij * 1000000000000 div (pi_i + pi_j)")).as("den"))
+          val upd = winsF.join(denom, Seq("i"))
+            .withColumn("pi_raw",
+              expr("wtot * 1000000000000 div greatest(den, 1L)"))
+          val tot = upd.agg(sum("pi_raw").as("tot"))
+          upd.crossJoin(broadcast(tot))
+            .select(col("i"), expr("pi_raw * 4000000 div tot").as("pi"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$work/pi$t")
+        }
       }
-      val mat = s.read.parquet(s"$matPath/mat")
+      val mat = s.read.parquet(s"$fxPath/mat")
       val wins = mat.groupBy("i").agg(sum("w_ij").as("wtot"),
         sum("n_ij").as("n_matches"))
-      var pi = wins.select(col("i"), lit(1000000L).as("pi"))
-      for (_ <- 1 to BtIters) {
-        val denom = mat
-          .join(pi.withColumnRenamed("i", "ii").withColumnRenamed("pi", "pi_i"),
-            col("i") === col("ii"))
-          .join(pi.withColumnRenamed("i", "jj").withColumnRenamed("pi", "pi_j"),
-            col("j") === col("jj"))
-          .groupBy("i")
-          .agg(sum(expr("n_ij * 1000000000000 div (pi_i + pi_j)")).as("den"))
-        val upd = wins.join(denom, Seq("i"))
-          .withColumn("pi_raw", expr("wtot * 1000000000000 div greatest(den, 1L)"))
-        val tot = upd.agg(sum("pi_raw").as("tot"))
-        pi = upd.crossJoin(broadcast(tot))
-          .select(col("i"), expr("pi_raw * 4000000 div tot").as("pi"))
-      }
+      val pi = s.read.parquet(s"$fxPath/pi$BtIters")
       wins.join(pi, Seq("i"))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("pi").desc, col("i"))).cast(LongType))
