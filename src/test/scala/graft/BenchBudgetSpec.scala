@@ -105,7 +105,12 @@ class BenchBudgetSpec extends AnyFunSuite {
       "jitter at the line"),
     "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
       "span enumeration + real recovery of every decodable draw — fixed " +
-      "enumeration mass; measured 2.3-3.2 s across windows"))
+      "enumeration mass; measured 2.3-3.2 s across windows"),
+    "q568_psi_attribution" -> ("re-derives q534's full PSI machinery " +
+      "(order-grain decile census, 2.15 s alone at sf0.1) at per-bin " +
+      "grain for the drill-down — the attribution IS the second pass; " +
+      "measured 3.0-4.3 s across windows, entry guards jitter at the " +
+      "line"))
 
   test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
     val f = new java.io.File("bench_out.json")
