@@ -134,14 +134,32 @@ object AdvisoryOpsQueries {
           sum(expr("h * lnr")).as("nll_e9"))
         .crossJoin(broadcast(htot))
         .withColumn("nll_per_tok_e9", expr("nll_e9 div ht"))
-      // log-log axes via FixedLn (rescales shift both axes by constants
-      // that cancel in the OLS slope): x = ln(n/1), z = ln(nll_e9/1e3)
-      val ax0 = graft.ops.FixedLn.lnE9(
-        nll.withColumn("hi", col("n_train_tokens"))
-          .withColumn("lo", lit(1L)), "hi", "lo", "x").drop("hi", "lo")
-      val ax = graft.ops.FixedLn.lnE9(
-        ax0.withColumn("hi", expr("nll_per_tok_e9 div 1000"))
-          .withColumn("lo", lit(1L)), "hi", "lo", "z").drop("hi", "lo")
+      // log-log axes via FixedLn with the q541-style magnitude guard
+      // (ADVICE r12): a raw hi = n_train_tokens saturates the kernel's
+      // k ≤ 21 ladder at ~4.2e6 tokens and overflows the atanh stage at
+      // ~1.9e7. Split ln(v) = ln(v div sc) + ln(sc) with
+      // sc = greatest(1, v div 1e6) — both legs stay < 2^22 for any
+      // corpus below ~4e12 tokens; both engines run the identical split.
+      val x0 = nll.withColumn("xsc",
+        expr("greatest(1L, n_train_tokens div 1000000)"))
+      val x1 = graft.ops.FixedLn.lnE9(
+        x0.withColumn("hi", expr("greatest(1L, n_train_tokens div xsc)"))
+          .withColumn("lo", lit(1L)), "hi", "lo", "x1").drop("hi", "lo")
+      val x2 = graft.ops.FixedLn.lnE9(
+        x1.withColumn("hi", col("xsc")).withColumn("lo", lit(1L)),
+        "hi", "lo", "x2").drop("hi", "lo")
+      val ax0 = x2.withColumn("x", expr("x1 + x2"))
+        .drop("x1", "x2", "xsc")
+      val z0 = ax0.withColumn("zraw", expr("nll_per_tok_e9 div 1000"))
+        .withColumn("zsc", expr("greatest(1L, zraw div 1000000)"))
+      val z1 = graft.ops.FixedLn.lnE9(
+        z0.withColumn("hi", expr("greatest(1L, zraw div zsc)"))
+          .withColumn("lo", lit(1L)), "hi", "lo", "z1").drop("hi", "lo")
+      val z2 = graft.ops.FixedLn.lnE9(
+        z1.withColumn("hi", col("zsc")).withColumn("lo", lit(1L)),
+        "hi", "lo", "z2").drop("hi", "lo")
+      val ax = z2.withColumn("z", expr("z1 + z2"))
+        .drop("z1", "z2", "zsc", "zraw")
       val slope = ax.agg(count(lit(1)).as("np"),
           sum(expr(s"cast(x as $dec)")).as("sx"),
           sum(expr(s"cast(z as $dec)")).as("sz"),
@@ -169,12 +187,19 @@ object AdvisoryOpsQueries {
         .withColumn("lam_e6", expr("n28 * 1000000 div 28"))
         .withColumn("a_e6", expr(s"lam_e6 div $SvcPerDay"))
       // the a^k/k! ladder: ONE integer fold building the whole array —
-      // t_0 = 1 (e9); t_k = t_{k-1}·a/k, floored at each step, shared
-      // by every replica count below
+      // t_0 = 1 (e9); t_k = t_{k-1}·a/k. Erlang-C only needs the t_k
+      // RATIOS, so whenever a step's raw value passes 1e9 the whole
+      // array is renormalized by it (ADVICE r12: the unrenormalized
+      // t_{k-1}·a_e6 product overflowed BIGINT at a_e6 ≳ 1e7, ~sf0.3).
+      // Post-renorm every entry is ≤ 1e9 and every intermediate stays
+      // ≤ 1e9·a_e6 — exact for arrival rates up to ~9e9 req-e6/day.
+      val vraw = "element_at(acc, -1) * a_e6 div (cast(k as bigint) * 1000000)"
       val lad = lam.withColumn("ts", expr(
         s"aggregate(sequence(1, $MaxReplicas), array(1000000000L), " +
-          "(acc, k) -> concat(acc, array(element_at(acc, -1) * a_e6 " +
-          "div (cast(k as bigint) * 1000000))))"))
+          s"(acc, k) -> case when $vraw > 1000000000L " +
+          s"then concat(transform(acc, x -> x * 1000000000L div ($vraw)), " +
+          "array(1000000000L)) " +
+          s"else concat(acc, array($vraw)) end)"))
       // s_below = Σ_{j<k} t_j folded straight from the ladder array —
       // no window at all (a global cumsum window would be the
       // WindowSweepSpec scale-killer shape, pointless on 17 rows)
@@ -191,9 +216,12 @@ object AdvisoryOpsQueries {
         .withColumn("num", expr(
           "case when saturated = 1 then 0L " +
             "else t * (c * 1000000) div (c * 1000000 - a_e6) end"))
+        // num·1e6 in DECIMAL(38,0): near saturation num ≈ t·c·1e6 can
+        // reach ~1.6e16 and the e6 lift would wrap BIGINT (house rule)
         .withColumn("p_wait_e6", expr(
           "case when saturated = 1 then 1000000L " +
-            "else num * 1000000 div (s_below + num) end"))
+            "else cast(num as decimal(38, 0)) * 1000000 " +
+            "div (cast(s_below as decimal(38, 0)) + num) end"))
         .withColumn("util_e6", expr("a_e6 div c"))
         .withColumn("meets_slo", expr(
           "case when p_wait_e6 <= 200000 then 1L else 0L end"))
@@ -280,15 +308,25 @@ object AdvisoryOpsQueries {
         |nll AS MATERIALIZED (SELECT k, MAX(nn) AS n_train_tokens,
         |    SUM(h * lnr) // (SELECT ht FROM htot) AS nll_per_tok_e9
         |  FROM pf12 GROUP BY k),
-        |a0 AS (SELECT *, n_train_tokens AS hi, CAST(1 AS BIGINT) AS lo
+        |a0 AS (SELECT *, GREATEST(1, n_train_tokens // 1000000) AS xsc
         |  FROM nll),
-        |${graft.ops.FixedLn.sqlLnE9Stages("a0", "hi", "lo", "x", "qx")},
-        |a1 AS (SELECT k, n_train_tokens, nll_per_tok_e9, x,
-        |    nll_per_tok_e9 // 1000 AS hi, CAST(1 AS BIGINT) AS lo
-        |  FROM qx12),
-        |${graft.ops.FixedLn.sqlLnE9Stages("a1", "hi", "lo", "z", "qz")},
-        |ax AS MATERIALIZED (SELECT k, n_train_tokens, nll_per_tok_e9, x, z
-        |  FROM qz12),
+        |a1 AS (SELECT *, GREATEST(1, n_train_tokens // xsc) AS hi,
+        |    CAST(1 AS BIGINT) AS lo FROM a0),
+        |${graft.ops.FixedLn.sqlLnE9Stages("a1", "hi", "lo", "x1", "qa")},
+        |a2 AS (SELECT k, n_train_tokens, nll_per_tok_e9, xsc, x1,
+        |    xsc AS hi, CAST(1 AS BIGINT) AS lo FROM qa12),
+        |${graft.ops.FixedLn.sqlLnE9Stages("a2", "hi", "lo", "x2", "qb")},
+        |a3 AS (SELECT k, n_train_tokens, nll_per_tok_e9, x1 + x2 AS x,
+        |    nll_per_tok_e9 // 1000 AS zraw FROM qb12),
+        |a4 AS (SELECT *, GREATEST(1, zraw // 1000000) AS zsc FROM a3),
+        |a5 AS (SELECT *, GREATEST(1, zraw // zsc) AS hi,
+        |    CAST(1 AS BIGINT) AS lo FROM a4),
+        |${graft.ops.FixedLn.sqlLnE9Stages("a5", "hi", "lo", "z1", "qc")},
+        |a6 AS (SELECT k, n_train_tokens, nll_per_tok_e9, x, z1,
+        |    zsc AS hi, CAST(1 AS BIGINT) AS lo FROM qc12),
+        |${graft.ops.FixedLn.sqlLnE9Stages("a6", "hi", "lo", "z2", "qd")},
+        |ax AS MATERIALIZED (SELECT k, n_train_tokens, nll_per_tok_e9, x,
+        |    z1 + z2 AS z FROM qd12),
         |sl AS (SELECT COUNT(*) AS np, SUM(CAST(x AS HUGEINT)) AS sx,
         |    SUM(CAST(z AS HUGEINT)) AS sz,
         |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
@@ -312,14 +350,23 @@ object AdvisoryOpsQueries {
         |  WHERE o.dn > c.cut),
         |lam AS MATERIALIZED (SELECT n28, n28 * 1000000 // 28 AS lam_e6,
         |    (n28 * 1000000 // 28) // $SvcPerDay AS a_e6 FROM base),
-        |tk AS MATERIALIZED (
-        |  WITH RECURSIVE r(k, t) AS (
-        |    SELECT 0, CAST(1000000000 AS BIGINT)
+        |lad AS MATERIALIZED (
+        |  WITH RECURSIVE r(k, vs) AS (
+        |    SELECT 0, [CAST(1000000000 AS BIGINT)]
         |    UNION ALL
-        |    SELECT k + 1, t * (SELECT a_e6 FROM lam)
-        |      // (CAST(k + 1 AS BIGINT) * 1000000)
-        |    FROM r WHERE k < $MaxReplicas)
-        |  SELECT k, t FROM r),
+        |    SELECT k + 1,
+        |      CASE WHEN vraw > 1000000000
+        |        THEN list_append(list_transform(vs,
+        |          x -> x * 1000000000 // vraw), CAST(1000000000 AS BIGINT))
+        |        ELSE list_append(vs, vraw) END
+        |    FROM (SELECT k, vs, vs[-1] * (SELECT a_e6 FROM lam)
+        |            // (CAST(k + 1 AS BIGINT) * 1000000) AS vraw
+        |          FROM r WHERE k < $MaxReplicas))
+        |  SELECT vs FROM r WHERE k = $MaxReplicas),
+        |tk AS MATERIALIZED (SELECT
+        |    CAST(generate_subscripts(vs, 1) - 1 AS BIGINT) AS k,
+        |    UNNEST(vs) AS t
+        |  FROM lad),
         |cum AS (SELECT k, t,
         |    SUM(t) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND 1 PRECEDING) AS s_below
@@ -335,10 +382,11 @@ object AdvisoryOpsQueries {
         |  CAST(a_e6 // c AS BIGINT) AS util_e6,
         |  CAST(saturated AS BIGINT) AS saturated,
         |  CAST(CASE WHEN saturated = 1 THEN 1000000
-        |    ELSE num * 1000000 // (s_below + num) END AS BIGINT)
-        |    AS p_wait_e6,
+        |    ELSE CAST(num AS HUGEINT) * 1000000 // (s_below + num) END
+        |    AS BIGINT) AS p_wait_e6,
         |  CAST(CASE WHEN (CASE WHEN saturated = 1 THEN 1000000
-        |      ELSE num * 1000000 // (s_below + num) END) <= 200000
+        |      ELSE CAST(num AS HUGEINT) * 1000000 // (s_below + num) END)
+        |      <= 200000
         |    THEN 1 ELSE 0 END AS BIGINT) AS meets_slo
         |FROM y ORDER BY c""".stripMargin
   )

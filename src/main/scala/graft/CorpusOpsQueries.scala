@@ -176,9 +176,14 @@ object CorpusOpsQueries {
           "aggregate(transform(toks, t -> cast(length(t) as bigint)), 0L, " +
             "(x, y) -> x + y) * 100 div n"))
         .withColumn("nstop", expr(s"size(array_intersect(toks, $stop))"))
+        // n < 2 guard (ADVICE r12): sequence(1, n-1) with n = 1 yields the
+        // DESCENDING array [1, 0] and element_at(toks, 0) throws — while
+        // the oracle's range(1, len) is empty and null-coalesces through
+        // f_rep. Emit the same empty-pairs shape the oracle sees.
         .withColumn("pairs", expr(
-          "transform(sequence(1, cast(n as int) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          "case when n >= 2 then transform(sequence(1, cast(n as int) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+            "else array() end"))
         .withColumn("topp", expr(
           "cast(array_max(transform(array_distinct(pairs), " +
             "p -> size(filter(pairs, x -> x = p)))) as bigint)"))

@@ -274,11 +274,18 @@ object CostQueries {
         |    CAST(opt AS VARCHAR)), 1, 15) AS BIGINT)) AS xor60_opt
         |FROM find""".stripMargin,
 
+    // daily/seq/nf are MATERIALIZED (r12 verdict #3): both recursive
+    // folds join seq once PER ITERATION, and DuckDB re-evaluates a plain
+    // CTE per reference — ~2,400 iterations × a full orders group-by was
+    // the gate's one >30 s SLOW entry (45 s and growing round-over-round)
     "q456_lsm_costing" ->
-      s"""WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+        |    SELECT CAST(o_orderdate AS DATE) AS d,
         |    COUNT(*) AS f FROM orders GROUP BY 1),
-        |seq AS (SELECT d, f, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
-        |nf AS (SELECT COUNT(*) AS n_flushes, SUM(f) AS ingested FROM daily),
+        |seq AS MATERIALIZED (SELECT d, f,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+        |nf AS MATERIALIZED (SELECT COUNT(*) AS n_flushes, SUM(f) AS ingested
+        |    FROM daily),
         |rec AS (
         |  SELECT 0::BIGINT AS i, struct_pack(
         |      r := [0,0,0,0,0,0,0]::BIGINT[], b := [0,0,0,0,0,0,0]::BIGINT[],

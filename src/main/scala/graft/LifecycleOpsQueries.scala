@@ -83,15 +83,20 @@ object LifecycleOpsQueries {
       val base = od.filter(col("dn") <= col("c2"))
       val cur = od.filter(col("dn") > col("c2"))
       val nb = base.groupBy("g").agg(count(lit(1)).as("n_base"))
+      // rk/tg aliases: both join sides descend from `base`, and
+      // attribute-equality on a shared lineage relied on analyzer
+      // self-join disambiguation (the 'g == g' warning, r12 verdict #5)
       val ranked = base.withColumn("rn",
         row_number().over(Window.partitionBy("g").orderBy(col("y"), col("ok"))))
+        .alias("rk")
       val targets = nb.select(col("g"), col("n_base"),
           explode(expr("sequence(1, 9)")).as("i"))
         .withColumn("tr", expr("(i * n_base + 9) div 10"))
+        .alias("tg")
       val edges = ranked.join(targets,
-          ranked("g") === targets("g") && col("rn") === col("tr"))
-        .groupBy(ranked("g").as("g"))
-        .agg(array_sort(collect_list(col("y"))).as("edges"))
+          col("rk.g") === col("tg.g") && col("rk.rn") === col("tg.tr"))
+        .groupBy(col("rk.g").as("g"))
+        .agg(array_sort(collect_list(col("rk.y"))).as("edges"))
       def binned(df: DataFrame): DataFrame =
         df.join(broadcast(edges), Seq("g"))
           .withColumn("bin", expr("1 + size(filter(edges, e -> e < y))"))
@@ -172,8 +177,9 @@ object LifecycleOpsQueries {
 
     // ── G498: SemDeDup — embedding-space near-duplicate manifest ───────
     // Corpus = embeddings ∪ planted clones (one per vec_id ≡ 0 mod 25;
-    // clone id = vec_id + 1000000, every e6 coordinate nudged ±1 by an
-    // md5 bit — cosine to its source ≈ 1.0 at r6). Stage 1: exact
+    // clone id = vec_id + off where off = greatest(1e6, max(vec_id)+1),
+    // every e6 coordinate nudged ±1 by an md5 bit — cosine to its
+    // source ≈ 1.0 at r6). Stage 1: exact
     // integer assignment to the 8 seed centroids (q132's Lloyd step).
     // Stage 2: pairwise r6 cosines INSIDE each cell only — candidate
     // work is Σ|cell|², never n²; at 10⁹ vectors the cell count grows
@@ -186,12 +192,19 @@ object LifecycleOpsQueries {
         .select(col("vec_id"), expr(
           "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))")
           .as("v6"))
-      // clone key = the CLONE's id (vec_id + 1e6) and the 0-based dim —
-      // the md5 parity nudges each e6 coordinate ±1 (mirrored verbatim)
+      // clone key = the CLONE's id (vec_id + off) and the 0-based dim —
+      // the md5 parity nudges each e6 coordinate ±1 (mirrored verbatim).
+      // off = greatest(1e6, max(vec_id)+1) (ADVICE r12): a pinned 1e6
+      // offset silently misclassifies once the table reaches 1e6 rows
+      // (originals counted as planted, id collisions); the data-derived
+      // floor keeps today's ids/hashes bit-identical and scales.
+      val off = e6.agg(
+        greatest(lit(1000000L), max("vec_id") + lit(1L)).as("off"))
       val clones = e6.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), expr(
+        .crossJoin(broadcast(off))
+        .select((col("vec_id") + col("off")).as("vec_id"), expr(
           """transform(v6, (x, p) -> x + CASE WHEN
-            | cast(conv(substring(md5(concat(cast(vec_id + 1000000 as string),
+            | cast(conv(substring(md5(concat(cast(vec_id + off as string),
             |   ':', cast(p as string))), 1, 4), 16, 10) as bigint) % 2 = 0
             | THEN 1L ELSE -1L END)""".stripMargin).as("v6"))
       val all = e6.unionByName(clones)
@@ -220,11 +233,12 @@ object LifecycleOpsQueries {
       v.select("cid", "vec_id")
         .join(dropped.withColumn("drop", lit(1L)), Seq("cid", "vec_id"), "left")
         .na.fill(0L, Seq("drop"))
+        .crossJoin(broadcast(off))
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
-          sum(expr("case when vec_id >= 1000000 then 1L else 0L end")).as("n_planted"),
+          sum(expr("case when vec_id >= off then 1L else 0L end")).as("n_planted"),
           sum("drop").as("n_dropped"),
-          sum(expr("case when drop = 1 and vec_id >= 1000000 then 1L else 0L end"))
+          sum(expr("case when drop = 1 and vec_id >= off then 1L else 0L end"))
             .as("n_planted_dropped"),
           sum(expr("case when drop = 0 then vec_id else 0L end")).as("keep_checksum"))
         .withColumn("n_kept", col("n_members") - col("n_dropped"))
@@ -342,12 +356,14 @@ object LifecycleOpsQueries {
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
         |      AS v
         |  FROM embeddings),
-        |cx AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id, i,
+        |off AS (SELECT GREATEST(1000000, MAX(vec_id) + 1) AS off
+        |  FROM embeddings),
+        |cx AS MATERIALIZED (SELECT vec_id + off AS vec_id, i,
         |    v + CASE WHEN CAST('0x' || substr(md5(
-        |        CAST(vec_id + 1000000 AS VARCHAR) || ':' ||
+        |        CAST(vec_id + off AS VARCHAR) || ':' ||
         |        CAST(i - 1 AS VARCHAR)), 1, 4) AS BIGINT) % 2 = 0
         |      THEN 1 ELSE -1 END AS v
-        |  FROM e6x WHERE vec_id % 25 = 0),
+        |  FROM e6x, off WHERE vec_id % 25 = 0),
         |x AS MATERIALIZED (SELECT * FROM e6x UNION ALL SELECT * FROM cx),
         |c AS (SELECT vec_id AS cid, i, v AS cv FROM x
         |  WHERE vec_id BETWEEN 0 AND 7),
@@ -369,11 +385,11 @@ object LifecycleOpsQueries {
         |    ON vv.cid = dropped.cid AND vv.vec_id = dropped.vec_id)
         |SELECT CAST(cid AS BIGINT) AS cid,
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
-        |  CAST(SUM(CASE WHEN vec_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_planted,
+        |  CAST(SUM(CASE WHEN vec_id >= (SELECT off FROM off) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_planted,
         |  CAST(SUM(drp) AS BIGINT) AS n_dropped,
-        |  CAST(SUM(CASE WHEN drp = 1 AND vec_id >= 1000000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_planted_dropped,
+        |  CAST(SUM(CASE WHEN drp = 1 AND vec_id >= (SELECT off FROM off)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_dropped,
         |  CAST(COUNT(*) - SUM(drp) AS BIGINT) AS n_kept,
         |  CAST(SUM(drp) * 10000 // COUNT(*) AS BIGINT) AS drop_ratio_e4,
         |  CAST(SUM(CASE WHEN drp = 0 THEN vec_id ELSE 0 END) AS BIGINT)

@@ -59,11 +59,15 @@ object TuningOpsQueries {
         .join(c2, Seq("w2"), "left").na.fill(0L, Seq("c2"))
         .crossJoin(broadcast(nn)).crossJoin(broadcast(lam))
         // p at e9; the c1=0 leg contributes 0 (its ML term is undefined
-        // on unseen history — JM's backoff keeps p > 0 via the c2 leg)
+        // on unseen history — JM's backoff keeps p > 0 via the c2 leg).
+        // Each leg divides the count ratio to e9 BEFORE the λ weight
+        // (ADVICE r12): the old (100−λ)·c2·1e9 intermediate overflowed
+        // BIGINT once a single w2's count passed ~1e8; the ratio-first
+        // order keeps every product ≤ ~9e10 for counts up to 9.2e9.
         .withColumn("p_e9", expr(
           "greatest(1L, case when c1 = 0 then 0L " +
-            "else lam_e2 * c12 * 1000000000 div (100 * c1) end " +
-            "+ (100 - lam_e2) * c2 * 1000000000 div (100 * nn))"))
+            "else lam_e2 * (c12 * 1000000000 div c1) div 100 end " +
+            "+ (100 - lam_e2) * (c2 * 1000000000 div nn) div 100)"))
         .withColumn("sc", expr("greatest(1L, 1000000000 div 1000000)"))
         .withColumn("hi", expr("1000000000 div sc"))
         .withColumn("lo", expr("greatest(1L, p_e9 div sc)"))
@@ -82,35 +86,11 @@ object TuningOpsQueries {
     }),
 
     // ── G513: PSI bin attribution (q534's drill-down) ──────────────────
+    // Reads q534's landed mid-split decile-bin fixture (r12 verdict #5)
+    // instead of re-deriving the order-grain census — the drill-down is
+    // a per-bin re-fold of the SAME 250-row bin table.
     "q568_psi_attribution" -> ((s, dir) => {
-      val od = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_nationkey").cast("long").as("g"),
-          expr("datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"),
-          expr("cast(round(o_totalprice * 100) as bigint)").as("y"),
-          col("o_orderkey").as("ok"))
-      val mid = od.agg(expr("(min(dn) + max(dn)) div 2").as("mid"))
-      val tagged = od.crossJoin(broadcast(mid))
-      val base = tagged.filter(col("dn") <= col("mid"))
-      val cur = tagged.filter(col("dn") > col("mid"))
-      val nb = base.groupBy("g").agg(count(lit(1)).as("n_base"))
-      val ranked = base.withColumn("rn",
-        row_number().over(Window.partitionBy("g").orderBy(col("y"), col("ok"))))
-      val targets = nb.select(col("g"), col("n_base"),
-          explode(expr("sequence(1, 9)")).as("i"))
-        .withColumn("tr", expr("(i * n_base + 9) div 10"))
-      val edges = ranked.join(targets,
-          ranked("g") === targets("g") && col("rn") === col("tr"))
-        .groupBy(ranked("g").as("g"))
-        .agg(array_sort(collect_list(col("y"))).as("edges"))
-      def binned(df: DataFrame): DataFrame =
-        df.join(broadcast(edges), Seq("g"))
-          .withColumn("bin", expr("1 + size(filter(edges, e -> e < y))"))
-          .groupBy("g", "bin").agg(count(lit(1)).as("n"))
-      val bc = binned(base).withColumnRenamed("n", "np")
-        .join(binned(cur).withColumnRenamed("n", "nq"), Seq("g", "bin"), "full")
-        .na.fill(0L, Seq("np", "nq"))
+      val bc = MonitorOpsQueries.psiMidBins(s, dir)
       val tot = bc.groupBy("g").agg(sum("np").as("tp"), sum("nq").as("tq"),
         count(lit(1)).as("nbins"))
       val sh = bc.join(tot, Seq("g"))
@@ -163,8 +143,8 @@ object TuningOpsQueries {
         |  LEFT JOIN c2 ON h.w2 = c2.w2),
         |p1 AS (SELECT *, GREATEST(1,
         |    CASE WHEN c1 = 0 THEN 0
-        |      ELSE lam_e2 * c12 * 1000000000 // (100 * c1) END
-        |    + (100 - lam_e2) * c2 * 1000000000 // (100 * nn)) AS p_e9
+        |      ELSE lam_e2 * (c12 * 1000000000 // c1) // 100 END
+        |    + (100 - lam_e2) * (c2 * 1000000000 // nn) // 100) AS p_e9
         |  FROM p0),
         |p2 AS (SELECT *, GREATEST(1, 1000000000 // 1000000) AS sc FROM p1),
         |p3 AS (SELECT *, 1000000000 // sc AS hi,

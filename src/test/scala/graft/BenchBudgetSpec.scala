@@ -50,9 +50,6 @@ class BenchBudgetSpec extends AnyFunSuite {
     * each entry names what the seconds buy and why no cheaper plan
     * exists at this check scale. */
   private val allow: Map[String, String] = Map(
-    "q441_power_iteration" -> ("one full corpus scan lands the 64x64 Gram " +
-      "fixture; the power iterations after it are broadcast matvecs " +
-      "(r10 judge audit: right plan, cost is the Gram scan at sf0.1)"),
     "q442_yannakakis" -> ("full semi-join reduction up and down a 3-table " +
       "join tree — three corpus-wide shuffles are the algorithm's floor " +
       "(r10 judge audit: shape fine)"),
@@ -106,11 +103,7 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
       "span enumeration + real recovery of every decodable draw — fixed " +
       "enumeration mass; measured 2.3-3.2 s across windows"),
-    "q568_psi_attribution" -> ("re-derives q534's full PSI machinery " +
-      "(order-grain decile census, 2.15 s alone at sf0.1) at per-bin " +
-      "grain for the drill-down — the attribution IS the second pass; " +
-      "measured 3.0-4.3 s across windows, entry guards jitter at the " +
-      "line"))
+    )
 
   test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
     val f = new java.io.File("bench_out.json")
