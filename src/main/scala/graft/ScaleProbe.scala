@@ -39,7 +39,8 @@ object ScaleProbe {
 
   val ProbeQueries = Seq("q21_dedup_exact", "q23_minhash_dup_pairs",
     "q64_dup_components", "q88_incremental_dedup",
-    "q144_prefix_filter_join", "q151_simkey_blocking")
+    "q144_prefix_filter_join", "q151_simkey_blocking",
+    "q569_semdedup_lsh")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -68,6 +69,25 @@ object ScaleProbe {
         }.reduce(_ unionByName _)
           .withColumn("n_chars", length(col("text")).cast("long"))
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        // embeddings for q569: copy k cyclically shifts the 64 dims by
+        // (k mod 64) and offsets vec_id. A shift preserves every
+        // within-copy cosine exactly (each copy reproduces the
+        // original's pair structure) while cross-copy cosines stay at
+        // the random ceiling — measured max 0.648 over shifts 1..15 on
+        // the sf0.1 table, far under tau 0.99 — so caught mass grows
+        // ~C×, the honest shape. (id offsets are multiples of 25, so
+        // each copy plants the same clone density.)
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        (kFrom until kFrom + nCopies).map { k =>
+          val sh = (k - kFrom) % 64
+          emb.select(
+            (col("vec_id") + lit((k - kFrom) * 10000000L)).as("vec_id"),
+            (if (sh == 0) col("embedding") else expr(
+              s"concat(slice(embedding, ${sh + 1}, ${64 - sh}), " +
+                s"slice(embedding, 1, $sh))")).as("embedding"),
+            col("label"))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       }
     // Both noise layers (see HostProbe): steal jiffies around each run
     // AND the absolute calibration probe after it — the probe is what
