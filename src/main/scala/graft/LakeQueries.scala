@@ -244,8 +244,8 @@ object LakeQueries {
     "q197_blocking_quality" -> {
       val q144 = IndexQueries.oracleSql("q144_prefix_filter_join")
       val q151 = IndexQueries.oracleSql("q151_simkey_blocking")
-      s"""WITH e AS (SELECT doc_a, doc_b FROM ($q144)),
-         |a AS (SELECT doc_a, doc_b FROM ($q151)),
+      s"""WITH e AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q144)),
+         |a AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q151)),
          |ne AS (SELECT COUNT(*) AS n_exact FROM e),
          |na AS (SELECT COUNT(*) AS n_approx FROM a),
          |nc AS (SELECT COUNT(*) AS n_common FROM e

@@ -252,18 +252,18 @@ object SignalQueries {
 
     "q188_bfs_layers" -> {
       val q23 = TextQueries.oracleSql("q23_minhash_dup_pairs")
-      s"""WITH p AS (SELECT doc_a, doc_b FROM ($q23)),
-         |e AS (SELECT doc_a, doc_b FROM p
+      s"""WITH p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($q23)),
+         |e AS MATERIALIZED (SELECT doc_a, doc_b FROM p
          |      UNION ALL SELECT doc_b, doc_a FROM p),
-         |l0 AS (SELECT MIN(doc_a) AS id FROM p),
-         |l1 AS (SELECT DISTINCT doc_b AS id FROM e
+         |l0 AS MATERIALIZED (SELECT MIN(doc_a) AS id FROM p),
+         |l1 AS MATERIALIZED (SELECT DISTINCT doc_b AS id FROM e
          |       WHERE doc_a IN (SELECT id FROM l0)
          |         AND doc_b NOT IN (SELECT id FROM l0)),
-         |l2 AS (SELECT DISTINCT doc_b AS id FROM e
+         |l2 AS MATERIALIZED (SELECT DISTINCT doc_b AS id FROM e
          |       WHERE doc_a IN (SELECT id FROM l1)
          |         AND doc_b NOT IN (SELECT id FROM l0)
          |         AND doc_b NOT IN (SELECT id FROM l1)),
-         |l3 AS (SELECT DISTINCT doc_b AS id FROM e
+         |l3 AS MATERIALIZED (SELECT DISTINCT doc_b AS id FROM e
          |       WHERE doc_a IN (SELECT id FROM l2)
          |         AND doc_b NOT IN (SELECT id FROM l0)
          |         AND doc_b NOT IN (SELECT id FROM l1)

@@ -103,7 +103,14 @@ class BenchBudgetSpec extends AnyFunSuite {
     "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
       "span enumeration + real recovery of every decodable draw — fixed " +
       "enumeration mass; measured 2.3-3.2 s across windows"),
-    )
+    "q552_retrain_pipeline" -> ("the four-gate composed decision plan " +
+      "(PSI deciles + Trigg + ensemble reselect) over the order-grain " +
+      "snapshot — ~15 stages by construction; measured 2.8-3.8 s across " +
+      "windows, sits at the 3 s line, entry guards jitter"),
+    "q570_ingest_gate_pipeline" -> ("re-evaluates the FULL q552 decision " +
+      "plan twice — once per snapshot (pre-drain and post-drain) — by " +
+      "construction: the recompose IS two decisions; measured ~5 s " +
+      "(2x q552's warm cost)"))
 
   test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
     val f = new java.io.File("bench_out.json")
