@@ -140,6 +140,57 @@ class AdvisoryOpsSpec extends AnyFunSuite {
     assert(pws.zip(pws.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q562 Clarity: Okapi top-10, query LM and signed KL replayed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id".cast("long"),
+        org.apache.spark.sql.functions.expr("trim(text)").as("t"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    val queries = Map(1L -> Seq("spark", "window", "merge"),
+      2L -> Seq("hash", "join"), 3L -> Seq("slow", "scan", "table"))
+    val dl = docs.map { case (id, toks) => id -> toks.length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val sumDl = dl.values.sum
+    val coll = docs.flatMap(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val cn = coll.values.sum
+    val want = queries.map { case (qid, terms) =>
+      val tf = docs.flatMap { case (id, toks) =>
+        terms.map(t => (t, id, toks.count(_ == t).toLong))
+          .filter(_._3 > 0)
+      }
+      val df = tf.groupBy(_._1).map { case (t, v) => t -> v.length.toLong }
+      val scores = tf.groupBy(_._2).map { case (id, rows) =>
+        id -> rows.map { case (t, _, c) =>
+          val idf = (1000000L * (2 * nDocs - 2 * df(t) + 1)) / (2 * df(t) + 1)
+          val tfsat = (1000000L * 22 * c * sumDl) /
+            (10 * c * sumDl + 3 * sumDl + 9 * dl(id) * nDocs)
+          idf * tfsat / 1000000L
+        }.sum
+      }
+      val top = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(10).map(_._1).toSet
+      val qtok = docs.filter(d => top(d._1)).flatMap(_._2)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val qn = qtok.values.sum
+      var (vocab, sum) = (0L, BigInt(0))
+      qtok.foreach { case (tok, qw) =>
+        val p = math.max(1L, qw * 1000000L / qn)
+        val q = math.max(1L, coll(tok) * 1000000L / cn)
+        val lnr = lnE9(math.max(p, q), math.min(p, q))
+        sum += BigInt(if (p >= q) p * lnr else -(p * lnr))
+        vocab += 1
+      }
+      qid -> (vocab, sdiv(sum, 1000000).toLong)
+    }
+    val got = run("q562_clarity_score").collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (q, w) =>
+      assert(got(q) == w, s"query $q: replay $w vs query ${got(q)}") }
+  }
+
   test("q564 renormalized ladder stays within ~1e-5 of exact Erlang-C " +
     "at the arrival rates where the old ladder overflowed BIGINT") {
     // exact reference in doubles (a^k/k! and the M/M/c waiting formula

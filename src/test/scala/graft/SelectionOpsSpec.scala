@@ -98,4 +98,130 @@ class SelectionOpsSpec extends AnyFunSuite {
     val s = arms.map(a => pi(a)).sum
     assert(s > 4000000 - 4 && s <= 4000000)
   }
+
+  test("q558 WRMSSE: naive-1 scale, pinned-op-order RMSSE and revenue " +
+    "weights replayed") {
+    import spark.implicits._
+    val nd = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".cast("long").as("g"),
+        org.apache.spark.sql.functions.expr(
+          "datediff(to_date(o_orderdate), date '1970-01-01')").as("dn"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(cast(round(o_totalprice * 100) as bigint))").as("y"))
+      .as[(Long, Long, Long)].collect()
+    val cut = nd.map(_._2).max - 28
+    val revAll = nd.filter(r => r._2 <= cut && r._2 > cut - 28)
+      .map(r => BigInt(r._3)).sum
+    val want = nd.groupBy(_._1).flatMap { case (g, rows) =>
+      val fit = rows.filter(_._2 <= cut).sortBy(_._2)
+      val test = rows.filter(_._2 > cut)
+      val wrev = fit.filter(_._2 > cut - 28).map(r => BigInt(r._3)).sum
+      if (fit.length < 2 || test.isEmpty ||
+        fit.forall(_._2 <= cut - 28)) None else {
+        val fDow = fit.groupBy(r => ((r._2 % 7) + 7) % 7)
+          .map { case (d, rs) => d -> rs.map(r => BigInt(r._3)).sum / rs.length }
+        val fb = fit.map(r => BigInt(r._3)).sum / fit.length
+        def fa(dn: Long): BigInt = fDow.getOrElse(((dn % 7) + 7) % 7, fb)
+        val ssd = fit.zip(fit.tail)
+          .map { case (a, b) => BigInt(b._3 - a._3) * (b._3 - a._3) }.sum
+        val nDiffs = (fit.length - 1).toLong
+        val sse = test.map { r =>
+          val e = BigInt(r._3) - fa(r._2); e * e }.sum
+        val rmsse = math.round(math.sqrt(
+          sse.toDouble * nDiffs / ssd.max(BigInt(1)).toDouble / test.length)
+          * 1000000)
+        val wE6 = (wrev * 1000000 / revAll).toLong
+        Some(g -> (test.length.toLong, rmsse, wE6, wE6 * rmsse / 1000000))
+      }
+    }
+    val got = run("q558_wrmsse").collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == want.keySet, "same nation set")
+    want.foreach { case (g, w) =>
+      assert(got(g) == w, s"nation $g: replay $w vs query ${got(g)}") }
+  }
+
+  test("q559 purged K-fold: blocks, embargo purge and min-gap audit " +
+    "replayed; no train day inside any embargo") {
+    import spark.implicits._
+    val days = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(datediff(to_date(o_orderdate), date '1970-01-01') as bigint)"))
+      .as[Long].collect().distinct.sorted
+    val (d0, d1) = (days.min, days.max)
+    val fold = days.map(dn => dn -> math.min(4L, (dn - d0) * 5 / (d1 - d0 + 1))).toMap
+    val blocks = days.groupBy(fold).map { case (f, ds) =>
+      f -> (ds.min, ds.max, ds.length.toLong) }
+    val want = blocks.map { case (f, (lo, hi, nTest)) =>
+      val others = days.filter(dn => fold(dn) != f)
+      val purged = others.filter(dn => dn >= lo - 5 && dn <= hi + 5)
+      val train = others.filterNot(dn => dn >= lo - 5 && dn <= hi + 5)
+      val minGap = train.map(dn => if (dn < lo) lo - dn else dn - hi).min
+      f -> (lo, hi, nTest, train.length.toLong, purged.length.toLong, minGap)
+    }
+    val got = run("q559_purged_cv").collect().map { r =>
+      def l(i: Int) = r.get(i).asInstanceOf[Number].longValue
+      l(0) -> (l(1), l(2), l(3), l(4), l(5), l(6))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (f, w) =>
+      assert(got(f) == w, s"fold $f: replay $w vs query ${got(f)}") }
+    got.values.foreach { case (_, _, _, _, _, minGap) =>
+      assert(minGap > 5, "every kept train day clears the 5-day embargo") }
+  }
+
+  test("q560 LOO source valuation: subtracted-count refits replayed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id".cast("long"), $"source",
+        org.apache.spark.sql.functions.expr("trim(text)").as("t"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, s, t) => (id, s, t.split("\\s+").toSeq) }
+    val train = docs.filter(_._1 % 10 != 0)
+    val held = docs.filter(_._1 % 10 == 0).flatMap(_._3)
+    val c = train.flatMap(_._3).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val cs = train.groupBy(_._2).map { case (s, rows) =>
+      s -> rows.flatMap(_._3).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong } }
+    val nn = c.values.sum
+    val vv = c.size.toLong
+    val h = held.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def term(num: Long, den: Long): Long = {
+      val sc = math.max(1L, num / 1000000L)
+      val hi = num / sc
+      val lo = math.max(1L, den / sc)
+      // FixedLn replica, ladder 21
+      val r = hi * 1000000000L / lo
+      val k = (21 to 1 by -1).find(kk => r >= (1L << kk) * 1000000000L).getOrElse(0)
+      val r2 = r / (1L << k)
+      val z = (r2 - 1000000000L) * 1000000000L / (r2 + 1000000000L)
+      val z2 = z * z / 1000000000L
+      val z3 = z * z2 / 1000000000L
+      val z5 = z3 * z2 / 1000000000L
+      val z7 = z5 * z2 / 1000000000L
+      val z9 = z7 * z2 / 1000000000L
+      val z11 = z9 * z2 / 1000000000L
+      val z13 = z11 * z2 / 1000000000L
+      k * 693147181L + 2 * (z + z3 / 3 + z5 / 5 + z7 / 7 + z9 / 9 + z11 / 11 + z13 / 13)
+    }
+    val full = h.map { case (tok, hc) =>
+      BigInt(hc) * term(nn + vv, c.getOrElse(tok, 0L) + 1) }.sum
+    val want = cs.map { case (src, cm) =>
+      val ns = cm.values.sum
+      val loo = h.map { case (tok, hc) =>
+        BigInt(hc) * term(nn - ns + vv,
+          c.getOrElse(tok, 0L) - cm.getOrElse(tok, 0L) + 1) }.sum
+      src -> (ns, full.toLong, loo.toLong, (loo - full).toLong)
+    }
+    val got = run("q560_loo_source_value").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, w) =>
+      assert(got(s) == w, s"source $s: replay $w vs query ${got(s)}") }
+  }
 }
