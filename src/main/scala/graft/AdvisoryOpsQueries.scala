@@ -76,8 +76,8 @@ object AdvisoryOpsQueries {
         .withColumn("idf_e6",
           expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
         .withColumn("tfsat_e6",
-          expr("(1000000 * 22 * tf * sum_dl) div " +
-            "(10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)"))
+          expr("(1000000 * 22 * cast(tf as decimal(38,0)) * sum_dl) div " +
+            "(10 * cast(tf as decimal(38,0)) * sum_dl + 3*sum_dl + 9 * cast(dl as decimal(38,0)) * n_docs)"))
         .withColumn("contrib_e6", expr("idf_e6 * tfsat_e6 div 1000000"))
         .groupBy("qid", "doc_id")
         .agg(sum("contrib_e6").as("score_e6"))
@@ -248,8 +248,8 @@ object AdvisoryOpsQueries {
         |df AS (SELECT qid, tok, COUNT(*) AS df FROM tf GROUP BY 1, 2),
         |sc AS (SELECT tf.qid, tf.doc_id,
         |    SUM(((1000000 * (2*n_docs - 2*df.df + 1)) // (2*df.df + 1))
-        |      * ((1000000 * 22 * tf.tf * sum_dl) //
-        |         (10*tf.tf*sum_dl + 3*sum_dl + 9*dl.dl*n_docs))
+        |      * ((1000000 * 22 * CAST(tf.tf AS HUGEINT) * sum_dl) //
+        |         (10*CAST(tf.tf AS HUGEINT)*sum_dl + 3*sum_dl + 9*CAST(dl.dl AS HUGEINT)*n_docs))
         |      // 1000000) AS score_e6
         |  FROM tf JOIN df ON tf.qid = df.qid AND tf.tok = df.tok
         |  JOIN dl ON tf.doc_id = dl.doc_id, corpus

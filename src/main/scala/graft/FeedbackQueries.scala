@@ -43,7 +43,7 @@ object FeedbackQueries {
       .withColumn("idf_e6",
         expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
       .withColumn("tfsat_e6",
-        expr("(1000000 * 22 * tf * sum_dl) div (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)"))
+        expr("(1000000 * 22 * cast(tf as decimal(38,0)) * sum_dl) div (10 * cast(tf as decimal(38,0)) * sum_dl + 3*sum_dl + 9 * cast(dl as decimal(38,0)) * n_docs)"))
       .withColumn("contrib_e6", expr("idf_e6 * tfsat_e6 div 1000000"))
       .groupBy("doc_id")
       .agg(sum("contrib_e6").as("score_e6"))
@@ -181,7 +181,7 @@ object FeedbackQueries {
          |${out}_df AS (SELECT tok, COUNT(*) AS df FROM ${out}_tf GROUP BY tok),
          |$out AS (SELECT doc_id, SUM(
          |    ((1000000 * (2*n_docs - 2*df + 1)) // (2*df + 1))
-         |    * ((1000000 * 22 * tf * sum_dl) // (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs))
+         |    * ((1000000 * 22 * CAST(tf AS HUGEINT) * sum_dl) // (10*CAST(tf AS HUGEINT)*sum_dl + 3*sum_dl + 9*CAST(dl AS HUGEINT)*n_docs))
          |    // 1000000) AS score_e6
          |  FROM ${out}_tf JOIN ${out}_df USING (tok) JOIN dl USING (doc_id), corpus
          |  GROUP BY doc_id)""".stripMargin

@@ -61,7 +61,7 @@ object RetrievalLakeQueries {
         .withColumn("idf_e6",
           expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
         .withColumn("tfsat_e6",
-          expr("(1000000 * 22 * tf * sum_dl) div (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)"))
+          expr("(1000000 * 22 * cast(tf as decimal(38,0)) * sum_dl) div (10 * cast(tf as decimal(38,0)) * sum_dl + 3*sum_dl + 9 * cast(dl as decimal(38,0)) * n_docs)"))
         .withColumn("contrib_e6", expr("idf_e6 * tfsat_e6 div 1000000"))
       val ub = contrib.groupBy("tok").agg(max("contrib_e6").as("ub_e6"))
       val doc = contrib.join(broadcast(ub), "tok")
@@ -211,8 +211,8 @@ object RetrievalLakeQueries {
          |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
          |sc AS (SELECT tf.doc_id, tf.tok,
          |         ((1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1))
-         |           * ((1000000 * 22 * tf.tf * c.sum_dl)
-         |              // (10*tf.tf*c.sum_dl + 3*c.sum_dl + 9*dl.dl*c.n_docs))
+         |           * ((1000000 * 22 * CAST(tf.tf AS HUGEINT) * c.sum_dl)
+         |              // (10*CAST(tf.tf AS HUGEINT)*c.sum_dl + 3*c.sum_dl + 9*CAST(dl.dl AS HUGEINT)*c.n_docs))
          |           // 1000000 AS contrib_e6
          |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), c),
          |ub AS (SELECT tok, MAX(contrib_e6) AS ub_e6 FROM sc GROUP BY tok),

@@ -160,8 +160,8 @@ object ScoringOpsQueries {
           .withColumn("idf_e6",
             expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
           .withColumn("tfsat_e6",
-            expr("(1000000 * 22 * tf * sum_dl) div " +
-              "(10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)"))
+            expr("(1000000 * 22 * cast(tf as decimal(38,0)) * sum_dl) div " +
+              "(10 * cast(tf as decimal(38,0)) * sum_dl + 3*sum_dl + 9 * cast(dl as decimal(38,0)) * n_docs)"))
           .withColumn("contrib_e6", expr("idf_e6 * tfsat_e6 div 1000000"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_terms"), sum("contrib_e6").as("score_e6"))
@@ -285,8 +285,8 @@ object ScoringOpsQueries {
            |${out}df AS (SELECT tok, COUNT(*) AS df FROM ${out}tf GROUP BY tok),
            |$out AS MATERIALIZED (SELECT tf.doc_id, COUNT(*) AS n_terms,
            |    SUM(((1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1))
-           |      * ((1000000 * 22 * tf.tf * c.sum_dl)
-           |        // (10*tf.tf*c.sum_dl + 3*c.sum_dl + 9*dl.dl*c.n_docs))
+           |      * ((1000000 * 22 * CAST(tf.tf AS HUGEINT) * c.sum_dl)
+           |        // (10*CAST(tf.tf AS HUGEINT)*c.sum_dl + 3*c.sum_dl + 9*CAST(dl.dl AS HUGEINT)*c.n_docs))
            |      // 1000000) AS score_e6
            |  FROM ${out}tf tf JOIN ${out}df df USING (tok)
            |  JOIN dl USING (doc_id), c GROUP BY tf.doc_id)""".stripMargin

@@ -59,7 +59,7 @@ object SearchQueries {
         .withColumn("idf_e6",
           expr("(1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
         .withColumn("tfsat_e6",
-          expr("(1000000 * 22 * tf * sum_dl) div (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs)"))
+          expr("(1000000 * 22 * cast(tf as decimal(38,0)) * sum_dl) div (10 * cast(tf as decimal(38,0)) * sum_dl + 3*sum_dl + 9 * cast(dl as decimal(38,0)) * n_docs)"))
         .withColumn("contrib_e6", expr("idf_e6 * tfsat_e6 div 1000000"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_terms"), sum("contrib_e6").as("score_e6"))
@@ -220,8 +220,8 @@ object SearchQueries {
            |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
            |sc AS (SELECT tf.doc_id,
            |         (1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1) AS idf_e6,
-           |         (1000000 * 22 * tf.tf * c.sum_dl)
-           |           // (10*tf.tf*c.sum_dl + 3*c.sum_dl + 9*dl.dl*c.n_docs) AS tfsat_e6
+           |         (1000000 * 22 * CAST(tf.tf AS HUGEINT) * c.sum_dl)
+           |           // (10*CAST(tf.tf AS HUGEINT)*c.sum_dl + 3*c.sum_dl + 9*CAST(dl.dl AS HUGEINT)*c.n_docs) AS tfsat_e6
            |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), c),
            |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
            |          SUM(idf_e6 * tfsat_e6 // 1000000) AS score_e6

@@ -250,10 +250,13 @@ object SelectionOpsQueries {
             .join(prev.withColumnRenamed("i", "jj").withColumnRenamed("pi", "pi_j"),
               col("j") === col("jj"))
             .groupBy("i")
-            .agg(sum(expr("n_ij * 1000000000000 div (pi_i + pi_j)")).as("den"))
+            // n_ij·1e12 in DECIMAL: the duel count is corpus-driven and wraps
+          // BIGINT past ~9.2e6 duels (div result and the sum stay LONG)
+          .agg(sum(expr("cast(n_ij as decimal(38,0)) * 1000000000000 "
+            + "div (pi_i + pi_j)")).as("den"))
           val upd = winsF.join(denom, Seq("i"))
             .withColumn("pi_raw",
-              expr("wtot * 1000000000000 div greatest(den, 1L)"))
+              expr("cast(wtot as decimal(38,0)) * 1000000000000 div greatest(den, 1L)"))
           val tot = upd.agg(sum("pi_raw").as("tot"))
           upd.crossJoin(broadcast(tot))
             .select(col("i"), expr("pi_raw * 4000000 div tot").as("pi"))
@@ -281,11 +284,11 @@ object SelectionOpsQueries {
     (1 to BtIters).map { t =>
       val prev = if (t == 1) "pi0" else s"pi${t - 1}"
       s"""den$t AS MATERIALIZED (SELECT m.i,
-         |    SUM(m.n_ij * 1000000000000 // (a.pi + b.pi)) AS den
+         |    SUM(CAST(CAST(m.n_ij AS HUGEINT) * 1000000000000 // (a.pi + b.pi) AS BIGINT)) AS den
          |  FROM mat m JOIN $prev a ON m.i = a.i JOIN $prev b ON m.j = b.i
          |  GROUP BY m.i),
          |upd$t AS MATERIALIZED (SELECT w.i,
-         |    w.wtot * 1000000000000 // GREATEST(den.den, 1) AS pi_raw
+         |    CAST(CAST(w.wtot AS HUGEINT) * 1000000000000 // GREATEST(den.den, 1) AS BIGINT) AS pi_raw
          |  FROM wins w JOIN den$t den ON w.i = den.i),
          |pi$t AS MATERIALIZED (SELECT i,
          |    pi_raw * 4000000 // (SELECT SUM(pi_raw) FROM upd$t) AS pi
