@@ -321,8 +321,16 @@ object LifecycleOpsQueries {
       val nb = all.agg(count(lit(1)).as("n"))
         .withColumn("m", expr("greatest(1L, (n + 124) div 125)"))
         .withColumn("b", expr(bitsLadder("m")))
+      // dim guard (ADVICE r13): the SRP plane bank and the oracle's
+      // 64-sign VALUES list are pinned to 64 dims — SrpKernel would
+      // silently truncate a longer vector while DuckDB's list_extract
+      // NULL-propagates past 64 (its SUM skips NULL terms), so the two
+      // engines would diverge silently. Fail loudly instead.
       val v = all
-        .withColumn("vd", expr("transform(v6, t -> cast(t as double))"))
+        .withColumn("vd", expr(
+          "case when size(v6) = 64 then transform(v6, t -> cast(t as double)) " +
+            "else raise_error(concat('q569_semdedup_lsh expects 64-dim " +
+            "embeddings, got ', cast(size(v6) as string))) end"))
         .withColumn("bucket16", graft.functions.VectorFunctions.lshBucket(
           col("vd"), 0 until 16, 64))
         .crossJoin(broadcast(nb.select("b")))
@@ -360,16 +368,22 @@ object LifecycleOpsQueries {
     // The composed twin of q552 (r12 verdict #7): the reference's OTHER
     // DAG is the daily Kafka→DB drain (kafka_spark_db_dag.py:6-26).
     // Stage 1 (fixture, once per JVM/dir): the pre-batch snapshot
-    // (orders up to max−7) lands as the store table; the last 7 days
-    // are serialized through the producer's JSON envelope into a
-    // drop-dir, drained by the checkpointed AvailableNow stream into
-    // the SAME table, then REPLAYED against the same checkpoint (must
-    // append nothing — any duplication shifts every post-drain gate
-    // value and fails the oracle hash). Stage 2: the q552 decision
-    // re-evaluated on the pre-drain and post-drain snapshots (each
-    // anchored to its own max-day), with a per-nation gate_changed
-    // flag — certifying that the drained batch actually moves the
-    // retrain decision through the declarative gate plan.
+    // (orders up to max−7) lands as `pre`; the last 7 days are
+    // serialized through the producer's JSON envelope into a drop-dir,
+    // drained by the checkpointed AvailableNow stream into the
+    // `drained` delta table via ingestOnceExactly — EXACTLY-once by
+    // construction (ADVICE r13): each micro-batch OVERWRITES its own
+    // batch_id=N partition, so even a mid-append crash-then-retry
+    // replaces its partial output instead of duplicating it (the plain
+    // ingestOnce form is only at-least-once: its checkpoint dedups
+    // whole source files, not partial appends). The drain is then
+    // REPLAYED against the same checkpoint and must append nothing —
+    // any duplication shifts every post-drain gate value and fails the
+    // oracle hash. Stage 2: the q552 decision re-evaluated on the
+    // pre-drain snapshot and on pre ∪ drained (each anchored to its
+    // own max-day), with a per-nation gate_changed flag — certifying
+    // that the drained batch actually moves the retrain decision
+    // through the declarative gate plan.
     "q570_ingest_gate_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val work = PipelineQueries.cachedFixture(s"q570|$dir") { work =>
@@ -385,8 +399,6 @@ object LifecycleOpsQueries {
         val odc = od.crossJoin(broadcast(cut))
         odc.filter(col("dn") <= col("bcut")).select("g", "dn", "y", "ok")
           .write.mode("overwrite").parquet(s"$work/pre")
-        s.read.parquet(s"$work/pre")
-          .write.mode("overwrite").parquet(s"$work/table")
         graft.streaming.StreamIngest.toJsonLines(
             odc.filter(col("dn") > col("bcut")).select("g", "dn", "y", "ok"))
           .write.mode("overwrite").text(s"$work/src")
@@ -395,13 +407,15 @@ object LifecycleOpsQueries {
           StructField("y", LongType), StructField("ok", LongType)))
         def parsed = graft.streaming.StreamIngest.jsonLinesStream(
           s, s"$work/src", env)
-        graft.streaming.StreamIngest.ingestOnce(
-          parsed, s"$work/table", s"$work/ckpt") // drain
-        graft.streaming.StreamIngest.ingestOnce(
-          parsed, s"$work/table", s"$work/ckpt") // replay: must be a no-op
+        graft.streaming.StreamIngest.ingestOnceExactly(
+          parsed, s"$work/drained", s"$work/ckpt") // drain
+        graft.streaming.StreamIngest.ingestOnceExactly(
+          parsed, s"$work/drained", s"$work/ckpt") // replay: must be a no-op
       }
       val pre = retrainDecision(s.read.parquet(s"$work/pre"))
-      val post = retrainDecision(s.read.parquet(s"$work/table"))
+      val post = retrainDecision(s.read.parquet(s"$work/pre").unionByName(
+        graft.streaming.StreamIngest.readExactlyOnceTable(s, s"$work/drained")
+          .select("g", "dn", "y", "ok")))
       pre.select(col("g"), col("psi_e9").as("psi_pre"),
           col("ts_e6").as("ts_pre"), col("retrain").as("retrain_pre"),
           col("action").as("action_pre"))
@@ -646,10 +660,13 @@ object LifecycleOpsQueries {
         |FROM drops, bstat, bb""".stripMargin
     },
 
+    // bc0's cut column is named batch_cut, NOT bcut (ADVICE r13):
+    // decisionSqlCtes("od", "b") emits a CTE named `bcut`, and a
+    // same-named column in scope is one rename away from shadowing.
     "q570_ingest_gate_pipeline" ->
       s"""WITH od AS MATERIALIZED ($odGrainSql),
-        |bc0 AS (SELECT MAX(dn) - 7 AS bcut FROM od),
-        |pre AS MATERIALIZED (SELECT od.* FROM od, bc0 WHERE dn <= bcut),
+        |bc0 AS (SELECT MAX(dn) - 7 AS batch_cut FROM od),
+        |pre AS MATERIALIZED (SELECT od.* FROM od, bc0 WHERE dn <= batch_cut),
         |${decisionSqlCtes("pre", "a")},
         |${decisionSqlCtes("od", "b")}
         |SELECT a.g AS g,
