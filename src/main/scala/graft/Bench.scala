@@ -215,10 +215,20 @@ object Bench {
     val sentinelEvery = 50
     val sentinel = ordered.headOption
     val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // Each tick is the MIN of two back-to-back runs: the committed r13
+    // quiet-window cuts show single sentinel runs varying up to 1.77x
+    // the session min from one-off GC/scheduling jitter, which would
+    // drown the hot-span signal — sustained external contention
+    // inflates BOTH runs, so the min keeps the signal and sheds the
+    // jitter.
     def sentinelTick(pos: Int): Unit = sentinel.foreach { case (sn, sfn) =>
-      val t = timeOnce(sn, sfn)
+      val t = math.min(timeOnce(sn, sfn), timeOnce(sn, sfn))
       sentinelSeries += ((pos, t))
     }
+    // untimed sentinel warm-up: tick 0 must measure the HOST, not the
+    // sentinel query's own codegen warm-up — an inflated first tick
+    // would mark the whole opening span dirty on every run
+    sentinel.foreach { case (sn, sfn) => timeOnce(sn, sfn) }
     sentinelTick(0)
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx > 0 && idx % gcEvery == 0) System.gc()
@@ -228,20 +238,77 @@ object Bench {
       name -> st
     }
     sentinelTick(ordered.size)
-    // End-of-suite retry: a query whose window never went clean kept a
-    // storm-era number (r5: q49 exhausted maxRuns mid-storm at 49 s min
-    // for a 0.29 s query). By suite end the storm has often passed —
-    // re-measure those queries once and keep the better-attested stat.
-    val results = firstPass.map { case (name, st) =>
-      if (!st.degraded) name -> st
+    // Sentinel hot spans (VERDICT r13 "next" #1): the per-query steal/
+    // probe gates see only the instant around each run; the r12/r13
+    // driver windows carried sustained contention they missed (q35
+    // 0.38 s measured as 4.24 s with 0 dirty runs). The sentinel series
+    // IS the suite-position-vs-host curve, so automate the analysis
+    // rule here: a tick > HotFactor x the session-best tick is hot, and
+    // the suite span between two ticks is DIRTY if either endpoint is
+    // hot. Spans land in the artifact (with each query's suite
+    // position) so downstream gates can skip or discount queries timed
+    // inside one — and the end-of-suite retry below re-times them.
+    // HotFactor 1.3 sits between quiet-window min-of-2 tick jitter and
+    // the 2-4x a q35-style burst reads; WHOLE-session elevation (the
+    // r12 15-25% case) moves every tick including the min, which is by
+    // construction invisible here — that is what the absolute
+    // probe_best_vs_ref disclosure (and the budget gate's steal clamp)
+    // catches.
+    val HotFactor = 1.3
+    def dirtySpans(): Vector[(Int, Int)] = {
+      val ticks = sentinelSeries.sortBy(_._1).toVector
+      if (ticks.size < 2) Vector.empty
       else {
-        System.err.println(s"[bench] $name had ${st.clean} clean runs — end-of-suite retry")
-        waitForCleanHost(30000)
-        name -> st.betterOf(measure(name, SparkEntry.queries(name)))
+        val base = ticks.map(_._2).min
+        ticks.sliding(2).collect {
+          case Seq((p1, t1), (p2, t2))
+            if p2 > p1 && (t1 > base * HotFactor || t2 > base * HotFactor) =>
+              (p1, p2)
+        }.toVector
       }
     }
+    def inDirty(spans: Vector[(Int, Int)], pos: Int): Boolean =
+      spans.exists { case (s, e) => pos >= s && pos < e }
+    // End-of-suite retry: a query whose window never went clean kept a
+    // storm-era number (r5: q49 exhausted maxRuns mid-storm at 49 s min
+    // for a 0.29 s query), and a query timed inside a sentinel hot span
+    // above the 3 s budget line kept a contended number the per-run
+    // gates could not see (r13: the driver's q486/q35 phantoms). By
+    // suite end the storm has often passed — re-measure both classes
+    // once and keep the better-attested stat. Retried queries get
+    // positions past ordered.size and a closing sentinel tick, so their
+    // kept numbers are span-classified too.
+    val provisionalSpans = dirtySpans()
+    var retryPos = ordered.size
+    val results = firstPass.zipWithIndex.map { case ((name, st), idx) =>
+      val budgetSuspect = st.med > 3.0 && inDirty(provisionalSpans, idx)
+      if (!st.degraded && !budgetSuspect) (name, st, idx)
+      else {
+        System.err.println(s"[bench] $name: ${st.clean} clean runs, " +
+          s"hotSpan=$budgetSuspect — end-of-suite retry")
+        waitForCleanHost(30000)
+        val re = measure(name, SparkEntry.queries(name))
+        val kept = st.betterOf(re)
+        // classification position: a budget-suspect query whose retry
+        // produced clean evidence is classified at the RETRY position
+        // even when the first-pass stat was kept — the retry window is
+        // the deliberately-clean one, and if even min(med, re.med) is
+        // over budget the cost is real in both windows, so the gate
+        // must see it through the retry span's (presumably clean) lens
+        val pos = if ((kept eq re) || (budgetSuspect && !re.degraded)) retryPos
+                  else idx
+        retryPos += 1
+        (name, kept, pos)
+      }
+    }
+    if (retryPos > ordered.size) sentinelTick(retryPos)
+    val finalSpans = dirtySpans()
     def obj(f: QStat => String): String =
-      results.map { case (n, st) => "\"" + n + "\":" + f(st) }.mkString("{", ",", "}")
+      results.map { case (n, st, _) => "\"" + n + "\":" + f(st) }.mkString("{", ",", "}")
+    val posJson = results.map { case (n, _, p) => "\"" + n + "\":" + p }
+      .mkString("{", ",", "}")
+    val spansJson = finalSpans.map { case (s, e) => s"[$s,$e]" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2.med).sum
     val totalMin = results.map(_._2.min).sum
     val nDegraded = results.count(_._2.degraded)
@@ -258,7 +325,7 @@ object Bench {
         sentinelSeries.last._2 / sentinelSeries.map(_._2).min else 1.0
       f"""{"name":"$sn","series_pos_sec":$series,"last_vs_best":$drift%.3f,"gc_every":$gcEvery}"""
     }.getOrElse("null")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"sentinel":$sentinelJson,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"streams":$streams,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"median_of_best3_steal_filtered","value_min":$totalMin,"host":$host,"sentinel":$sentinelJson,"dirty_spans":$spansJson,"sentinel_hot_factor":$HotFactor,"query_pos":$posJson,"queries":${obj(_.med.toString)},"queries_min":${obj(_.min.toString)},"query_runs":${obj(_.runs.toString)},"query_dirty":${obj(_.dirty.toString)},"query_clean":${obj(_.clean.toString)},"streams":$streams,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     // The LAST stdout line is a compact (<500 B) summary: the driver
     // captures only a tail of stdout, and r5's single 11 KB line was

@@ -38,12 +38,25 @@ class BenchBudgetSpec extends AnyFunSuite {
     BudgetSec * math.min(StealClampMax, math.max(1.0, probeBestVsRef))
 
   /** Pure gate kernel: queries over the steal-adjusted budget that are
-    * not justified in the allowlist, worst first. */
+    * not justified in the allowlist, worst first. A query whose suite
+    * position falls inside a sentinel-flagged dirty span (VERDICT r13
+    * "next" #1: sustained contention the per-run steal/probe gates
+    * cannot see — the r13 driver window measured the 0.38 s q35 at
+    * 4.24 s with zero dirty runs) is EXCLUDED: its number is a host
+    * artifact, not a plan cost. The artifact's own Bench already
+    * re-timed such queries at end of suite, so an entry still inside a
+    * dirty span means the whole tail was hot — skipping it is
+    * disclosed, never silent (dirty_spans is in the artifact). */
   def overBudget(times: Map[String, Double], probeBestVsRef: Double,
-                 allowed: Set[String]): Seq[(String, Double)] = {
+                 allowed: Set[String],
+                 queryPos: Map[String, Int] = Map.empty,
+                 dirtySpans: Seq[(Int, Int)] = Nil): Seq[(String, Double)] = {
     val budget = effectiveBudget(probeBestVsRef)
-    times.toSeq.filter { case (n, t) => t > budget && !allowed(n) }
-      .sortBy(-_._2)
+    def inDirtySpan(n: String): Boolean = queryPos.get(n).exists(p =>
+      dirtySpans.exists { case (s, e) => p >= s && p < e })
+    times.toSeq.filter { case (n, t) =>
+      t > budget && !allowed(n) && !inDirtySpan(n)
+    }.sortBy(-_._2)
   }
 
   /** Queries over budget whose cost is argued inherent, not accidental:
@@ -112,36 +125,81 @@ class BenchBudgetSpec extends AnyFunSuite {
       "construction: the recompose IS two decisions; measured ~5 s " +
       "(2x q552's warm cost)"))
 
-  test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
-    val f = new java.io.File("bench_out.json")
-    assume(f.exists(), "no bench_out.json — run graft.Bench at sf0.1 first")
+  /** Parsed bench artifact: per-query medians, disclosed host probe
+    * factor, per-query suite positions and sentinel-flagged dirty
+    * spans (the latter two absent in pre-r14 artifacts → empty). */
+  final case class Artifact(sf: String, times: Map[String, Double],
+                            probe: Double, pos: Map[String, Int],
+                            spans: Seq[(Int, Int)])
+
+  def readArtifact(f: java.io.File): Artifact = {
     val json = org.json4s.jackson.JsonMethods.parse(
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     import org.json4s._
     implicit val fmt: Formats = DefaultFormats
-    val sf = (json \ "sf").extractOpt[String].getOrElse("")
-    val times = (json \ "queries").extractOpt[Map[String, Double]]
-      .getOrElse(Map.empty)
-    assume(sf.endsWith("sf0.1"), s"bench artifact is for '$sf', not sf0.1")
+    Artifact(
+      (json \ "sf").extractOpt[String].getOrElse(""),
+      (json \ "queries").extractOpt[Map[String, Double]].getOrElse(Map.empty),
+      (json \ "host" \ "probe_best_vs_ref").extractOpt[Double].getOrElse(1.0),
+      (json \ "query_pos").extractOpt[Map[String, Int]].getOrElse(Map.empty),
+      (json \ "dirty_spans").extractOpt[Seq[Seq[Int]]].getOrElse(Nil)
+        .collect { case Seq(s, e) => (s, e) })
+  }
+
+  private def gate(a: Artifact, label: String): Unit = {
+    assume(a.sf.endsWith("sf0.1"), s"$label is for '${a.sf}', not sf0.1")
     val declared = SparkEntry.queries.size
-    assume(times.size >= declared * 9 / 10,
-      s"artifact covers ${times.size}/$declared queries — dev subset run")
-    val probe = (json \ "host" \ "probe_best_vs_ref").extractOpt[Double]
-      .getOrElse(1.0)
-    val offenders = overBudget(times, probe, allow.keySet)
+    assume(a.times.size >= declared * 9 / 10,
+      s"$label covers ${a.times.size}/$declared queries — dev subset run")
+    val skipped = a.times.keys.filter(n => a.pos.get(n).exists(p =>
+      a.spans.exists { case (s, e) => p >= s && p < e })).toSeq.sorted
+    if (skipped.nonEmpty)
+      info(s"$label: ${skipped.size} queries in sentinel dirty spans " +
+        s"${a.spans.mkString(",")} excluded: ${skipped.mkString(", ")}")
+    val offenders = overBudget(a.times, a.probe, allow.keySet, a.pos, a.spans)
     assert(offenders.isEmpty,
-      f"\nOver-budget queries at steal-adjusted budget " +
-        f"${effectiveBudget(probe)}%.2f s (probe $probe%.3fx) — fix the " +
-        "plan or justify in BenchBudgetSpec:\n  " +
+      f"\n$label: over-budget queries at steal-adjusted budget " +
+        f"${effectiveBudget(a.probe)}%.2f s (probe ${a.probe}%.3fx) — fix " +
+        "the plan or justify in BenchBudgetSpec:\n  " +
         offenders.map { case (n, t) => f"$n: $t%.2f s" }.mkString("\n  "))
     // self-pruning: a justification for a query now comfortably under
     // budget is stale and must be deleted (entries for queries missing
-    // from the artifact are also stale — the query was renamed/removed)
+    // from the artifact are also stale — the query was renamed/removed).
+    // A fast reading is trustworthy regardless of host contention, so
+    // dirty spans don't enter here.
     val stale = allow.keys.filter(n =>
-      times.get(n).forall(_ < StaleBelowSec)).toSeq.sorted
+      a.times.get(n).forall(_ < StaleBelowSec)).toSeq.sorted
     assert(stale.isEmpty,
-      s"stale BenchBudgetSpec allowlist entries (now < ${StaleBelowSec}s " +
-        s"or gone): ${stale.mkString(", ")}")
+      s"$label: stale BenchBudgetSpec allowlist entries (now < " +
+        s"${StaleBelowSec}s or gone): ${stale.mkString(", ")}")
+  }
+
+  test(s"every query > ${BudgetSec}s at sf0.1 carries a justification") {
+    val f = new java.io.File("bench_out.json")
+    assume(f.exists(), "no bench_out.json — run graft.Bench at sf0.1 first")
+    val a = readArtifact(f)
+    // A runtime artifact from a pre-span Bench binary cannot be
+    // span-classified, and it is exactly the whoever-ran-last file the
+    // r13 phantom trips came from — cancel with a re-run ask instead of
+    // failing on unclassifiable numbers. (The committed quiet-window
+    // artifact below always enforces, and every Bench run from this
+    // HEAD emits query_pos/dirty_spans, so the gate is live on all
+    // fresh runs.)
+    assume(a.pos.nonEmpty || a.times.isEmpty,
+      "bench_out.json predates sentinel-span instrumentation " +
+        "(no query_pos) — re-run graft.Bench from HEAD")
+    gate(a, "bench_out.json")
+  }
+
+  test("the newest committed quiet-window bench detail passes the gate") {
+    // VERDICT r13 "next" #1(b): the runtime bench_out.json depends on
+    // whoever ran the bench last; the committed BENCH_DETAIL artifact
+    // is the round's attested quiet-window cut and must ALSO hold.
+    val committed = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_DETAIL_r\\d+[a-z]?\\.json"))
+      .sortBy(_.getName)
+    assume(committed.nonEmpty, "no committed BENCH_DETAIL artifact")
+    gate(readArtifact(committed.last), committed.last.getName)
   }
 
   test("a real 1.5x-budget regression trips even on a degraded host") {
@@ -161,5 +219,31 @@ class BenchBudgetSpec extends AnyFunSuite {
       "steal-window jitter at 3.20s should pass under probe=1.341")
     assert(overBudget(jitter, 1.0, Set.empty).nonEmpty,
       "3.20s on a QUIET host is a real over-budget and must trip")
+  }
+
+  test("a sentinel hot span forgives its queries; a clean span never does") {
+    // The r13 driver case: q35 (floor 0.38 s) read 4.24 s with zero
+    // dirty runs because the whole suite span was contended — the
+    // sentinel series saw it even though the per-run gates didn't.
+    val phantom = Map("q35_misc_ops" -> 4.24, "q486_convex_hull" -> 5.40)
+    val pos = Map("q35_misc_ops" -> 27, "q486_convex_hull" -> 473)
+    val spans = Seq((0, 50), (450, 500))
+    assert(overBudget(phantom, 1.0, Set.empty, pos, spans).isEmpty,
+      "hot-span phantoms must not fail the suite")
+    // the same numbers OUTSIDE any dirty span are real regressions
+    assert(overBudget(phantom, 1.0, Set.empty, pos, Seq((100, 150)))
+      .size == 2, "clean-span over-budget queries must trip")
+    // a genuine 1.5x floor regression in a CLEAN span of a run that
+    // has dirty spans elsewhere still trips
+    val mixed = phantom + ("qX_regressed" -> BudgetSec * 1.5)
+    val mixedPos = pos + ("qX_regressed" -> 200)
+    assert(overBudget(mixed, 1.0, Set.empty, mixedPos, spans)
+      .map(_._1) == Seq("qX_regressed"),
+      "a clean-span regression must trip even when hot spans exist")
+    // span membership is [start, end): the closing sentinel tick's own
+    // position is outside the span it closes
+    assert(overBudget(Map("qEdge" -> 4.0), 1.0, Set.empty,
+      Map("qEdge" -> 50), Seq((0, 50))).nonEmpty,
+      "position == span end is outside the span")
   }
 }
