@@ -113,41 +113,53 @@ object AdvisorQueries {
 
     // ── G352: RLE layout advisor (runs under three physical orders) ────
     // Columns: l_returnflag (3 values), l_linestatus (2), ship-day
-    // (~2.4 k). Layouts, 64 files each: 'time' (day-clustered — the
-    // lake default), 'self' (sorted by the column itself — best case),
-    // 'hash' (ingestion order — worst case). A run breaks at every
-    // intra-file value change; RLE bytes price each run at
-    // len(value) + 4. All windows are (layout, column, file)-
-    // partitioned — file-bounded, never corpus-wide. The 9-row output
-    // is the table a table-format OPTIMIZE policy reads.
+    // (~2.4 k). Layouts: 'time' (day-clustered — the lake default),
+    // 'self' (sorted by the column itself — best case), 'hash'
+    // (ingestion order — worst case). The file count is DATA-DERIVED
+    // (VERDICT r13 "next" #4): nf = the power-of-2 ceiling of
+    // ⌈n/9375⌉, clamped to ≥4 — 64 files at sf0.1's 600k rows, and at
+    // 100× the data the per-(layout, c, f) window partition stays
+    // ~9.4k rows instead of growing 100× against a pinned 64 (a real
+    // OPTIMIZE advisor scales file count with data; same self-scaling
+    // rule as q569's bucket bits). A run breaks at every intra-file
+    // value change; RLE bytes price each run at len(value) + 4. All
+    // windows are (layout, column, file)-partitioned — file-bounded,
+    // never corpus-wide. The 9-row output is the table a table-format
+    // OPTIMIZE policy reads.
     "q407_rle_advisor" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
           to_date(col("l_shipdate")).as("sd"),
           col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
-      val span = li.agg(min("sd").as("d0"), max("sd").as("d1"))
-        .select(col("d0"), datediff(col("d1"), col("d0")).cast("long").as("sp"))
+      val nfLadder = "(case " + (16 to 3 by -1).map(b =>
+        s"when m > ${1L << (b - 1)}L then ${1L << b}L").mkString(" ") +
+        " else 4L end)"
+      val span = li.agg(min("sd").as("d0"), max("sd").as("d1"),
+          count(lit(1)).as("nrows"))
+        .select(col("d0"), datediff(col("d1"), col("d0")).cast("long").as("sp"),
+          expr("(nrows + 9374) div 9375").as("m"))
+        .select(col("d0"), col("sp"), expr(nfLadder).as("nf"))
       val base = li.crossJoin(broadcast(span))
         .select(col("ok"), col("ln"),
           datediff(col("sd"), col("d0")).cast("long").as("day"), col("sp"),
-          col("rf"), col("ls"),
+          col("nf"), col("rf"), col("ls"),
           expr("md5_60(concat(cast(ok as string), ':', cast(ln as string)))").as("h"))
-        .select(col("ok"), col("ln"), col("day"), col("sp"), col("h"),
+        .select(col("ok"), col("ln"), col("day"), col("sp"), col("nf"), col("h"),
           explode(expr(
             """array(named_struct('c', 'returnflag', 'v', rf),
               |      named_struct('c', 'linestatus', 'v', ls),
               |      named_struct('c', 'day', 'v', cast(day as string)))"""
               .stripMargin)).as("z"))
-        .select(col("ok"), col("ln"), col("day"), col("sp"), col("h"),
+        .select(col("ok"), col("ln"), col("day"), col("sp"), col("nf"), col("h"),
           expr("z.c").as("c"), expr("z.v").as("v"))
         .select(col("c"), col("v"),
           explode(expr(
             """array(
-              |  named_struct('layout', 'time', 'f', day * 64 div (sp + 1),
+              |  named_struct('layout', 'time', 'f', day * nf div (sp + 1),
               |               'p1', day, 'p2', cast(null as string)),
-              |  named_struct('layout', 'self', 'f', pmod(md5_60(v), 64),
+              |  named_struct('layout', 'self', 'f', pmod(md5_60(v), nf),
               |               'p1', cast(null as bigint), 'p2', v),
-              |  named_struct('layout', 'hash', 'f', pmod(h, 64),
+              |  named_struct('layout', 'hash', 'f', pmod(h, nf),
               |               'p1', h, 'p2', cast(null as string)))"""
               .stripMargin)).as("y"),
           col("ok"), col("ln"))
@@ -285,32 +297,38 @@ object AdvisorQueries {
         |    AS match
         |FROM s1, s2""".stripMargin,
 
-    "q407_rle_advisor" ->
-      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+    "q407_rle_advisor" -> {
+      // mirror of the engine's nfLadder: power-of-2 ceiling of
+      // ⌈n/9375⌉ clamped to ≥4 (64 at sf0.1's 600k lineitem rows)
+      val nfLadderSql = "(CASE " + (16 to 3 by -1).map(b =>
+        s"WHEN m > ${1L << (b - 1)} THEN ${1L << b}").mkString(" ") +
+        " ELSE 4 END)"
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
         |    CAST(l_shipdate AS DATE) AS sd, l_returnflag AS rf,
         |    l_linestatus AS ls FROM lineitem),
-        |span AS (SELECT MIN(sd) AS d0,
-        |    date_diff('day', MIN(sd), MAX(sd)) AS sp FROM li),
-        |b0 AS (SELECT ok, ln, date_diff('day', d0, sd) AS day, sp, rf, ls,
+        |span AS (SELECT d0, sp, $nfLadderSql AS nf FROM
+        |  (SELECT MIN(sd) AS d0, date_diff('day', MIN(sd), MAX(sd)) AS sp,
+        |    (COUNT(*) + 9374) // 9375 AS m FROM li)),
+        |b0 AS (SELECT ok, ln, date_diff('day', d0, sd) AS day, sp, nf, rf, ls,
         |    CAST('0x' || substr(md5(CAST(ok AS VARCHAR) || ':' ||
         |      CAST(ln AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM li, span),
         |cols AS (
-        |  SELECT ok, ln, day, sp, h, 'returnflag' AS c, rf AS v FROM b0
+        |  SELECT ok, ln, day, sp, nf, h, 'returnflag' AS c, rf AS v FROM b0
         |  UNION ALL
-        |  SELECT ok, ln, day, sp, h, 'linestatus' AS c, ls AS v FROM b0
+        |  SELECT ok, ln, day, sp, nf, h, 'linestatus' AS c, ls AS v FROM b0
         |  UNION ALL
-        |  SELECT ok, ln, day, sp, h, 'day' AS c, CAST(day AS VARCHAR) AS v
+        |  SELECT ok, ln, day, sp, nf, h, 'day' AS c, CAST(day AS VARCHAR) AS v
         |  FROM b0),
         |lay AS (
-        |  SELECT c, v, 'time' AS layout, day * 64 // (sp + 1) AS f,
+        |  SELECT c, v, 'time' AS layout, day * nf // (sp + 1) AS f,
         |    day AS p1, CAST(NULL AS VARCHAR) AS p2, ok, ln FROM cols
         |  UNION ALL
         |  SELECT c, v, 'self' AS layout,
-        |    CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % 64 AS f,
+        |    CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) % nf AS f,
         |    CAST(NULL AS BIGINT) AS p1, v AS p2, ok, ln FROM cols
         |  UNION ALL
-        |  SELECT c, v, 'hash' AS layout, h % 64 AS f, h AS p1,
+        |  SELECT c, v, 'hash' AS layout, h % nf AS f, h AS p1,
         |    CAST(NULL AS VARCHAR) AS p2, ok, ln FROM cols),
         |mark AS (SELECT layout, c, v,
         |    CASE WHEN LAG(v) OVER (PARTITION BY layout, c, f
@@ -325,7 +343,8 @@ object AdvisorQueries {
         |  CAST(SUM(length(v)) * 100 //
         |    SUM(CASE WHEN brk = 1 THEN length(v) + 4 ELSE 0 END) AS BIGINT)
         |    AS ratio_e2
-        |FROM mark GROUP BY layout, c ORDER BY c, layout""".stripMargin,
+        |FROM mark GROUP BY layout, c ORDER BY c, layout""".stripMargin
+    },
 
     "q408_ips_policy_eval" ->
       """WITH ev AS (SELECT user_id AS u, event_type AS a,
