@@ -166,7 +166,8 @@ object SparkEntry {
     (SelectionOpsQueries.queries, SelectionOpsQueries.oracleSql),
     (AdvisoryOpsQueries.queries, AdvisoryOpsQueries.oracleSql),
     (SequentialOpsQueries.queries, SequentialOpsQueries.oracleSql),
-    (TuningOpsQueries.queries, TuningOpsQueries.oracleSql)
+    (TuningOpsQueries.queries, TuningOpsQueries.oracleSql),
+    (ReleaseQueries.queries, ReleaseQueries.oracleSql)
   )
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
