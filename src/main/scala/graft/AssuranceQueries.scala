@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Assurance subsystem (round 10, forty-first wave): measured Bloom
   * false-positive rate, schema-rename matching, passage-snippet
@@ -160,7 +161,7 @@ object AssuranceQueries {
           col("win_hits").as("best_hits"), col("tot_hits"))
       best.orderBy(col("best_hits").desc, col("doc_id").asc).limit(20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("best_hits").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("best_hits").desc, col("doc_id").asc)).cast(LongType))
         .orderBy("rank")
     }),
 

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Calendar and comparison operators (round 9, twentieth wave): ISO
   * business-calendar rollups, period-over-period delta attribution,
@@ -90,7 +91,7 @@ object CalendarQueries {
       def top(h: Int) = toks.filter(col("half") === h)
         .orderBy(col("n").desc, col("tok").asc).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("tok").asc)).cast(LongType))
+          boundedGlobalRank(col("n").desc, col("tok").asc)).cast(LongType))
       val a = top(0).select(col("tok"), col("n").as("n_a"), col("rk").as("rk_a"))
       val b = top(1).select(col("tok"), col("n").as("n_b"), col("rk").as("rk_b"))
       a.join(b, Seq("tok"), "full_outer")

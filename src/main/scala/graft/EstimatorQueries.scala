@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Estimator-infrastructure subsystem (round 10, forty-seventh wave):
   * the stream-stream FULL OUTER join that completes the §2.9 join
@@ -165,7 +166,7 @@ object EstimatorQueries {
       val total = w.agg(sum("w").as("w_total"), count(lit(1)).as("n_items"))
       val top = w.orderBy(col("q").desc, col("k").asc).limit(101)
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("q").desc, col("k").asc)))
+          boundedGlobalRank(col("q").desc, col("k").asc)))
       val tau = top.filter(col("rk") === 101).select(col("q").as("tau"))
       val sample = top.filter(col("rk") <= 100)
       sample.crossJoin(broadcast(tau)).crossJoin(broadcast(total))

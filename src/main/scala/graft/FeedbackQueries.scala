@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Retrieval feedback + epoch-sharding ops (round 10, thirtieth wave):
   * Rocchio pseudo-relevance-feedback query expansion, a BPE pair-
@@ -88,7 +89,7 @@ object FeedbackQueries {
         .select("doc_id")
       expanded.orderBy(col("score_e6").desc, col("doc_id").asc).limit(10)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("score_e6").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("score_e6").desc, col("doc_id").asc)).cast(LongType))
         .join(baseTop10.withColumn("in_base", lit(true)), Seq("doc_id"), "left")
         .select(col("rk"), col("doc_id"), col("score_e6"),
           coalesce(col("in_base"), lit(false)).as("new_via_feedback"))
@@ -116,7 +117,7 @@ object FeedbackQueries {
           count(lit(1)).as("n_vocab_words"))
       pairs.orderBy(col("weighted_count").desc, col("pair").asc).limit(10)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("weighted_count").desc, col("pair").asc)).cast(LongType))
+          boundedGlobalRank(col("weighted_count").desc, col("pair").asc)).cast(LongType))
         .select("rk", "pair", "weighted_count", "n_vocab_words")
         .orderBy("rk")
     }),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.streaming.StreamIngest
+import graft.ops.Relational.boundedGlobalRank
 
 /** Flow-semantics operators (round 9, fourteenth wave): stateful
   * accounting shapes — a floor-clamped running balance via the
@@ -185,7 +186,7 @@ object FlowQueries {
       val perMonth = Tables.orders(s, dir)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_rows"))
-      val w = Window.orderBy("month")
+      val w = boundedGlobalRank(col("month"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perMonth
         .withColumn("cum_before", sum("n_rows").over(w) - col("n_rows"))

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Forecast-operations wave (round 11, first wave): hierarchical
   * reconciliation, inverse-MAE ensembling, graded retrieval quality
@@ -158,7 +159,7 @@ object ForecastOpsQueries {
         .select(col("vec_id"), cosineR6(col("ve"), col("qe")).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id").asc).limit(10)
         .withColumn("re", row_number().over(
-          Window.orderBy(col("cos_r").desc, col("vec_id").asc)))
+          boundedGlobalRank(col("cos_r").desc, col("vec_id").asc)))
         .select(col("vec_id"), (lit(11L) - col("re")).as("rel"))
       val q8 = e
         .select(col("vec_id"),
@@ -181,7 +182,7 @@ object ForecastOpsQueries {
             "div (cast(qq as decimal(38,0)) * cast(qqq as decimal(38,0))))"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)
         .withColumn("ra", row_number().over(
-          Window.orderBy(col("score").desc, col("vec_id").asc)))
+          boundedGlobalRank(col("score").desc, col("vec_id").asc)))
         .select("vec_id", "ra")
       val wCase = "(case ra " + (1 to 10).map(i =>
         s"when $i then ${DcgW(i - 1)}L").mkString(" ") + " end)"

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Master-data operators (round 9, twenty-first wave): field-wise
   * golden-record survivorship, the top-k merge-safety audit, and a
@@ -76,11 +77,11 @@ object MasterQueries {
         .filter(col("rb") <= 5)
         .orderBy(col("v_c").desc, col("k").asc).limit(5)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
+          boundedGlobalRank(col("v_c").desc, col("k").asc)).cast(LongType))
         .select(col("rk"), col("k").as("merged_k"), col("v_c").as("merged_v_c"))
       val direct = o.orderBy(col("v_c").desc, col("k").asc).limit(5)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("v_c").desc, col("k").asc)).cast(LongType))
+          boundedGlobalRank(col("v_c").desc, col("k").asc)).cast(LongType))
         .select(col("rk"), col("k").as("direct_k"), col("v_c").as("direct_v_c"))
       merged.join(direct, "rk")
         .withColumn("equal", col("merged_k") === col("direct_k") &&

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Stable-matching wave (round 10, seventieth wave): Gale–Shapley
   * nation↔supplier assignment with the blocking-pair certificate.
@@ -44,7 +45,7 @@ object MatchingQueries {
       val w = base.groupBy("i", "skey").agg(sum("v").as("w0"))
       val top = w.groupBy("skey").agg(sum("w0").as("tw"))
         .orderBy(col("tw").desc, col("skey").asc).limit(25)
-        .withColumn("sidx", row_number().over(Window.orderBy("skey")).cast("long"))
+        .withColumn("sidx", row_number().over(boundedGlobalRank(col("skey"))).cast("long"))
         .select("skey", "sidx")
       val nations = Tables.nation(s, dir)
         .select((col("n_nationkey") + 1).cast("long").as("i"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Model-selection and uncertainty operators (round 9, sixteenth
   * wave): ridge-regularized trend fitting with walk-forward λ
@@ -128,7 +129,7 @@ object ModelQueries {
         .filter(col("wn") > 0)
         .withColumn("mean_c", expr("wsum div wn"))
       val ranked = means
-        .withColumn("rk", row_number().over(Window.orderBy(col("mean_c").asc, col("rid").asc)))
+        .withColumn("rk", row_number().over(boundedGlobalRank(col("mean_c").asc, col("rid").asc)))
         .withColumn("n_rs", count(lit(1)).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       val point = daily.agg(expr("sum(v_c) div count(1)").as("point_c"))

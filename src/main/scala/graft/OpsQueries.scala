@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Operations-engineering operators (round 9, twenty-second wave):
   * change-log compaction, the watermark-lateness operating curve,
@@ -100,7 +101,7 @@ object OpsQueries {
     "q259_fair_share" -> ((s, dir) => {
       val demand = Tables.events(s, dir)
         .groupBy("event_type").agg(count(lit(1)).as("d"))
-      val w = Window.orderBy(col("d").asc, col("event_type").asc)
+      val w = boundedGlobalRank(col("d").asc, col("event_type").asc)
       val ranked = demand
         .withColumn("rk", row_number().over(w).cast(LongType))
         .withColumn("below", coalesce(sum("d").over(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Profiling / preparation operators (round 9, tenth wave): sweep-line
   * concurrency, robust feature scaling, temporal-split leakage, and
@@ -45,7 +46,7 @@ object ProfileQueries {
         .groupBy("day").agg(sum("d").as("delta"))
       val curve = deltas
         .withColumn("open", sum("delta").over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          boundedGlobalRank(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       curve.groupBy(date_format(col("day"), "yyyy-MM").as("month"))
         .agg(max("open").as("peak_open"),
           max_by(col("open"), col("day")).as("eom_open"))

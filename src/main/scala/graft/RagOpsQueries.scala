@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{asDouble, cosineR6, sqlCosineR6}
+import graft.ops.Relational.boundedGlobalRank
 
 /** RAG/retrieval-ops wave (round 11): the three ops a retrieval tier
   * runs between the index and the context window.
@@ -80,7 +81,7 @@ object RagOpsQueries {
         .orderBy(col("cos_r").desc, col("vec_id"))
         .limit(ShortlistR)
         .withColumn("i", row_number().over(
-          Window.orderBy(col("cos_r").desc, col("vec_id"))).cast("int"))
+          boundedGlobalRank(col("cos_r").desc, col("vec_id"))).cast("int"))
         .withColumn("rel6", expr("cast(round(cos_r * 1000000) as bigint)"))
       // 20×20 c6 matrix rows: sims(ia) ordered by ib
       val pairs = short.select(col("i").as("ia"), col("v").as("va"))

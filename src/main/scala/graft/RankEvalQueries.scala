@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Ranking-evaluation metrics (round 10, twenty-fifth wave): exact ROC
   * AUC via Mann-Whitney midranks, nDCG@10 with shared integer discount
@@ -92,7 +93,7 @@ object RankEvalQueries {
       val disc = discE9.zipWithIndex.map { case (w, i) => (i + 1L, w) }
         .toDF("rk", "disc_e9")
       def top10(o: Column*): DataFrame = sc.orderBy(o: _*).limit(10)
-        .withColumn("rk", row_number().over(Window.orderBy(o: _*)).cast(LongType))
+        .withColumn("rk", row_number().over(boundedGlobalRank(o: _*)).cast(LongType))
       val dcg = top10(col("qtf").desc, col("doc_id").asc)
         .join(broadcast(disc), Seq("rk"))
         .agg(sum(expr("g * disc_e9")).as("dcg_e9"))
@@ -119,9 +120,9 @@ object RankEvalQueries {
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(20)
       val ranked = d
         .withColumn("ra", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("n_chars").desc, col("doc_id").asc)).cast(LongType))
         .withColumn("rb", row_number().over(
-          Window.orderBy(col("n_types").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("n_types").desc, col("doc_id").asc)).cast(LongType))
         .select("doc_id", "ra", "rb")
       val l = ranked.select(col("doc_id").as("id1"), col("ra").as("ra1"), col("rb").as("rb1"))
       val r = ranked.select(col("doc_id").as("id2"), col("ra").as("ra2"), col("rb").as("rb2"))
@@ -151,7 +152,7 @@ object RankEvalQueries {
           expr("size(toks)").cast(LongType).as("n_tokens"))
       def top20(rkName: String, o: Column*): DataFrame =
         d.orderBy(o: _*).limit(20)
-          .withColumn(rkName, row_number().over(Window.orderBy(o: _*)).cast(LongType))
+          .withColumn(rkName, row_number().over(boundedGlobalRank(o: _*)).cast(LongType))
           .select(col("doc_id"), col(rkName))
       val a = top20("ra", col("n_chars").desc, col("doc_id").asc)
       val b = top20("rb", col("n_tokens").desc, col("doc_id").asc)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Reconciliation and sampling-design operators (round 9,
   * twenty-fourth wave): the join-semantics matrix, cross-table revenue
@@ -161,7 +162,7 @@ object ReconQueries {
         .withColumn("rem", expr(s"($b * w) % tw"))
       based.crossJoin(broadcast(based.agg((lit(b) - sum("base")).as("k"))))
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("rem").desc, col("stratum").asc)).cast(LongType))
+          boundedGlobalRank(col("rem").desc, col("stratum").asc)).cast(LongType))
         .withColumn("alloc", col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
         .select("stratum", "nh", "w", "alloc")
         .orderBy("stratum")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Retrieval/mixture-operations wave (round 11, third wave): the IVF
   * nprobe tuning curve, mixture-temperature economics, and dup-cluster
@@ -56,7 +57,7 @@ object RetrievalOpsQueries {
         .select(col("seed_id").as("cell"), cosineR6(col("sv"), col("qe")).as("qcos"))
         .orderBy(col("qcos").desc, col("cell").asc).limit(8)
         .withColumn("crk", row_number().over(
-          Window.orderBy(col("qcos").desc, col("cell").asc)))
+          boundedGlobalRank(col("qcos").desc, col("cell").asc)))
         .select("cell", "crk")
       val probes = s.createDataFrame(Probes.map(Tuple1(_))).toDF("nprobe")
         .crossJoin(cellRank).filter(col("crk") <= col("nprobe"))

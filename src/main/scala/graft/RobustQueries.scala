@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Robustness / compression / pattern operators (round 9, fifth wave):
   * the salted replicated join that survives power-law keys, malformed-
@@ -152,9 +153,9 @@ object RobustQueries {
       // unpartitioned window over the full vocabulary table.
       val ranked = tf
         .orderBy(col("tf").desc, col("tok")).limit(30)
-        .withColumn("rnk", row_number().over(Window.orderBy(col("tf").desc, col("tok"))))
+        .withColumn("rnk", row_number().over(boundedGlobalRank(col("tf").desc, col("tok"))))
         .withColumn("cum", sum("tf").over(
-          Window.orderBy(col("tf").desc, col("tok"))
+          boundedGlobalRank(col("tf").desc, col("tok"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val tot = tf.agg(sum("tf").as("total"), count(lit(1)).as("n_vocab"))
       ranked.filter(col("rnk").isin(5, 10, 20, 30))

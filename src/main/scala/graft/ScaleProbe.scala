@@ -42,12 +42,33 @@ object ScaleProbe {
     "q144_prefix_filter_join", "q151_simkey_blocking",
     "q569_semdedup_lsh")
 
+  /** The top-10 bench plans + the window-heavy families (VERDICT r13
+    * "next" #2): the bench's most expensive queries had no measured
+    * exponent. Fixtures are offset-key copies of the relational tables
+    * ([[genRel]] below): per copy, every fact/user key is shifted by a
+    * disjoint offset while the dimension tables (nation/region/part/
+    * supplier) stay fixed — so joins/windows stay within-copy, per-key
+    * work is preserved, and output mass grows exactly C× (more
+    * customers per nation, more facts per part: the honest shape of a
+    * corpus C× the size — no salt lottery, unlike the token-rewrite
+    * dedup fixtures). q521 is census-dominated by construction (fixed
+    * 10,000-start enumeration), so its exponent is expected ~0. */
+  val BenchProbeQueries = Seq(
+    "q407_rle_advisor", "q472_permutation_test", "q570_ingest_gate_pipeline",
+    "q442_yannakakis", "q392_greedy_cover", "q338_schema_match",
+    "q471_lsh_scurve", "q321_analyze_stats", "q522_erasure_code",
+    "q491_ktruss", "q100_last_touch", "q105_gap_ffill", "q561_bradley_terry")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else
       Files.createTempDirectory("graft_scale").toString
+    // copies_hi default 32 (VERDICT r13 "next" #3: does q23's
+    // mass-normalized 0.50 plateau past 16?); cross-copy embedding
+    // cosine stays ≤ 0.59 for every cyclic shift 1..31 (sampled
+    // 400×400 on the sf0.1 table), far under q569's τ = 0.99
     val lo = if (args.length > 2) args(2).toInt else 2
-    val hi = if (args.length > 3) args(3).toInt else 16
+    val hi = if (args.length > 3) args(3).toInt else 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Engine.tune(
@@ -89,6 +110,37 @@ object ScaleProbe {
         }.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       }
+    // Relational-table fixture for the bench-plan probe: per copy i,
+    // every FACT key (order, customer, user, event ids) shifts by
+    // i·10⁸ — joins and per-key windows stay within-copy — while the
+    // dimension tables are written verbatim once (dimensions don't
+    // grow with fact data; per-dimension fan-out ×C is the honest
+    // 100-TB shape). documents/embeddings come from [[gen]] so the
+    // doc-graph queries (q471/q491) scale by the certified dedup
+    // fixture in the same dir.
+    def genRel(nCopies: Int, kFrom: Int, out: String): Unit = {
+      gen(nCopies, kFrom, out)
+      if (!Files.exists(Paths.get(s"$out/orders.parquet"))) {
+        val OFF = 100000000L
+        def copies(df: DataFrame, keyCols: Seq[String]): DataFrame =
+          (0 until nCopies).map { i =>
+            keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+          }.reduce(_ unionByName _)
+        copies(spark.read.parquet(s"$base/orders.parquet"),
+            Seq("o_orderkey", "o_custkey"))
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        copies(spark.read.parquet(s"$base/customer.parquet"), Seq("c_custkey"))
+          .write.mode("overwrite").parquet(s"$out/customer.parquet")
+        copies(spark.read.parquet(s"$base/lineitem.parquet"), Seq("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        copies(Tables.events(spark, base), Seq("user_id", "event_id"))
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        Seq("nation", "region", "part", "supplier").foreach { t =>
+          spark.read.parquet(s"$base/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
+      }
+    }
     // Both noise layers (see HostProbe): steal jiffies around each run
     // AND the absolute calibration probe after it — the probe is what
     // caught this probe's own first run recording a 28×-inflated q64
@@ -125,7 +177,8 @@ object ScaleProbe {
 
     val ratio = hi.toDouble / lo.toDouble
     final case class QRes(tLo: Double, tHi: Double, dirty: Boolean,
-                          outLo: Long = -1L, outHi: Long = -1L) {
+                          outLo: Long = -1L, outHi: Long = -1L,
+                          ratio: Double = hi.toDouble / lo.toDouble) {
       def exp: Double = math.log(tHi / tLo) / math.log(ratio)
       def massRatio: Double =
         if (outLo > 0 && outHi > 0) outHi.toDouble / outLo else -1.0
@@ -236,6 +289,52 @@ object ScaleProbe {
       attempt += 1
     }
 
+    // ——— extended bench-plan probe (VERDICT r13 "next" #2) ———————————
+    // lo=2 / hi=8: these plans are 5-20× costlier per copy than the
+    // dedup family, and their offset-key fixtures have NO mass lottery
+    // (output grows exactly C×), so a 4× ratio resolves the exponent
+    // without an hour-long run. Same defenses: fresh fixture dirs per
+    // attempt (per-dir fixture memos would warm-start a rerun), clean
+    // host gate around every run, clean-over-dirty then lower-exponent
+    // selection across 3 attempts.
+    val bLo = 2
+    val bHi = 8
+    var bBest: Map[String, QRes] = Map.empty
+    val dirBW = s"$work/bwarm"
+    genRel(1, 19000, dirBW)
+    BenchProbeQueries.foreach(q => timeOnce(q, dirBW))
+    for (a <- 0 until 3) {
+      val d1 = s"$work/b$a/x$bLo"
+      val dC = s"$work/b$a/x$bHi"
+      genRel(bLo, 20000 + 100 * a, d1)
+      genRel(bHi, 20000 + 100 * a + 50, dC)
+      waitForCleanHost(20000)
+      val t1 = BenchProbeQueries.map(q => q -> timeOnce(q, d1)).toMap
+      val tC = BenchProbeQueries.map(q => q -> timeOnce(q, dC)).toMap
+      val res = BenchProbeQueries.map { q =>
+        q -> QRes(t1(q)._1, tC(q)._1, t1(q)._2 || tC(q)._2,
+          ratio = bHi.toDouble / bLo)
+      }.toMap
+      System.err.println(s"[scale] bench attempt $a: " +
+        res.map { case (q, r) =>
+          f"$q=${r.exp}%.2f${if (r.dirty) "(dirty)" else ""}"
+        }.mkString(" "))
+      res.foreach { case (q, r) =>
+        bBest.get(q) match {
+          case Some(b) if !b.dirty && r.dirty => ()
+          case Some(b) if b.dirty == r.dirty && b.exp <= r.exp => ()
+          case _ => bBest += q -> r
+        }
+      }
+    }
+    val benchPer = BenchProbeQueries.map { q =>
+      val r = bBest(q)
+      f"""\"$q\":{"t_lo_sec":${r.tLo}%.3f,"t_hi_sec":${r.tHi}%.3f,"exponent":${r.exp}%.3f,"dirty":${r.dirty}}"""
+    }.mkString("{", ",", "}")
+    val benchWorst = BenchProbeQueries.map(q => bBest(q).exp).max
+    val benchJson =
+      f"""{"copies_lo":$bLo,"copies_hi":$bHi,"worst_exponent":$benchWorst%.3f,"attempts":3,"dirty_queries":${bBest.values.count(_.dirty)},"queries":$benchPer}"""
+
     val per = ProbeQueries.map { q =>
       val r = best(q)
       val mass = if (r.outLo >= 0)
@@ -255,7 +354,7 @@ object ScaleProbe {
     val settled = massSettled
     val worstNorm = ProbeQueries.map(q => best(q).expMassNorm).max
     val json =
-      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"mass_settled":$settled,"worst_exponent_mass_norm":$worstNorm%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","mass_attempts":$hist,"queries":$per}"""
+      f"""{"metric":"scale_exponent","copies_lo":$lo,"copies_hi":$hi,"base":"$base","worst_exponent":$worst%.3f,"mass_settled":$settled,"worst_exponent_mass_norm":$worstNorm%.3f,"attempts":$attempt,"dirty_queries":${best.values.count(_.dirty)},"probe_best_sec":$probeBest%.4f,"probe_ref_sec":${HostProbe.ProbeRefSec},"probe_ref_provenance":"${HostProbe.probeRefProvenance}","mass_attempts":$hist,"queries":$per,"bench":$benchJson}"""
     Files.writeString(Paths.get("scale_out.json"), json + "\n")
     println(json)
     spark.stop()

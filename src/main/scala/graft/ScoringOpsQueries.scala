@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Scoring-ops wave (round 11): the perplexity gate, the quantile loss,
   * and the feedback loop a corpus/forecast stack runs on its own output.
@@ -183,7 +184,7 @@ object ScoringOpsQueries {
         .select("doc_id", "n_terms", "score_e6", "was_seed")
         .orderBy(col("score_e6").desc, col("doc_id")).limit(10)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+          boundedGlobalRank(col("score_e6").desc, col("doc_id"))).cast("long"))
         .orderBy("rk")
     })
   )

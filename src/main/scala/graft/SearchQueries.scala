@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Relevance-ranking operators (round 9, twelfth wave): the retrieval
   * scorers a corpus-curation pipeline runs to probe and mine its own
@@ -67,7 +68,7 @@ object SearchQueries {
         .orderBy(col("score_e6").desc, col("doc_id").asc)
         .limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("score_e6").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("score_e6").desc, col("doc_id").asc)).cast(LongType))
         .orderBy("rk")
     }),
 
@@ -107,7 +108,7 @@ object SearchQueries {
         .orderBy(col("score_e18").desc, col("doc_id").asc)
         .limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("score_e18").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("score_e18").desc, col("doc_id").asc)).cast(LongType))
         .orderBy("rk")
     }),
 
@@ -162,7 +163,7 @@ object SearchQueries {
         .orderBy(col("rrf_e6").desc, col("doc_id").asc)
         .limit(10)
         .withColumn("fused_rk", row_number().over(
-          Window.orderBy(col("rrf_e6").desc, col("doc_id").asc)).cast(LongType))
+          boundedGlobalRank(col("rrf_e6").desc, col("doc_id").asc)).cast(LongType))
         .select("fused_rk", "doc_id", "rk_a", "rk_b", "rrf_e6")
         .orderBy("fused_rk")
     })

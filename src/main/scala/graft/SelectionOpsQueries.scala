@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Model-selection and data-valuation wave (round 12, third wave).
   *
@@ -269,7 +270,7 @@ object SelectionOpsQueries {
       val pi = s.read.parquet(s"$fxPath/pi$BtIters")
       wins.join(pi, Seq("i"))
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("pi").desc, col("i"))).cast(LongType))
+          boundedGlobalRank(col("pi").desc, col("i"))).cast(LongType))
         .select(col("i").as("arm"), col("wtot").as("wins"),
           col("n_matches"), col("pi").as("strength_e6"), col("rank"))
         .orderBy("arm")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.{tokens, sqlTokens}
+import graft.ops.Relational.boundedGlobalRank
 
 /** Signal-extraction second wave (round 10, thirty-third wave):
   * TextRank keyword extraction over the word co-occurrence graph,
@@ -64,7 +65,7 @@ object SignalsTwoQueries {
       val pr2 = iterate(iterate(pr0))
       pr2.orderBy(col("pr").desc, col("w").asc).limit(20)
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("pr").desc, col("w").asc)).cast(LongType))
+          boundedGlobalRank(col("pr").desc, col("w").asc)).cast(LongType))
         .select("rk", "w", "pr")
         .orderBy("rk")
     }),

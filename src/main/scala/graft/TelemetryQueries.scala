@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Telemetry/queueing wave (round 10, sixty-fourth wave): Lindley
   * waiting-time recursion with its max-plus certificate, Little's law
@@ -125,8 +126,8 @@ object TelemetryQueries {
       // delta-day grain: ≤ 2 rows per observed calendar day (allowlisted)
       val curve = deltas
         .withColumn("open", sum("delta").over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("nxt", lead(col("day"), 1).over(Window.orderBy("day")))
+          boundedGlobalRank(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead(col("day"), 1).over(boundedGlobalRank(col("day"))))
       val area = curve.agg(
         sum(expr("open * cast(coalesce(datediff(nxt, day), 0) as bigint)")).as("area_days"),
         max("open").as("peak_open"))
@@ -171,8 +172,8 @@ object TelemetryQueries {
       val daily = ev.groupBy("d")
         .agg(count(lit(1)).as("n"), sum("e").as("err"))
       val d0 = daily.agg(min("d").as("d0"))
-      val w3 = Window.orderBy("i").rangeBetween(-2, 0)
-      val w7 = Window.orderBy("i").rangeBetween(-6, 0)
+      val w3 = boundedGlobalRank(col("i")).rangeBetween(-2, 0)
+      val w7 = boundedGlobalRank(col("i")).rangeBetween(-6, 0)
       daily.crossJoin(broadcast(d0))
         .withColumn("i", expr("cast(datediff(d, d0) as bigint)"))
         .withColumn("n3", sum("n").over(w3)).withColumn("e3", sum("err").over(w3))

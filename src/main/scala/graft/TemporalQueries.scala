@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Relational.boundedGlobalRank
 
 /** Temporal / lifecycle operators (round 9, ninth wave): the
   * first/last/nth window-frame surface, range-partitioned layout,
@@ -72,7 +73,7 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_rows"),
           min("user_id").as("flo"), max("user_id").as("fhi"))
       val ordered = files
-        .withColumn("next_lo", lead("flo", 1).over(Window.orderBy(col("flo"), col("f"))))
+        .withColumn("next_lo", lead("flo", 1).over(boundedGlobalRank(col("flo"), col("f"))))
         .withColumn("overlaps_next",
           coalesce(col("next_lo") <= col("fhi"), lit(false)))
       ordered.agg(
@@ -130,9 +131,9 @@ object TemporalQueries {
       val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
       val spine = span.select(explode(expr("sequence(d0, d1)")).as("day"))
       val joined = spine.join(daily, Seq("day"), "left")
-      val wAsc = Window.orderBy("day")
+      val wAsc = boundedGlobalRank(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wDesc = Window.orderBy(col("day").desc)
+      val wDesc = boundedGlobalRank(col("day").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       joined
         .withColumn("pv", last("v6", ignoreNulls = true).over(wAsc))

@@ -302,4 +302,19 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(asCol, agg.over(w))
   }
+
+  /** Unpartitioned global window over a frame the CALLER asserts is
+    * bounded by something other than corpus size — a top-k survivor
+    * set after a limit, a calendar-span/day-grain table, a per-group
+    * skyline frontier after a partition-local pre-pass, a ≤-|types|
+    * contingency. Funneling an UNBOUNDED input through this is the
+    * canonical 100-TB scale-killer (one task sorts everything), so a
+    * bare `Window.orderBy` is BANNED in src/main (VERDICT r13 "next"
+    * #5): WindowSweepSpec's source lint fails on any site that does
+    * not go through this helper, and its plan sweep independently
+    * checks every declared query's optimized plan for unpartitioned
+    * windows over non-limited input. Chain frames as usual:
+    * `boundedGlobalRank(col("i")).rangeBetween(-2, 0)`. */
+  def boundedGlobalRank(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    Window.orderBy(order: _*)
 }

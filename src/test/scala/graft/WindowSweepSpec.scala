@@ -69,4 +69,29 @@ class WindowSweepSpec extends AnyFunSuite {
     val stale = allow.keySet -- allowHits
     assert(stale.isEmpty, s"stale allowlist entries (no unpartitioned window remains): $stale")
   }
+
+  test("no bare Window.orderBy in src/main — use Relational.boundedGlobalRank") {
+    // Source-level lint (VERDICT r13 "next" #5): the plan sweep above
+    // only sees plans of DECLARED queries — a bare global window inside
+    // a fixture builder or an undeclared helper is invisible to it.
+    // Every intentional unpartitioned window must go through the named
+    // helper, whose scaladoc states the boundedness contract, so a
+    // future refactor cannot silently funnel a 100-TB table through
+    // one sort task and so `grep boundedGlobalRank` enumerates every
+    // consciously-global window in the engine.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("ops/Relational.scala")) // the helper itself
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy(") => s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"\nbare Window.orderBy sites (use graft.ops.Relational.boundedGlobalRank " +
+        s"and state why the frame is bounded):\n  ${offenders.mkString("\n  ")}")
+  }
 }
