@@ -19,15 +19,39 @@ object PipelineQueries {
     * a partitioned store) build that input once per JVM and re-read it on
     * every subsequent call. Verify still exercises the full build (one
     * call per query); Bench's median-of-3 then times the QUERY, not the
-    * fixture I/O (VERDICT r3 "what's wrong" #6). computeIfAbsent makes
-    * concurrent first calls (Verify's thread pool) race-safe. */
-  private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def cachedFixture(key: String)(build: String => Unit): String =
-    fixtureCache.computeIfAbsent(key, _ => {
-      val work = java.nio.file.Files.createTempDirectory("graft_fx").toString
-      build(work)
-      work
-    })
+    * fixture I/O (VERDICT r3 "what's wrong" #6).
+    *
+    * Nesting-safe (round 14): the old `computeIfAbsent` held the map's
+    * bin lock through the whole build, so a build that itself resolved
+    * another UNBUILT fixture (dup_pairs → q23 → tok) died with
+    * "Recursive update" whenever the dependency hadn't been built by an
+    * earlier query — invisible in Verify (alphabetical order builds
+    * deps first) but fatal for any out-of-order caller (the ScaleProbe
+    * bench phase on fresh dirs). putIfAbsent publishes a per-key future
+    * WITHOUT holding any map lock during the build: nested builds of
+    * other keys proceed freely, concurrent same-key callers block on
+    * the winner's future (same race-safety as before), and a failed
+    * build removes its entry so a later call can retry. */
+  private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+  private[graft] def cachedFixture(key: String)(build: String => Unit): String = {
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = fixtureCache.putIfAbsent(key, fresh)
+    if (prior != null) prior.join()
+    else {
+      try {
+        val work = java.nio.file.Files.createTempDirectory("graft_fx").toString
+        build(work)
+        fresh.complete(work)
+      } catch {
+        case e: Throwable =>
+          fixtureCache.remove(key, fresh)
+          fresh.completeExceptionally(e)
+          throw e
+      }
+      fresh.join()
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
