@@ -136,7 +136,12 @@ object EmpiricalQueries {
     // valid, modern form) rather than an exact permutation; the
     // statistic is the |mean difference| at e6 with the division
     // truncation mirrored, and the add-one p-value keeps the test
-    // level exact under determinism.
+    // level exact under determinism. The group sums are lifted to
+    // DECIMAL(38,0) (HUGEINT in the oracle) before the e6 scale: the
+    // BIGINT form Σx·1e6 wraps at ~9.2e12 cents of group mass — about
+    // 4× the sf0.1 corpus, found by the r14 ScaleProbe's 8× fixture —
+    // while the per-group MEANS the statistic compares always fit
+    // (commit 5b1700b's overflow-lift discipline).
     "q472_permutation_test" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey").as("k"),
@@ -148,7 +153,8 @@ object EmpiricalQueries {
           sum("isa").as("na"),
           sum(expr("case when isa = 0L then x else 0L end")).as("sb"),
           sum(expr("1L - isa")).as("nb"))
-        .select(expr("abs(sa * 1000000 div na - sb * 1000000 div nb)")
+        .select(expr("abs(cast(sa as decimal(38,0)) * 1000000 div na " +
+          "- cast(sb as decimal(38,0)) * 1000000 div nb)")
           .as("d_obs_e6"))
       val perms = o.select(col("k"), col("x"),
           explode(expr("sequence(1, 100)")).as("r"))
@@ -159,7 +165,8 @@ object EmpiricalQueries {
           sum(expr("case when g = 0 then 1L else 0L end")).as("na"),
           sum(expr("case when g = 1 then x else 0L end")).as("sb"),
           sum(expr("case when g = 1 then 1L else 0L end")).as("nb"))
-        .select(expr("abs(sa * 1000000 div na - sb * 1000000 div nb)")
+        .select(expr("abs(cast(sa as decimal(38,0)) * 1000000 div na " +
+          "- cast(sb as decimal(38,0)) * 1000000 div nb)")
           .as("d_e6"))
       perms.crossJoin(broadcast(obs))
         .agg(max("d_obs_e6").as("d_obs_e6"), count(lit(1)).as("n_perm"),
@@ -297,9 +304,9 @@ object EmpiricalQueries {
         |         THEN 1 ELSE 0 END AS isa
         |  FROM orders),
         |obs AS (SELECT ABS(
-        |    SUM(CASE WHEN isa = 1 THEN x ELSE 0 END) * 1000000
+        |    CAST(SUM(CASE WHEN isa = 1 THEN x ELSE 0 END) AS HUGEINT) * 1000000
         |      // SUM(isa)
-        |    - SUM(CASE WHEN isa = 0 THEN x ELSE 0 END) * 1000000
+        |    - CAST(SUM(CASE WHEN isa = 0 THEN x ELSE 0 END) AS HUGEINT) * 1000000
         |      // SUM(1 - isa)) AS d_obs_e6
         |  FROM o),
         |pm AS (SELECT r.r, o.k, o.x,
@@ -307,9 +314,9 @@ object EmpiricalQueries {
         |      || CAST(o.k AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS g
         |  FROM o, (SELECT UNNEST(range(1, 101)) AS r) r),
         |pd AS (SELECT r,
-        |    ABS(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) * 1000000
+        |    ABS(CAST(SUM(CASE WHEN g = 0 THEN x ELSE 0 END) AS HUGEINT) * 1000000
         |        // SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
-        |      - SUM(CASE WHEN g = 1 THEN x ELSE 0 END) * 1000000
+        |      - CAST(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) AS HUGEINT) * 1000000
         |        // SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)) AS d_e6
         |  FROM pm GROUP BY r)
         |SELECT CAST(obs.d_obs_e6 AS BIGINT) AS d_obs_e6,
