@@ -127,7 +127,9 @@ object AdvisorQueries {
     // never corpus-wide. The 9-row output is the table a table-format
     // OPTIMIZE policy reads.
     "q407_rle_advisor" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // spread: the 9× explode + per-row md5 otherwise run inside the
+      // single-row-group scan's one task (guide §2.5)
+      val li = graft.ops.Relational.spread(Tables.lineitem(s, dir))
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
           to_date(col("l_shipdate")).as("sd"),
           col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
@@ -173,7 +175,15 @@ object AdvisorQueries {
       val w = Window.partitionBy("layout", "c", "f")
         .orderBy(col("p1").asc_nulls_first, col("p2").asc_nulls_first,
           col("ok").asc, col("ln").asc, col("v").asc)
+      // user-pinned window exchange: AQE's byte-based coalescing folded
+      // the 5.4M-row window input into 3 partitions (measured 5.3 s
+      // 3-task sort stage) — per-row sort+window cost is what matters
+      // here, so pin CPU-sized partitioning on the window keys (an
+      // explicit repartition is never coalesced; the window reuses it,
+      // adding no second exchange)
       base
+        .repartition(s.sparkContext.defaultParallelism,
+          col("layout"), col("c"), col("f"))
         .withColumn("brk", when(
           lag(col("v"), 1).over(w).isNull ||
             lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))

@@ -109,7 +109,9 @@ object AdvisoryOpsQueries {
     // ── G508: learning-curve slope from nested training subsets ───────
     "q563_learning_curve" -> ((s, dir) => {
       val dec = "decimal(38, 0)"
-      val toks = Tables.documents(s, dir)
+      // spread: train/held branches each re-tokenize inside the
+      // single-row-group scan's one task (guide §2.5)
+      val toks = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val train = toks.filter(col("doc_id") % 10 =!= 0)
         .withColumn("b", expr(

@@ -116,7 +116,10 @@ object AssuranceQueries {
             col(s"max_$c").as("max_str"), col(s"xor_$c").as("xor60"))): _*)).as("e"))
           .select("e.*")
       }
-      val base = Tables.orders(s, dir)
+      // spread: each generation's 6-distinct-aggregate Expand (×7 row
+      // fan-out) + partial agg otherwise runs inside the single-row-group
+      // scan's one task (guide §2.5) — measured 4.5 s + 3.1 s stages
+      val base = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("o_totalprice_c"),

@@ -121,8 +121,12 @@ object AuctionGraphQueries {
 
     // ── G436: 3-truss peel of the dup graph ────────────────────────────
     "q491_ktruss" -> ((s, dir) => {
+      // localCheckpoint per peel round (guide §3.3): the lazy chain
+      // inlined round r−1's whole wedge join into round r AND into every
+      // census branch — a 548-Exchange plan re-planned every run
       val e0 = FeatureQueries.dupPairsTable(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+        .localCheckpoint()
       def support(e: DataFrame): DataFrame = {
         // common-neighbor count via the wedge join on the UNDIRECTED
         // closure, then matched back to the (a < b) edge list
@@ -139,6 +143,7 @@ object AuctionGraphQueries {
       var cur = e0
       (1 to 3).foreach { r =>
         cur = support(cur).filter(col("sup") >= 1L).select("a", "b")
+          .localCheckpoint()
         rounds += ((r, cur))
       }
       val counts = Seq((0, e0)) ++ rounds.toSeq

@@ -32,7 +32,9 @@ object BaselQueries {
         .select(col("sum_e12"),
           expr("sum_e12 + 9999900L").as("lower_e12"),
           expr("sum_e12 + 100000L + 10000000L").as("upper_e12"))
-      val gcds = Tables.orders(s, dir)
+      // spread: the 90-step Euclid fold below otherwise runs inside the
+      // single-row-group scan's one task (guide §2.5)
+      val gcds = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").as("k"),
           expr("1L + pmod(md5_60(concat('ga:', cast(o_orderkey as string))), 999999L)")
             .as("a"),

@@ -169,7 +169,9 @@ object CorpusOpsQueries {
     // the doc, never the corpus.
     "q557_gopher_rules" -> ((s, dir) => {
       val stop = StopList.map(w => s"'$w'").mkString("array(", ", ", ")")
-      val d = Tables.documents(s, dir)
+      // spread: the per-doc repetition scan (O(pairs²) worst case)
+      // otherwise runs inside the single-row-group scan's one task
+      val d = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("lang"), tokens(col("text")).as("toks"))
         .withColumn("n", expr("cast(size(toks) as bigint)"))
         .withColumn("mwl_e2", expr(

@@ -64,7 +64,9 @@ object CurveQueries {
 
     // ── G405: Hilbert vs Morton page-touch economics ───────────────────
     "q458_hilbert_layout" -> ((s, dir) => {
-      val pts = Tables.orders(s, dir)
+      // spread: the per-row Hilbert + Morton curve folds otherwise run
+      // inside the single-row-group scan's one task (guide §2.5)
+      val pts = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(expr("pmod(o_custkey, 1024)").as("x0"),
           expr("pmod(cast(datediff(to_date(o_orderdate), " +
             "to_date('1990-01-01')) as bigint), 1024)").as("y0"))

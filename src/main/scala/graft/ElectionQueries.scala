@@ -32,7 +32,9 @@ object ElectionQueries {
 
     // ── G444: Chang–Roberts election message census ────────────────────
     "q499_ring_election" -> ((s, dir) => {
-      val nodes = Tables.orders(s, dir)
+      // spread: the hash filter + 3 md5s per row otherwise run inside
+      // the single-row-group scan's one task (guide §2.5)
+      val nodes = graft.ops.Relational.spread(Tables.orders(s, dir))
         .filter(expr("pmod(md5_60(concat('rn:', cast(o_orderkey as string))), 14) = 0"))
         .select(col("o_orderkey").as("k"),
           expr("pmod(md5_60(concat('ring:', cast(o_orderkey as string))), 32)")
@@ -41,9 +43,13 @@ object ElectionQueries {
           expr("md5_60(concat('id:', cast(o_orderkey as string)))").as("nid"))
       // distance each id travels = next-greater distance clockwise; the
       // winner (ring max) travels the full lap n
-      val perRing = nodes.groupBy("ring")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, k, nid))), " +
-          "x -> x.nid)").as("ids"), count(lit(1)).as("n"))
+      // spreadCompute: the O(n²)-per-ring message fold below sits on a
+      // byte-tiny 32-row frame AQE coalesces to one task; pin CPU-sized
+      // partitioning so rings fold in parallel
+      val perRing = graft.ops.Relational.spreadCompute(
+        nodes.groupBy("ring")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, k, nid))), " +
+            "x -> x.nid)").as("ids"), count(lit(1)).as("n")))
         .withColumn("msgs", expr(
           """aggregate(sequence(1, cast(n as int)), 0L, (acc, i) ->
             |  acc + coalesce(array_min(filter(sequence(1, cast(n as int) - 1),

@@ -86,7 +86,9 @@ object EmpiricalQueries {
           .select("doc_id", "sh", "fb0", "fb1")
           .write.mode("overwrite").parquet(s"$work/docs")
       }
-      val docs = s.read.parquet(s"$docsPath/docs")
+      // spread: the fixture lands as one file, and the shingle explode
+      // feeding the intersection join otherwise runs in one scan task
+      val docs = graft.ops.Relational.spread(s.read.parquet(s"$docsPath/docs"))
       // exact |A∩B| via token explode-join (codegen end to end) — the
       // r10 draft intersected the two shingle arrays row-wise
       // (ArrayIntersect is CodegenFallback: a boxed hash set of ~300
@@ -143,7 +145,10 @@ object EmpiricalQueries {
     // while the per-group MEANS the statistic compares always fit
     // (commit 5b1700b's overflow-lift discipline).
     "q472_permutation_test" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
+      // spread: the 100× explode + md5 group assignment below otherwise
+      // runs inside the single-row-group scan's ONE task (guide §2.5) —
+      // measured 6.3 s of a 6.6 s query serialized on one core
+      val o = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").as("k"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("x"),
           expr("case when cast(substring(o_orderpriority, 1, 1) as bigint) <= 2 " +
@@ -190,9 +195,12 @@ object EmpiricalQueries {
       // row rebuild: new[0] = old[0]−1; new[j] = max(old[j]−1,
       // new[j−1]−1, old[j−1] + score(et, P[j])) — the inner scan is a
       // growing-array fold over pattern positions
-      val perUser = ev.groupBy("u")
-        .agg(expr("array_sort(collect_list(struct(us, eid, et)))").as("xs"),
-          count(lit(1)).as("n_u"))
+      // spreadCompute: the O(events·m) NW fold below sits on a byte-tiny
+      // collected frame AQE coalesces to one task (q474's finding)
+      val perUser = graft.ops.Relational.spreadCompute(
+        ev.groupBy("u")
+          .agg(expr("array_sort(collect_list(struct(us, eid, et)))").as("xs"),
+            count(lit(1)).as("n_u")))
         .withColumn("row", expr(
           s"""aggregate(xs,
              |  transform(sequence(0, $m), j -> cast(-j as bigint)),

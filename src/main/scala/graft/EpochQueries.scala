@@ -72,7 +72,7 @@ object EpochQueries {
       // one scan computes everything derived from text (fingerprint,
       // counts) so TEXT NEVER CROSSES A SHUFFLE — every later stage
       // moves (doc_id, fp, n_toks) triples only
-      val d = Tables.documents(s, dir)
+      val d = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), md5(col("text")).as("fp"),
           tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("fp"),
@@ -102,7 +102,10 @@ object EpochQueries {
         Tables.documents(s, dir).join(broadcast(evalSet),
           col("doc_id") === col("eval_id")), "eval_id")
         .select("g5").distinct()
-      val contaminated = grams5(Tables.documents(s, dir), "doc_id")
+      // spread: the corpus-side 5-gram explode otherwise runs inside the
+      // single-row-group scan's one task (guide §2.5)
+      val contaminated = grams5(
+          graft.ops.Relational.spread(Tables.documents(s, dir)), "doc_id")
         .join(broadcast(evalGrams), Seq("g5"), "left_semi")
         .select("doc_id").distinct()
       val clean = q

@@ -89,7 +89,10 @@ object ErasureQueries {
            |    case when (sstar div (case t when 1 then 1 when 2 then 2
            |      when 3 then 4 else 8 end)) % 2 = 1
            |    then a ^ element_at(kv, t) else a end)), 1)""".stripMargin
-      var keyed = Tables.orders(s, dir)
+      // spread: the ~10 md5/XOR block builds + 16-subset recovery fold
+      // per row otherwise run inside the single-row-group scan's one
+      // task (guide §2.5)
+      var keyed = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").as("k"),
           expr("cast(1 + pmod(md5_60(concat('ep:', cast(o_orderkey as string))), 15) as int)")
             .as("p"))

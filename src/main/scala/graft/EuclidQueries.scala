@@ -78,7 +78,9 @@ object EuclidQueries {
 
     // ── G461: Zeckendorf greedy representation ─────────────────────────
     "q516_zeckendorf" -> ((s, dir) => {
-      val nums = Tables.orders(s, dir)
+      // spread: the 25-flag greedy chain below otherwise runs inside the
+      // single-row-group scan's one task (guide §2.5)
+      val nums = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").as("k"),
           expr("1L + pmod(md5_60(concat('zk:', cast(o_orderkey as string))), 1000000L)")
             .as("n"))

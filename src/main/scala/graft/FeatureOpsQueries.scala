@@ -129,7 +129,9 @@ object FeatureOpsQueries {
           .select("g", "x", "y")
           .write.mode("overwrite").parquet(s"$work/base")
       }
-      val base = s.read.parquet(s"$basePath/base")
+      // spread: the fixture lands as one file; five aggregate passes
+      // otherwise each scan it in one task
+      val base = graft.ops.Relational.spread(s.read.parquet(s"$basePath/base"))
       // round 0: plain exact OLS per g (q154's discipline)
       def wols(df: DataFrame): DataFrame = df
         .groupBy("g").agg(

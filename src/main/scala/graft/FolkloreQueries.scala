@@ -51,7 +51,9 @@ object FolkloreQueries {
 
     // ── G455: Collatz stopping-time census ─────────────────────────────
     "q510_collatz" -> ((s, dir) => {
-      val start = Tables.orders(s, dir)
+      // spread: the 600-step trajectory fold below otherwise runs inside
+      // the single-row-group scan's one task (guide §2.5)
+      val start = graft.ops.Relational.spread(Tables.orders(s, dir))
         .filter(expr("pmod(md5_60(concat('cz:', cast(o_orderkey as string))), 14) = 0"))
         .select(col("o_orderkey").as("k"),
           expr("1L + 2L * pmod(md5_60(concat('cv:', cast(o_orderkey as string))), 500000L)")

@@ -66,9 +66,13 @@ object GeometryQueries {
         .select(col("nk"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
         .distinct()
       val nxt = (i: String, m: String) => s"(pmod($i, $m) + 1)"
-      val hulls = pts.groupBy("nk")
-        .agg(expr("array_sort(collect_list(struct(x, y)))").as("xs"),
-          count(lit(1)).as("n_points"))
+      // spreadCompute (both frames): the hull folds and the per-point
+      // containment sweep sit on byte-tiny frames AQE coalesces to one
+      // task; pin CPU-sized partitioning so nations fold in parallel
+      val hulls = graft.ops.Relational.spreadCompute(
+        pts.groupBy("nk")
+          .agg(expr("array_sort(collect_list(struct(x, y)))").as("xs"),
+            count(lit(1)).as("n_points")))
         .withColumn("lo", expr(hullFold("xs")))
         .withColumn("hi", expr(hullFold("reverse(xs)")))
         .withColumn("h", expr(
@@ -92,7 +96,8 @@ object GeometryQueries {
              |        element_at(h, ${nxt("i", "cast(m as int)")}).y
              |      - element_at(h, ${nxt("i", "cast(m as int)")}).x *
              |        element_at(h, i).y) end""".stripMargin))
-      val inside = pts.join(hulls.select(col("nk"), col("h"), col("m")), "nk")
+      val inside = graft.ops.Relational.spreadCompute(pts)
+        .join(hulls.select(col("nk"), col("h"), col("m")), "nk")
         .select(col("nk"), expr(
           s"""case when m = 1 then
              |    (case when x = element_at(h, 1).x and y = element_at(h, 1).y

@@ -170,6 +170,14 @@ object GreedyQueries {
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
         .distinct()
         .localCheckpoint(true)
+      // Optimization round 14: a batched-counts restructure (accumulate
+      // duplicate-tolerant snapshots, re-derive the 10 cumulative
+      // distinct counts in one final pass) measured SLOWER (8.0 s vs
+      // 7.2 s) — the deferred countDistinct branches cost more than the
+      // per-round count() jobs on checkpointed data they replaced, so
+      // the original per-round shape is kept deliberately. The floor
+      // here is ~30 sequential small jobs: greedy set cover is
+      // inherently round-sequential (each argmax depends on the last).
       val nCust = pc.select("c").distinct().count()
       var covered = s.emptyDataset[Long].toDF("c")
       var rows = List.empty[(Long, Long, Long, Long)]

@@ -179,8 +179,11 @@ object ImpactQueries {
       val base = o.crossJoin(broadcast(cut))
         .withColumn("half", when(col("d") >= col("cut"), "h2").otherwise("h1"))
       def seg(half: String): DataFrame = {
+        // localCheckpoint: distributedNtile's range sampling + zipWithIndex
+        // would otherwise re-run the scan+aggregate lineage three times
         val cust = base.filter(col("half") === half)
           .groupBy("c").agg(sum("v_c").as("spend"), count(lit(1)).as("n_ord"))
+          .localCheckpoint()
         val n = cust.agg(count(lit(1)).as("n_total"))
         val med = graft.ops.Relational
           .distributedNtile(cust, Seq(col("spend"), col("c")), 2, n, "bk")
@@ -195,10 +198,15 @@ object ImpactQueries {
       val all = s1.join(s2, Seq("c"), "full_outer")
         .select(coalesce(col("seg1"), lit("new")).as("from_seg"),
           coalesce(col("seg2"), lit("lapsed")).as("to_seg"))
-      val tot = all.count()
+      // total as a broadcast 1-row aggregate instead of a driver count():
+      // the eager count executed the whole two-branch pipeline a second
+      // time at plan-build, before the timed run re-executed it
+      val tot = all.agg(count(lit(1)).as("n_total"))
       all.groupBy("from_seg", "to_seg")
         .agg(count(lit(1)).as("n_customers"))
-        .withColumn("share_e4", expr(s"n_customers * 10000 div $tot"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_e4", expr("n_customers * 10000 div n_total"))
+        .select("from_seg", "to_seg", "n_customers", "share_e4")
         .orderBy("from_seg", "to_seg")
     }),
 

@@ -427,8 +427,11 @@ object IndexQueries {
           least(col("n"), col("n_b")) * 100 >= greatest(col("n"), col("n_b")) * 95)
         .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
           greatest(col("doc_id"), col("doc_b")).as("doc_b")).distinct()
-      val docToks = Tables.documents(s, dir).select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+      // spread: both verify-side tokenizations otherwise run inside
+      // single-row-group scan stages of one task each
+      val docToks = graft.ops.Relational.spread(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
       cand
         .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
         .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))

@@ -88,6 +88,10 @@ object IntervalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"), col("dn"))
         .distinct()
+        // localCheckpoint: read four times (customer census, per-part
+        // supports, both self-join sides) — lazily the join+distinct ran
+        // per consumer (guide §3.3)
+        .localCheckpoint()
       val nCust = cpd.select("c").distinct().count()
       val pc = cpd.select("c", "p").distinct()
         .groupBy("p").agg(count(lit(1)).as("np"))

@@ -57,7 +57,10 @@ object KaprekarQueries {
         s"(($v) div 1000 % 10 = ($v) div 100 % 10 and " +
           s"($v) div 100 % 10 = ($v) div 10 % 10 and " +
           s"($v) div 10 % 10 = ($v) % 10)"
-      val exhaustive = Tables.orders(s, dir).sparkSession.range(0, 10000)
+      // explicit slice count: a bare range() here planned as ONE
+      // partition and the 10k-start exhaustive fold serialized (0.6 s)
+      val exhaustive = Tables.orders(s, dir).sparkSession
+        .range(0, 10000, 1, s.sparkContext.defaultParallelism)
         .select(col("id").as("v"))
         .withColumn("rep", expr(s"case when ${repdig("v")} then 1L else 0L end"))
         .withColumn("st", expr(fold))
@@ -72,7 +75,10 @@ object KaprekarQueries {
       val fixed = Tables.orders(s, dir).sparkSession.range(0, 1)
         .select(expr(s"case when ${step("6174L", "div")} = 6174L " +
           "then 1L else 0L end").as("fixed_point_ok"))
-      val sample = Tables.orders(s, dir)
+      // spread: the 8-step Kaprekar fold below otherwise runs inside the
+      // single-row-group scan's one task (guide §2.5) — measured 4.1 s
+      // of a 4.2 s query serialized on one core
+      val sample = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(expr("pmod(md5_60(concat('kp:', cast(o_orderkey as string))), 10000)")
           .as("v"))
         .filter(expr(s"not ${repdig("v")}"))

@@ -118,7 +118,10 @@ object LifecycleOpsQueries {
     * Output is unordered; callers order. */
   private[graft] def retrainDecision(od0: DataFrame): DataFrame = {
     val cut = od0.agg(expr("max(dn) - 56").as("c1"), expr("max(dn) - 28").as("c2"))
-      val od = od0.crossJoin(broadcast(cut))
+      // localCheckpoint: ~10 gate/forecaster branches below each re-read
+      // (and re-scan) the order-grain frame; materialize it once per
+      // evaluation (guide §3.3) — q570 runs this decision DAG twice
+      val od = od0.crossJoin(broadcast(cut)).localCheckpoint()
 
       // — drift gate: PSI of order-value deciles, reference = dn ≤ c2,
       //   current = the test window (q534's machinery, q552's split) —

@@ -42,7 +42,10 @@ object MatchingQueries {
         .join(Tables.customer(s, dir)
           .select(col("c_custkey").as("o_custkey"),
             (col("c_nationkey") + 1).cast("long").as("i")), "o_custkey")
-      val w = base.groupBy("i", "skey").agg(sum("v").as("w0"))
+      // localCheckpoint: the preference weights feed the grid, both
+      // preference matrices, and three blocking-sweep branches — lazy,
+      // each branch re-ran the 3-table join + aggregate (guide §3.3)
+      val w = base.groupBy("i", "skey").agg(sum("v").as("w0")).localCheckpoint()
       val top = w.groupBy("skey").agg(sum("w0").as("tw"))
         .orderBy(col("tw").desc, col("skey").asc).limit(25)
         .withColumn("sidx", row_number().over(boundedGlobalRank(col("skey"))).cast("long"))
@@ -112,6 +115,9 @@ object MatchingQueries {
           "case when ms > 0 then element_at(element_at(rs, cast(ms as int)), " +
             "cast(i as int)) else 0L end"))
         .drop("rs")
+        // localCheckpoint: 25 rows read by four branches below; lazy,
+        // each branch re-planned and re-ran the 650-step proposal fold
+        .localCheckpoint()
       // blocking-pair sweep over the full grid (stability, counted)
       val mN = matches.select(col("i"), col("ms"))
       val wOfMatch = mN.join(grid.select(col("i"), col("sidx").as("ms"),

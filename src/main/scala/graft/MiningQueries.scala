@@ -159,18 +159,25 @@ object MiningQueries {
     // monotonicity (any subset of a frequent set is at least as
     // frequent) becomes a per-row certificate the spec asserts.
     "q368_apriori_triples" -> ((s, dir) => {
+      // localCheckpoints (guide §3.3): the basket rows are read by the
+      // support count + three self-join arms, and the x–y pair join is
+      // shared verbatim by the pair supports AND the triple enumeration
+      // — lazily each was recomputed per branch (the x–y join twice)
       val rows = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint()
       val freq1 = rows.groupBy("p").agg(count(lit(1)).as("s1")).filter(col("s1") >= 5)
-      val fr = rows.join(broadcast(freq1.select("p")), Seq("p"))
-      val pairs = fr.as("x").join(fr.as("y"),
+      val fr = rows.join(broadcast(freq1.select("p")), Seq("p")).localCheckpoint()
+      val xy = fr.as("x").join(fr.as("y"),
           col("x.b") === col("y.b") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .select(col("x.b").as("xyb"), col("x.p").as("pa"), col("y.p").as("pb"))
+        .localCheckpoint()
+      val pairs = xy
+        .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("s2"))
-      val triples = fr.as("x").join(fr.as("y"),
-          col("x.b") === col("y.b") && col("x.p") < col("y.p"))
-        .join(fr.as("z"), col("y.b") === col("z.b") && col("y.p") < col("z.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"), col("z.p").as("pc"))
+      val triples = xy
+        .join(fr.as("z"), col("xyb") === col("z.b") && col("pb") < col("z.p"))
+        .groupBy(col("pa"), col("pb"), col("z.p").as("pc"))
         .agg(count(lit(1)).as("s3"))
         .orderBy(col("s3").desc, col("pa").asc, col("pb").asc, col("pc").asc)
         .limit(20)

@@ -171,7 +171,9 @@ object OpsQueries {
           yield (md5Hex(s"node$n:v$v"), n.toLong))
           .toDF("pos", "node")
       }
-      val docs = Tables.documents(s, dir)
+      // spread: each epoch's 128/160-way broadcast ring fan-out + partial
+      // min-agg otherwise runs inside the single-row-group scan's one task
+      val docs = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
       def owners(nodes: Int): DataFrame = {
         val r = ring(nodes)

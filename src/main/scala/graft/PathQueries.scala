@@ -61,7 +61,9 @@ object PathQueries {
             .repartitionByRange(32, col("p_partkey"))
             .sortWithinPartitions("p_partkey"), "__r0")
         .withColumn("idx", (col("__r0") + 1).cast(LongType)).drop("__r0")
-      val nParts = dim.count()
+      // same value as dim.count() (one id row per part row) without
+      // executing the contiguousIds zipWithIndex jobs at plan-build time
+      val nParts = Tables.part(s, dir).count()
       val draws = pos.crossJoin(broadcast(s.range(1, 4).select(col("id").as("j"))))
         .withColumn("idx", expr(
           s"""cast(conv(substring(md5(concat(cast(c as string), ':', cast(p as string),

@@ -60,7 +60,9 @@ object PrepQueries {
     // same plan rides q28/q38's LSH/IVF candidates instead of the full
     // cross. Emits the per-probe verdict ledger.
     "q245_knn_classify" -> ((s, dir) => {
-      val x = Tables.embeddings(s, dir)
+      // spread: the ×64 coordinate posexplode feeding the probe join
+      // otherwise runs inside the single-row-group scan's one task
+      val x = graft.ops.Relational.spread(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("label").cast(LongType).as("label"),
           posexplode(graft.functions.VectorFunctions.asDouble(col("embedding")))
             .as(Seq("p", "e")))

@@ -67,10 +67,13 @@ object ReleaseQueries {
       val chunks = AuditQueries.chunkRows(s, dir)
       val block = chunks.filter(col("source") === "src7")
         .select(col("chunk_md5")).distinct()
+      // localCheckpoint: read twice (gate attribution AND the released-set
+      // re-measure) — lazy, the whole Bloom-pruned chunk pass ran twice
       val contaminated = graft.ops.Bloom
         .semiJoin(chunks.filter(col("source") =!= "src7"), block, "chunk_md5")
         .select(col("doc_id")).distinct()
         .withColumn("contam", lit(1L))
+        .localCheckpoint()
       val train = docs.filter(col("source") =!= "src7")
         .join(contaminated, Seq("doc_id"), "left")
       // 2 — canonical per dup cluster, ranked among decon survivors
@@ -82,6 +85,8 @@ object ReleaseQueries {
         .filter(col("rn") === 1)
         .select(col("doc_id")).withColumn("is_canon", lit(1L))
       // 3 — first-failing-gate attribution (decon > dup > quality > cand)
+      // localCheckpoint: the attribution frame feeds both the candidate
+      // chain and the per-source stage census (guide §3.3)
       val flags = train.join(canon, Seq("doc_id"), "left")
         .withColumn("stage",
           when(col("contam").isNotNull, "decon")
@@ -89,6 +94,7 @@ object ReleaseQueries {
             .when(expr("n_tokens >= 10 and n_stop * 10000 div n_tokens >= 200"),
               "cand")
             .otherwise("quality"))
+        .localCheckpoint()
       // 4 — mixture sampling over the per-source candidate pool
       val cand = flags.filter(col("stage") === "cand")
         .withColumn("h", md5(col("doc_id").cast(StringType)))
@@ -100,6 +106,9 @@ object ReleaseQueries {
         .withColumn("n_keep", expr("n_cand * w_e4 div 10000"))
         .filter(col("rk") <= col("n_keep"))
         .select("doc_id", "source", "n_tokens")
+        // localCheckpoint: contiguousIds' range sampling + zipWithIndex
+        // would otherwise re-run the whole kept-set lineage twice more
+        .localCheckpoint()
       // 6 — contiguous global ids over the release, doc_id order
       //     (the q104 form: range-repartition + per-partition offsets)
       val ids = contiguousIds(

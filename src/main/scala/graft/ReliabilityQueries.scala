@@ -174,8 +174,12 @@ object ReliabilityQueries {
         .select(col("n_nationkey").as("nat"), col("n_regionkey").as("r"))
         .crossJoin(broadcast(span))
         .select(col("nat"), col("r"), explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      // localCheckpoint: five consumers below (day census, per-nation
+      // variances, pooled, both covariance sides) — lazily each re-ran
+      // the 3-table join + dense-spine build (guide §3.3)
       val cells = spine.join(raw, Seq("r", "nat", "d"), "left")
         .select(col("r"), col("nat"), col("d"), coalesce(col("q"), lit(0L)).as("q"))
+        .localCheckpoint()
       val nDays = cells.groupBy("r", "nat").agg(count(lit(1)).as("dd"))
         .groupBy("r").agg(max("dd").as("dd")) // same span for every nation
       // per-nation variance terms, summed per region

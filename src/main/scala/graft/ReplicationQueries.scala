@@ -45,7 +45,9 @@ object ReplicationQueries {
 
     // ── G428: R/W quorum intersection economics ────────────────────────
     "q483_quorum_grid" -> ((s, dir) => {
-      val reps = Tables.orders(s, dir)
+      // spread: the ×5 explode + two md5s per row below otherwise run
+      // inside the single-row-group scan's one task (guide §2.5)
+      val reps = graft.ops.Relational.spread(Tables.orders(s, dir))
         .select(col("o_orderkey").as("k"),
           explode(expr("sequence(1, 5)")).as("r"))
         .withColumn("wh", expr(

@@ -48,7 +48,9 @@ object ScoringOpsQueries {
 
     // ── G488: CCNet bigram-perplexity filter ───────────────────────────
     "q543_lm_perplexity" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      // spread: four branches each re-tokenize + bigram-explode the
+      // corpus inside single-row-group scan stages of one task each
+      val d = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
       val bi = d.select(col("doc_id"), col("lang"),
@@ -56,7 +58,10 @@ object ScoringOpsQueries {
             "i -> struct(element_at(toks, i) as w1, " +
             "element_at(toks, i + 1) as w2))")).as("b"))
         .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
-      val en = bi.filter(col("lang") === "en")
+      // localCheckpoint: four independent branches (c12/c1/c2/t) would
+      // each re-tokenize and re-explode the corpus; materialize the
+      // bigram stream once per run (plan-truncation, guide §3.3)
+      val en = bi.filter(col("lang") === "en").localCheckpoint()
       val c12 = en.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = en.groupBy("w1").agg(count(lit(1)).as("c1"))
       val c2 = en.groupBy("w2").agg(count(lit(1)).as("c2"))

@@ -55,9 +55,13 @@ object SequentialQueries {
       val cell = s"greatest(0L, element_at(acc.row, j + 1) - 1L, " +
         s"element_at(ir.arr, j) - 1L, element_at(acc.row, j) + " +
         s"(case when z.et = element_at(array($pat), j) then 2L else -1L end))"
-      val perUser = ev.groupBy("u")
-        .agg(expr("array_sort(collect_list(struct(us, eid, et)))").as("xs"),
-          count(lit(1)).as("n_u"))
+      // spreadCompute: the O(events·m) SW fold below sits on a byte-tiny
+      // collected frame AQE coalesces to one task; pin CPU-sized
+      // partitioning so users fold in parallel
+      val perUser = graft.ops.Relational.spreadCompute(
+        ev.groupBy("u")
+          .agg(expr("array_sort(collect_list(struct(us, eid, et)))").as("xs"),
+            count(lit(1)).as("n_u")))
         .withColumn("st", expr(
           s"""aggregate(xs,
              |  named_struct('row', transform(sequence(0, $m), j -> 0L),

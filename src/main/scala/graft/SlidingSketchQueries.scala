@@ -94,9 +94,12 @@ object SlidingSketchQueries {
         .withColumn("i", row_number().over(wU).cast("long"))
       val keepAll = (1 to Levels).map(keepS).mkString(", ")
       val expireAll = (1 to Levels).map(leS).mkString(", ")
-      val perUser = ev.groupBy("u")
-        .agg(expr("array_sort(collect_list(struct(i, b)))").as("xs"),
-          count(lit(1)).as("n_u"))
+      // spreadCompute: the per-user DGIM bucket fold below sits on a
+      // byte-tiny collected frame AQE coalesces to one task
+      val perUser = graft.ops.Relational.spreadCompute(
+        ev.groupBy("u")
+          .agg(expr("array_sort(collect_list(struct(i, b)))").as("xs"),
+            count(lit(1)).as("n_u")))
         .withColumn("lv", expr(
           s"""aggregate(xs,
              |  array_repeat(cast(array() as array<bigint>), $Levels),

@@ -28,7 +28,11 @@ object StatsQueries {
     // HLL (q49's path) and everything else stays exact — min/max/
     // null-count are single-pass mergeable by nature.
     "q321_analyze_stats" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      // spread: the 6-distinct-aggregate Expand (×7 row fan-out) and its
+      // partial aggregation otherwise run inside the single-row-group
+      // scan's one task (guide §2.5) — measured 3.3 s of a 4.4 s query
+      val o = graft.ops.Relational.spread(Tables.orders(s, dir))
+        .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_orderpriority"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("o_totalprice_c"),
         to_date(col("o_orderdate")).as("o_orderdate"))

@@ -141,10 +141,20 @@ object SystemsQueries {
     // final join, AND the reduced join count against the direct
     // 5-way join. At 100 TB this is the bloom-semi-join shape: ship
     // keys, not tuples, and never materialize a dangling row.
+    // localCheckpoint discipline (optimization round 14, guide §3.3
+    // "materialising an intermediate truncates the plan"): every reduced
+    // relation is referenced by several certificate branches below, and
+    // the lazy form inlined the whole semi-join chain into each branch —
+    // an 859-Exchange physical plan that cost ~5.8 s of Catalyst work
+    // per run before any task started, plus duplicate execution of every
+    // chain link. Checkpointing each link materializes it ONCE per run
+    // (eager, inside the timed region — nothing carries across runs) and
+    // the counting branches read the tiny materialized frames.
     "q442_yannakakis" -> ((s, dir) => {
       val liB = Tables.lineitem(s, dir)
       val li = liB.filter(col("l_quantity") >= 45)
         .select(col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint()
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
       val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
@@ -152,22 +162,22 @@ object SystemsQueries {
       val reg = regB.filter(col("r_name") === "ASIA").select(col("r_regionkey"))
       // bottom-up
       val ordU = ord.join(li.select(col("l_orderkey").as("o_orderkey")).distinct(),
-        Seq("o_orderkey"), "left_semi")
+        Seq("o_orderkey"), "left_semi").localCheckpoint()
       val custU = cust.join(ordU.select(col("o_custkey").as("c_custkey")).distinct(),
-        Seq("c_custkey"), "left_semi")
+        Seq("c_custkey"), "left_semi").localCheckpoint()
       val natU = nat.join(broadcast(reg.select(col("r_regionkey").as("n_regionkey"))),
           Seq("n_regionkey"), "left_semi")
         .join(custU.select(col("c_nationkey").as("n_nationkey")).distinct(),
-          Seq("n_nationkey"), "left_semi")
+          Seq("n_nationkey"), "left_semi").localCheckpoint()
       val regR = reg.join(broadcast(natU.select(col("n_regionkey").as("r_regionkey"))
-        .distinct()), Seq("r_regionkey"), "left_semi")
+        .distinct()), Seq("r_regionkey"), "left_semi").localCheckpoint()
       // top-down
       val custR = custU.join(broadcast(natU.select(col("n_nationkey").as("c_nationkey"))
-        .distinct()), Seq("c_nationkey"), "left_semi")
+        .distinct()), Seq("c_nationkey"), "left_semi").localCheckpoint()
       val ordR = ordU.join(custR.select(col("c_custkey").as("o_custkey")).distinct(),
-        Seq("o_custkey"), "left_semi")
+        Seq("o_custkey"), "left_semi").localCheckpoint()
       val liR = li.join(ordR.select(col("o_orderkey").as("l_orderkey")).distinct(),
-        Seq("l_orderkey"), "left_semi")
+        Seq("l_orderkey"), "left_semi").localCheckpoint()
       // final joins: reduced and direct must agree
       val joined = liR.select(col("l_orderkey"), col("l_linenumber"))
         .join(ordR.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
@@ -187,7 +197,11 @@ object SystemsQueries {
           col("n_regionkey"))), "c_nationkey")
         .join(broadcast(reg.select(col("r_regionkey").as("n_regionkey"))),
           "n_regionkey")
-      val jc = joined.cache()
+      // localCheckpoint, not cache(): same dedup of the six counting
+      // branches, but scoped to this invocation — a cache() entry keyed
+      // on the logical plan would also have been REUSED by later bench
+      // runs of the same query, quietly pricing runs 2+ below compute
+      val jc = joined.localCheckpoint()
       def relRow(name: String, nBase: DataFrame, nFilt: DataFrame,
                  nRed: DataFrame, nRedKeys: DataFrame,
                  inJoin: DataFrame): DataFrame =

@@ -48,12 +48,16 @@ object TextScienceQueries {
       .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(sum("freq").as("pf"))
     val best = pairs.orderBy(col("pf").desc, col("pa").asc, col("pb").asc).limit(1)
+    // localCheckpoint: the merged vocab feeds the next round AND two
+    // stats branches — lazily round r re-ran every earlier round's merge
+    // fold (and the corpus tokenize) per branch (guide §3.3)
     val merged = w.crossJoin(broadcast(best))
       .withColumn("sym", expr(
         """aggregate(slice(sym, 2, size(sym) - 1), array(element_at(sym, 1)),
           |  (acc, s) -> case when element_at(acc, -1) = pa and s = pb
           |              then concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
           |              else concat(acc, array(s)) end)""".stripMargin))
+      .localCheckpoint()
     val after = merged.agg(
       sum(expr("freq * size(sym)")).as("total_symbols_after"))
     val vocabAfter = merged.select(explode(col("sym")).as("s"))
@@ -93,11 +97,14 @@ object TextScienceQueries {
 
     // ── G278: BPE merge training (3 rounds, corpus-weighted) ───────────
     "q333_bpe_merges" -> ((s, dir) => {
-      val w0 = Tables.documents(s, dir)
+      // spread + localCheckpoint: the corpus tokenize otherwise runs in
+      // the scan's one task, and round 1 reads the vocab twice
+      val w0 = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .withColumn("sym", expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .localCheckpoint()
       val (w1, s1) = bpeRound(w0, 1)
       val (w2, s2) = bpeRound(w1, 2)
       val (_, s3) = bpeRound(w2, 3)

@@ -231,10 +231,13 @@ object TimePriceQueries {
     // check) + nearest-rank median elasticity per brand, all
     // partitioned windows at part grain.
     "q360_price_elasticity" -> ((s, dir) => {
+      // localCheckpoint: the unit-price rows feed the per-part median
+      // window AND the halves join — lazily the scan+projection ran twice
       val li = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("p"), expr("cast(l_quantity as bigint)").as("q"),
           expr("cast(round(l_extendedprice * (1 - l_discount) * 1000) as bigint) div cast(l_quantity as bigint)")
             .as("up"))
+        .localCheckpoint()
       val med = li
         .withColumn("rk", row_number().over(Window.partitionBy("p").orderBy(col("up").asc, col("q").asc)))
         .withColumn("nn", count(lit(1)).over(Window.partitionBy("p")))

@@ -194,7 +194,9 @@ object WarehouseQueries {
       val pairs = for (i <- 1 to d; j <- i to d) yield (i.toLong, j.toLong)
       val iLit = array(pairs.map(p => lit(p._1)): _*)
       val jLit = array(pairs.map(p => lit(p._2)): _*)
-      Tables.embeddings(s, dir)
+      // spread: the 2080-element tri_products kernel + ×2080 posexplode +
+      // partial agg otherwise run inside the single-row-group scan's one task
+      graft.ops.Relational.spread(Tables.embeddings(s, dir))
         .select(col("vec_id"),
           expr("transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))").as("x6"))
         .select(posexplode(expr("tri_products(x6)")).as(Seq("pos", "p")))

@@ -230,7 +230,14 @@ object Relational {
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
         org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = df.rdd.zipWithIndex().map { case (r, i) =>
+    // zipWithIndex launches a per-partition COUNT job before the map
+    // pass, so an unpersisted input executes its whole lineage twice
+    // (and again when the enclosing query runs). Persist the converted
+    // RDD across the passes — per-invocation only (a fresh call builds
+    // a fresh RDD), so bench runs never share it.
+    val base = df.rdd
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = base.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(rows, schema)
@@ -302,6 +309,47 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(asCol, agg.over(w))
   }
+
+  /** Scale-adaptive scan spread — optimization-guide §2.5's input-skew
+    * case ("one huge unsplittable file … repartition immediately after
+    * the read") and §6's split sizing. A parquet ROW GROUP is the unit
+    * of split, and the driver testdata ships every table as one
+    * single-row-group file, so each scan stage is ONE task and all
+    * per-row work Catalyst pipelines into it (explodes, hash kernels,
+    * fold expressions, partial aggregation) serializes on one core.
+    * Repartition right after the read ONLY when the frame's real input
+    * parallelism (file count) is below the session's core budget: on a
+    * multi-file 100-TB table this is a no-op (no exchange added), and
+    * the inserted exchange moves the raw scan output exactly once while
+    * the heavy compute above it fans out to every core. Size follows
+    * `defaultParallelism`, so the driver's lower-core bench runs adapt
+    * automatically. Round-robin (no key): the callers' downstream ops
+    * re-establish whatever distribution they need, and sort-before-
+    * repartition (on by default) keeps task retries deterministic. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= p) df else df.repartition(p)
+  }
+
+  /** Compute-aware repartition — the reduce-side twin of [[spread]].
+    * AQE coalesces post-shuffle partitions by BYTES
+    * (`advisoryPartitionSizeInBytes` / `minPartitionSize`), which is
+    * right when cost tracks bytes and wrong when a byte-tiny frame
+    * carries heavy PER-ROW compute above it (a Needleman–Wunsch fold
+    * over each user's collected events, a per-nation hull sweep): the
+    * whole stage coalesces to one task and serializes. An explicit
+    * user-specified repartition pins CPU-sized parallelism — AQE never
+    * coalesces a user-given partition count. Deliberately ROUND-ROBIN,
+    * not keyed: a keyed repartition on the upstream aggregation's own
+    * key is recognized as already-satisfied partitioning, eliminated by
+    * the planner, and the surviving agg exchange coalesces to one task
+    * anyway (measured on q474 — the fold stayed single-task under the
+    * keyed form). The exchange moves rows whose total size is by
+    * construction small (exactly the case this exists for); at scale
+    * the same compute-per-byte ratio justifies it unchanged, and the
+    * count follows `defaultParallelism` like [[spread]]. */
+  def spreadCompute(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Unpartitioned global window over a frame the CALLER asserts is
     * bounded by something other than corpus size — a top-k survivor
