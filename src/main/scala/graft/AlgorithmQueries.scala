@@ -172,9 +172,12 @@ object AlgorithmQueries {
           expr("cast(datediff(st, to_date('1990-01-01')) as bigint)").as("sd"),
           expr("cast(datediff(greatest(e0, st), to_date('1990-01-01')) as bigint)")
             .as("ed"), col("w"))
-      val perC = iv.groupBy("c")
-        .agg(expr("array_sort(collect_list(struct(ed, okey, sd, w)))").as("xs"),
-          count(lit(1)).as("n_iv"), sum("w").as("w_total"))
+      // spreadCompute: the O(n²)-per-customer DP below sits on a
+      // byte-tiny collected frame AQE coalesces to one task
+      val perC = graft.ops.Relational.spreadCompute(
+        iv.groupBy("c")
+          .agg(expr("array_sort(collect_list(struct(ed, okey, sd, w)))").as("xs"),
+            count(lit(1)).as("n_iv"), sum("w").as("w_total")))
         // p(i): count of intervals with end < start_i (ends pre-sorted)
         .withColumn("ends", expr("transform(xs, z -> z.ed)"))
         .withColumn("dp", expr(

@@ -121,9 +121,12 @@ object CostQueries {
           .select(col("o_orderkey").as("okey"), col("o_custkey").as("c"),
             expr("cast(round(o_totalprice * 100) as bigint)").as("v")), "okey")
         .withColumn("dk", expr("v div w"))
-      val perC = items.groupBy("c")
-        .agg(expr("collect_list(struct(okey, w, v, dk))").as("xs0"),
-          count(lit(1)).as("n_items"), sum("v").as("v_total"))
+      // spreadCompute: the per-customer 13-budget DP below sits on a
+      // byte-tiny collected frame AQE coalesces to one task
+      val perC = graft.ops.Relational.spreadCompute(
+        items.groupBy("c")
+          .agg(expr("collect_list(struct(okey, w, v, dk))").as("xs0"),
+            count(lit(1)).as("n_items"), sum("v").as("v_total")))
         .withColumn("xs", expr("array_sort(xs0)"))
         // DP over budget 0..12; slot b+1 holds OPT at budget b
         .withColumn("dp", expr(

@@ -99,7 +99,9 @@ object CurveQueries {
     // ── G406: LZ78 phrase complexity per document ──────────────────────
     "q459_lz_complexity" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokens
-      val perDoc = Tables.documents(s, dir)
+      // spread: the per-doc LZ78 dictionary fold otherwise runs inside
+      // the single-row-group scan's one task (guide §2.5)
+      val perDoc = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"),
           tokens(lower(col("text"))).as("ts"))
         .filter(size(col("ts")) >= 1)

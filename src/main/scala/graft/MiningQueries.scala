@@ -36,7 +36,9 @@ object MiningQueries {
     // prices that 25× transport cut in recall points. Probe-bounded:
     // 10 × |V| comparisons, never |V|².
     "q365_sign_sketch_recall" -> ((s, dir) => {
-      val packed = Tables.embeddings(s, dir).select(
+      // spread: the sign-pack folds + the probe nested-loop pairing
+      // otherwise run inside the single-row-group scan's one task
+      val packed = graft.ops.Relational.spread(Tables.embeddings(s, dir)).select(
         col("vec_id"),
         expr("aggregate(transform(slice(embedding, 1, 60), " +
           "x -> case when x > cast(0 as float) then 1L else 0L end), 0L, (a, x) -> a * 2 + x)")

@@ -49,9 +49,12 @@ object OptimalityQueries {
       val lruHit = "array_contains(acc.ql, z.et)"
       val optHit = "exists(acc.qb, e -> e.et = z.et)"
       val mx = "array_max(transform(acc.qb, e -> named_struct('nu', e.nu, 'et', e.et)))"
-      val perUser = ev.groupBy("u")
-        .agg(expr("array_sort(collect_list(struct(i, et, nu)))").as("xs"),
-          count(lit(1)).as("n_u"))
+      // spreadCompute: the per-user LRU/Belady cache simulation below
+      // sits on a byte-tiny collected frame AQE coalesces to one task
+      val perUser = graft.ops.Relational.spreadCompute(
+        ev.groupBy("u")
+          .agg(expr("array_sort(collect_list(struct(i, et, nu)))").as("xs"),
+            count(lit(1)).as("n_u")))
         .withColumn("st", expr(
           s"""aggregate(xs,
              |  named_struct('ql', cast(array() as array<string>),
