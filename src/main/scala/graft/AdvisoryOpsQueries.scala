@@ -118,13 +118,20 @@ object AdvisoryOpsQueries {
           "cast(conv(substring(md5(concat('lc:', cast(doc_id as string))), " +
             "1, 6), 16, 10) as bigint) % 10"))
       val held = toks.filter(col("doc_id") % 10 === 0)
+      // localCheckpoint (optimization r15, guide §3.3): `h` feeds both
+      // the held-out total and the per-token terms (lazy, the held-side
+      // tokenize ran twice); `ck` feeds both the per-subset totals and
+      // the terms join (lazy, the train-side tokenize + bucket counts
+      // ran twice). Both are vocab-grain (tiny) frames.
       val h = held.groupBy("tok").agg(count(lit(1)).as("h"))
+        .localCheckpoint()
       val htot = h.agg(sum("h").as("ht"))
       val cb = train.groupBy("tok", "b").agg(count(lit(1)).as("cnt"))
       val ks = s.createDataFrame(CurvePrefixes.map(Tuple1(_))).toDF("k")
       // subset counts: buckets < k, all four subsets from ONE scan
       val ck = cb.crossJoin(broadcast(ks)).filter(col("b") < col("k"))
         .groupBy("k", "tok").agg(sum("cnt").as("c"))
+        .localCheckpoint()
       val nk = ck.groupBy("k").agg(sum("c").as("nn"), count(lit(1)).as("vv"))
       val terms = h.crossJoin(broadcast(nk))
         .join(ck, Seq("k", "tok"), "left").na.fill(0L, Seq("c"))
@@ -160,8 +167,12 @@ object AdvisoryOpsQueries {
       val z2 = graft.ops.FixedLn.lnE9(
         z1.withColumn("hi", col("zsc")).withColumn("lo", lit(1L)),
         "hi", "lo", "z2").drop("hi", "lo")
+      // localCheckpoint: `ax` (4 rows) feeds the slope regression AND
+      // the final projection — lazy, the whole vocab-scale NLL + FixedLn
+      // pipeline above re-ran for each
       val ax = z2.withColumn("z", expr("z1 + z2"))
         .drop("z1", "z2", "zsc", "zraw")
+        .localCheckpoint()
       val slope = ax.agg(count(lit(1)).as("np"),
           sum(expr(s"cast(x as $dec)")).as("sx"),
           sum(expr(s"cast(z as $dec)")).as("sz"),

@@ -74,7 +74,13 @@ object EmpiricalQueries {
       // shingle+minhash pass (interpreted HOFs — fine once, not 3×)
       // re-ran per consumer (9-10 s of r10/r11 bench)
       val docsPath = PipelineQueries.cachedFixture(s"scurve|$dir") { work =>
-        univ.join(Tables.documents(s, dir), "doc_id")
+        // spread (r15, VERDICT r14 "next" #9): the fixture build is
+        // itself a query plan priced into run 1 — the shingle transform
+        // + two hashArray passes ran inside the single-task scan-join
+        // stage; fan the universe docs out before the per-row work
+        graft.ops.Relational.spread(
+          univ.join(Tables.documents(s, dir), "doc_id")
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"), expr(
             s"array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), " +
               "i -> substring(text, i, 5)))").as("sh"))
@@ -97,6 +103,13 @@ object EmpiricalQueries {
       // token table, so the intersection count is one shuffle of
       // narrow rows — the same shape a corpus-scale verify stage uses
       // (q144's discipline)
+      // localCheckpoint (optimization r15, guide §3.3): `base` feeds the
+      // shingle-explode intersect AND the final pair assembly — lazy,
+      // the two signature joins ran twice. spreadCompute before the
+      // explode (guide §2): AQE coalesces the byte-tiny pair frame to
+      // one partition, so the ~300×|pairs| shingle fan-out ran inside
+      // ONE task (profiled: a 2.13 s single-task stage, the query's
+      // dominant stage).
       val base = pairIds
         .join(docs.select(col("doc_id").as("ida"), col("sh").as("asha"),
           col("fb0").as("ab0"), col("fb1").as("ab1")), "ida")
@@ -106,9 +119,11 @@ object EmpiricalQueries {
           expr("size(asha)").as("na"), col("nb"),
           expr("case when ab0 = bb0 or ab1 = bb1 then 1L else 0L end")
             .as("collide"))
+        .localCheckpoint()
       val docTok = docs.select(col("doc_id").as("idb"),
         explode(col("sh")).as("t"))
-      val interCnt = base
+      val interCnt = graft.ops.Relational.spreadCompute(
+          base.select(col("ida"), col("idb"), col("asha")))
         .select(col("ida"), col("idb"), explode(col("asha")).as("t"))
         .join(docTok, Seq("idb", "t"))
         .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))

@@ -70,8 +70,10 @@ object EpochQueries {
     // the 5-gram explode), both map-combined.
     "q300_epoch_build" -> ((s, dir) => {
       // one scan computes everything derived from text (fingerprint,
-      // counts) so TEXT NEVER CROSSES A SHUFFLE — every later stage
-      // moves (doc_id, fp, n_toks) triples only
+      // counts); text crosses exactly ONE round-robin exchange (the
+      // scan spread below — a no-op on multi-file inputs) and never a
+      // keyed shuffle — every later stage moves (doc_id, fp, n_toks)
+      // triples only
       val d = graft.ops.Relational.spread(Tables.documents(s, dir))
         .select(col("doc_id"), md5(col("text")).as("fp"),
           tokens(col("text")).as("toks"))

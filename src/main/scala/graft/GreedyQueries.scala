@@ -51,26 +51,40 @@ object GreedyQueries {
     // that lets CDC consumers apply out-of-order batches without
     // resequencing. Per-key arrays basket-bounded; one shuffle.
     "q389_cdc_commutativity" -> ((s, dir) => {
-      val log = Tables.lineitem(s, dir).select(
+      // spread (guide §2.5): the single-row-group lineitem scan is one
+      // task, and the per-row md5 arrival hash + partial collect_list
+      // otherwise serialize inside it; project the three needed columns
+      // BEFORE the exchange (§2.3) so the spread moves narrow rows
+      val log = graft.ops.Relational.spread(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
+        .select(
         col("l_orderkey").as("k"),
         col("l_linenumber").cast(LongType).as("ver"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("payload"),
         expr("cast(conv(substring(md5(concat(cast(l_orderkey as string), ':', cast(l_linenumber as string))), 1, 6), 16, 10) as bigint)")
           .as("arrival"))
       // fold in ARRIVAL order over packed scalars: a record wins only if
-      // its packed (ver·2³⁴ + payload) exceeds the state's
+      // its packed (ver·2³⁴ + payload) exceeds the state's.
+      // Optimization r15 (guide §2.4 "remove shuffles outright"): the
+      // fold arm and the direct max(packed) arm GROUP BY THE SAME KEY,
+      // so both land in one aggregation — the old two-branch shape
+      // scanned lineitem twice (each single-row-group scan one task,
+      // re-hashing md5 arrival per row), shuffled it twice and paid a
+      // sort-merge join on k to reunite values that never left the same
+      // group. Per-key values and the final certificate are
+      // bit-identical (oracle re-gated).
       val folded = log.groupBy("k")
         .agg(expr(
           "aggregate(transform(array_sort(collect_list(struct(arrival, ver, payload)))," +
             " e -> e.ver * 17179869184L + e.payload), -1L," +
-            " (acc, x) -> case when x > acc then x else acc end)").as("st"))
+            " (acc, x) -> case when x > acc then x else acc end)").as("st"),
+          max(expr("ver * 17179869184L + payload")).as("m"))
         .select(col("k"), expr("st div 17179869184L").as("fold_ver"),
-          expr("st % 17179869184L").as("fold_payload"))
-      val direct = log.groupBy("k")
-        .agg(max(expr("ver * 17179869184L + payload")).as("m"))
-        .select(col("k").as("dk"), expr("m div 17179869184L").as("dir_ver"),
+          expr("st % 17179869184L").as("fold_payload"),
+          expr("m div 17179869184L").as("dir_ver"),
           expr("m % 17179869184L").as("dir_payload"))
-      folded.join(direct, col("k") === col("dk"))
+      folded
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("fold_ver") =!= col("dir_ver") ||
             col("fold_payload") =!= col("dir_payload"), 1L).otherwise(0L)).as("n_mismatch"),

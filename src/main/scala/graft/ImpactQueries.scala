@@ -93,12 +93,17 @@ object ImpactQueries {
       // is bit-identical: same ordering, same ≤5 cutoff.
       // test-part score per user, WITHOUT materializing all scores:
       // train ⋈ test (broadcast) ⋈ coK on (pa = owned part, pb = test)
+      // localCheckpoint (optimization r15, guide §3.3): tscore feeds
+      // THREE consumers below (the semi-join pruning `scores`, the
+      // rank-count join in `above`, and the hit classification) — lazy,
+      // the train ⋈ test ⋈ coK aggregate re-ran per consumer
       val tscore = train
         .join(broadcast(test.withColumnRenamed("c", "sc")),
           col("c") === col("sc"))
         .join(coK, col("p") === col("pa") && col("p_test") === col("pb"))
         .groupBy(col("c").as("hc"), col("p_test").as("tcand"))
         .agg(sum("w").as("tscore"))
+        .localCheckpoint()
       // only users whose test part IS a candidate (has a tscore) can
       // have a non-zero hit rank, so the scoring fan-out runs for that
       // ~5% of users only — a ~20x cut of the aggregate's group count,

@@ -392,12 +392,22 @@ object IndexQueries {
     // answer (recall measured in the spec) — because at 100 TB the
     // recall/cost dial (δ) is exactly what a curation run tunes.
     "q151_simkey_blocking" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
+      // ONE corpus scan (optimization r15, guide §3.3): the old shape
+      // tokenized documents FOUR times — the signature frame fed both
+      // join sides and the verify token table both candidate sides,
+      // each consumer lazily re-running its scan+tokenize (profiled:
+      // two 1.07 s single-task text-shuffle stages + a 0.40 s one).
+      // Compute signature AND distinct verify tokens in one pass,
+      // localCheckpoint, and give every consumer the blocks.
+      val full = Tables.documents(s, dir)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), expr("simhash16(toks)").as("sh"),
-          expr("size(array_distinct(toks))").cast(LongType).as("n"))
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), expr("simhash16(tk)").as("sh"),
+          array_distinct(col("tk")).as("toks"))
+        .withColumn("n", expr("size(toks)").cast(LongType))
         .withColumn("lb", expr("cast(floor(ln(greatest(n, 1)) / ln(1.06)) as bigint)"))
+        .localCheckpoint()
+      val sh = full.select("doc_id", "sh", "n", "lb")
       // Half-space neighbor fan: the naive form explodes all 3×3 = 9
       // (Δb, Δlb) variants. Swapping a pair's orientation negates both
       // deltas at once, so a variant set V covers every neighbor offset
@@ -427,11 +437,9 @@ object IndexQueries {
           least(col("n"), col("n_b")) * 100 >= greatest(col("n"), col("n_b")) * 95)
         .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
           greatest(col("doc_id"), col("doc_b")).as("doc_b")).distinct()
-      // spread: both verify-side tokenizations otherwise run inside
-      // single-row-group scan stages of one task each
-      val docToks = graft.ops.Relational.spread(Tables.documents(s, dir))
-        .select(col("doc_id"),
-          array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+      // verify-side token table: the same checkpointed pass (was two
+      // more spread+tokenize scans)
+      val docToks = full.select("doc_id", "toks")
       cand
         .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
         .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))

@@ -138,6 +138,13 @@ object LifecycleOpsQueries {
           explode(expr("sequence(1, 9)")).as("i"))
         .withColumn("tr", expr("(i * n_base + 9) div 10"))
         .alias("tg")
+      // Optimization r15 measured-and-reverted: checkpointing the
+      // multi-consumer junctions here (edges ×2, bc ×2, scored ×3)
+      // measured SLOWER (q552 2.14→2.93, q570 4.80→5.50 s at sf0.1) —
+      // each localCheckpoint is a synchronous job barrier, while the
+      // lazily-duplicated subtrees execute CONCURRENTLY inside the one
+      // action and soak up otherwise-idle cores on these byte-tiny
+      // frames. The od checkpoint above (r14) remains the win.
       val edges = ranked.join(targets,
           col("rk.g") === col("tg.g") && col("rk.rn") === col("tg.tr"))
         .groupBy(col("rk.g").as("g"))

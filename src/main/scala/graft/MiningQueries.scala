@@ -174,6 +174,11 @@ object MiningQueries {
           col("x.b") === col("y.b") && col("x.p") < col("y.p"))
         .select(col("x.b").as("xyb"), col("x.p").as("pa"), col("y.p").as("pb"))
         .localCheckpoint()
+      // Optimization r15 measured-and-reverted: checkpointing `pairs`
+      // (3 join arms below) measured SLOWER (3.16→3.72 s at sf0.1) —
+      // the three re-aggregations of checkpointed xy blocks run
+      // concurrently inside the one action, while an eager pairs
+      // materialization is a serial job barrier.
       val pairs = xy
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("s2"))

@@ -18,17 +18,29 @@ object ProfileMany {
     val tag = args(1)
     val names: Seq[String] = args(2) match {
       case s if s.startsWith("topN=") =>
-        // rank by the committed r13b detail when present, else alphabetical
+        // rank by the newest committed detail when present, else alphabetical
         val k = s.stripPrefix("topN=").toInt
-        val detail = Paths.get("BENCH_DETAIL_r13b.json")
-        if (Files.exists(detail)) {
-          val txt = Files.readString(detail)
-          val qobj = txt.split("\"queries\":\\{", 2)(1)
-          val entries = "\"(q[^\"]+)\":([0-9.]+)".r.findAllMatchIn(qobj)
-            .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-          entries.sortBy(-_._2).take(k).map(_._1)
-            .filter(SparkEntry.queries.contains)
-        } else SparkEntry.queries.keys.toSeq.sorted.take(k)
+        val detail = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.matches("BENCH_DETAIL_r\\d+[a-z]?\\.json"))
+          .sortBy(_.getName).lastOption
+          .map(f => Paths.get(f.getName))
+          .getOrElse(Paths.get("BENCH_DETAIL_r13b.json"))
+        // dev-tool parse guard (ADVICE r14): fall back to the
+        // alphabetical path when the artifact's shape surprises us
+        val ranked = if (Files.exists(detail)) {
+          try {
+            val txt = Files.readString(detail)
+            val parts = txt.split("\"queries\":\\{", 2)
+            if (parts.length < 2) Seq.empty
+            else "\"(q[^\"]+)\":([0-9.]+)".r.findAllMatchIn(parts(1))
+              .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+              .sortBy(-_._2).map(_._1)
+              .filter(SparkEntry.queries.contains)
+          } catch { case _: Throwable => Seq.empty }
+        } else Seq.empty
+        if (ranked.nonEmpty) ranked.take(k)
+        else SparkEntry.queries.keys.toSeq.sorted.take(k)
       case s => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
     val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"

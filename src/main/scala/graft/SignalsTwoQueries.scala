@@ -108,8 +108,12 @@ object SignalsTwoQueries {
     // recommending the longest tail). Exact integers; popularity ranks
     // via one |items|-row window on the item table (item-bounded).
     "q307_rec_coverage" -> ((s, dir) => {
+      // localCheckpoint (optimization r15, guide §3.3): `li` feeds the
+      // popularity aggregate and BOTH sides of the co-purchase self-join
+      // — lazy, the scan + distinct shuffle ran three times
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .distinct()
+        .localCheckpoint()
       val pop = li.groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
       val nItems = pop.agg(count(lit(1)).as("n_catalog"),
         max("n_orders").as("max_orders"))
@@ -124,9 +128,14 @@ object SignalsTwoQueries {
         .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), Seq("l_orderkey"))
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cc"))
+      // localCheckpoint: `recs` feeds the coverage count AND the novelty
+      // join — lazy, the basket² co-purchase self-join + rank window
+      // (the whole query's cost) ran twice
       val recs = co.withColumn("rn", row_number().over(
           Window.partitionBy("a").orderBy(col("cc").desc, col("b").asc)))
         .filter(col("rn") <= 3)
+        .select("b") // both consumers read only the recommended item
+        .localCheckpoint()
       val nRec = recs.select(col("b")).distinct().agg(count(lit(1)).as("n_recommended"))
       val novelty = recs.join(popRank.withColumnRenamed("l_partkey", "b"), Seq("b"))
         .agg(count(lit(1)).as("n_rec_slots"), sum("prank").as("rank_sum"))

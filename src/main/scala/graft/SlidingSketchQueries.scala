@@ -33,22 +33,32 @@ object SlidingSketchQueries {
   private def leS(k: Int) =
     s"filter(element_at(acc, $k), x -> x > z.i - ${W}L)"
 
-  /** Carry INTO level k (Spark): level 1 receives the fresh 1-bucket;
-    * level k+1 receives the merged two-oldest of level k when full. */
-  private def cS(k: Int): String =
-    if (k == 1) "array(z.i)"
-    else {
-      val p = cS(k - 1); val l = leS(k - 1)
-      s"(case when size($l) + size($p) = 3 then " +
-        s"array(element_at(concat($l, $p), 2)) " +
-        s"else cast(array() as array<bigint>) end)"
+  /** Merge-cascade KEEP branch, LINEAR form (optimization r15, guide
+    * "expressions and codegen" / VERDICT r14 "next" #3). The old
+    * textually-recursive cS/keepS inlined TWO copies of level k−1 into
+    * level k, so the 7-level cascade was ~2⁸ subexpression copies —
+    * and `aggregate`'s lambda re-evaluates the whole tree PER EVENT
+    * (no common-subexpression elimination in HOF lambdas), so the
+    * duplication was paid at execution, not just planning. SQL lambdas
+    * have no lets, but a single-element `transform` IS a let:
+    * `element_at(transform(array(X), v -> body), 1)` binds X once.
+    * Each level's merged list m_k = expired(k) ++ carry(k) is bound
+    * once and referenced by name — the same linear chain the DuckDB
+    * mirror ([[stepD]]) has always used, identical semantics:
+    *   carry(1) = [z.i];  carry(k) = [m_{k−1}[2]] iff |m_{k−1}| = 3
+    *   keep(k)  = [m_k[3]] iff |m_k| = 3 else m_k; top never merges. */
+  private def foldKeepLinear: String = {
+    def m(k: Int): String =
+      if (k == 1) s"concat(${leS(1)}, array(z.i))"
+      else s"concat(${leS(k)}, case when size(m${k - 1}) = 3 then " +
+        s"array(element_at(m${k - 1}, 2)) else cast(array() as array<bigint>) end)"
+    def keep(k: Int): String =
+      if (k == Levels) s"m$k" // top level never merges upward
+      else s"case when size(m$k) = 3 then array(element_at(m$k, 3)) else m$k end"
+    val inner = "array(" + (1 to Levels).map(keep).mkString(", ") + ")"
+    (Levels to 1 by -1).foldLeft(inner) { (acc, k) =>
+      s"element_at(transform(array(${m(k)}), m$k -> $acc), 1)"
     }
-
-  private def keepS(k: Int): String = {
-    val l = leS(k); val c = cS(k)
-    if (k == Levels) s"concat($l, $c)" // top level never merges upward
-    else s"(case when size($l) + size($c) = 3 then " +
-      s"array(element_at(concat($l, $c), 3)) else concat($l, $c) end)"
   }
 
   /** DuckDB recursive step, LINEAR form. The Spark fold's textual
@@ -92,7 +102,7 @@ object SlidingSketchQueries {
           col("event_id").as("eid"),
           expr("case when event_type = 'purchase' then 1L else 0L end").as("b"))
         .withColumn("i", row_number().over(wU).cast("long"))
-      val keepAll = (1 to Levels).map(keepS).mkString(", ")
+      val keepLinear = foldKeepLinear
       val expireAll = (1 to Levels).map(leS).mkString(", ")
       // spreadCompute: the per-user DGIM bucket fold below sits on a
       // byte-tiny collected frame AQE coalesces to one task
@@ -105,7 +115,7 @@ object SlidingSketchQueries {
              |  array_repeat(cast(array() as array<bigint>), $Levels),
              |  (acc, z) -> case when z.b = 0L
              |    then array($expireAll)
-             |    else array($keepAll) end)""".stripMargin))
+             |    else $keepLinear end)""".stripMargin))
         .withColumn("truth", expr(
           s"cast(size(filter(xs, t -> t.b = 1L and t.i > n_u - $W)) as bigint)"))
         .withColumn("total", expr(

@@ -235,6 +235,15 @@ object Relational {
     // (and again when the enclosing query runs). Persist the converted
     // RDD across the passes — per-invocation only (a fresh call builds
     // a fresh RDD), so bench runs never share it.
+    //
+    // Optimization r15 measured-and-reverted (VERDICT r14 "next" #10):
+    // eagerly materializing the indexed OUTPUT (localCheckpoint) so the
+    // input persist could be released before returning cost +0.2-0.4 s
+    // at every heavy call site (q249 2.53→2.69, q379 1.47→1.87, q571
+    // 1.73→2.08 s at sf0.1) — the extra map-pass materialization and
+    // its job barrier outweigh the hygiene win, and ContextCleaner
+    // already releases the blocks once the RDD object is collected
+    // (the bench GCs every 20 queries, bounding residue). Kept lazy.
     val base = df.rdd
     base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = base.zipWithIndex().map { case (r, i) =>
@@ -348,8 +357,24 @@ object Relational {
     * construction small (exactly the case this exists for); at scale
     * the same compute-per-byte ratio justifies it unchanged, and the
     * count follows `defaultParallelism` like [[spread]]. */
-  def spreadCompute(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spreadCompute(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Scale guard (VERDICT r14 "next" #7): this helper exists for
+    // byte-TINY frames whose cost is per-row compute; repartition(p)
+    // on an already-large frame would REDUCE its parallelism below its
+    // byte-sized partition count and concentrate per-key state into
+    // exactly-#cores tasks (guide §5 spill risk). Gate on the
+    // analyzer's size estimate — free (stats visitor over the analyzed
+    // plan: no job, no optimizer pass): a frame estimated above
+    // p × 64 MB already gets ≥ p byte-sized partitions from AQE and is
+    // returned untouched. An UNKNOWN estimate (≥ the Long.MaxValue
+    // default-size sentinel, e.g. RDD-backed lineage) keeps the
+    // repartition — exactly the byte-blind case the helper is for.
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
+    val knownLarge = est < BigInt(Long.MaxValue) &&
+      est > BigInt(p.toLong) * (64L << 20)
+    if (knownLarge) df else df.repartition(p)
+  }
 
   /** Unpartitioned global window over a frame the CALLER asserts is
     * bounded by something other than corpus size — a top-k survivor

@@ -70,9 +70,6 @@ class BenchBudgetSpec extends AnyFunSuite {
       "the number of picked sets; each pick is one distributed " +
       "max-coverage aggregate, ~12 corpus passes at sf0.1 " +
       "(r10 judge audit: bounded greedy folds, fine)"),
-    "q472_permutation_test" -> ("256 permutation replicas of the group " +
-      "statistic, each a full deterministic reshuffle of the corpus — " +
-      "the replica count IS the statistical power (bounded simulation)"),
     "q300_epoch_build" -> ("materializes the full training-epoch manifest " +
       "(pack + shuffle + manifest checksum) — an end-to-end epoch build, " +
       "priced by the corpus rewrite it performs"),
@@ -87,39 +84,14 @@ class BenchBudgetSpec extends AnyFunSuite {
       "pairs via token explode-join, then the banded-collision census " +
       "against the analytic S-curve — pair mass is the audit itself " +
       "(sits at the 3 s line; entry guards measurement jitter)"),
-    "q321_analyze_stats" -> ("EXACT multi-column ANALYZE: 6 simultaneous " +
-      "COUNT(DISTINCT) aggregations are an Expand x6 of the fact table " +
-      "by construction — the exact form is the point (the sketch path " +
-      "is q49's HLL); sits at the 3 s line"),
-    "q521_kaprekar" -> ("exhaustive 10,000-start convergence census plus " +
-      "the corpus-hash sample — fixed total work, measured 2.4-3.4 s " +
-      "across host windows; entry guards jitter at the line"),
-    "q458_hilbert_layout" -> ("full corpus laid out along a 2^16 Hilbert " +
-      "curve with per-block range stats — one corpus sort is the " +
-      "operator; measured 2.5-3.2 s across windows"),
     "q151_simkey_blocking" -> ("simhash16 over the whole corpus + the " +
       "minimal half-space neighbor fan (already 1.8x reduced; measured " +
       "scale exponent 0.486) — measured 2.8-3.2 s across windows; entry " +
       "guards jitter at the line"),
-    "q452_dgim_window" -> ("per-shard DGIM bucket folds over the full " +
-      "event stream — measured 2.5 s in quiet windows, 3.6 s under the " +
-      "round-11 steal bursts (host probe 1.35x ref, runs discarded); " +
-      "entry guards degraded-host jitter at the line"),
-    "q245_knn_classify" -> ("exact k-NN majority vote: the all-pairs " +
-      "distance scan IS the audit's ground truth — measured 2.6 s in " +
-      "quiet windows, 3.4 s under the round-11 steal bursts; entry " +
-      "guards degraded-host jitter at the line"),
     "q307_rec_coverage" -> ("catalog-coverage census over the full " +
       "recommendation fan — measured 2.8 s in quiet windows, 3.2 s " +
       "under the round-11 steal bursts; entry guards degraded-host " +
       "jitter at the line"),
-    "q522_erasure_code" -> ("all 15 two-erasure patterns x full GF(2)^4 " +
-      "span enumeration + real recovery of every decodable draw — fixed " +
-      "enumeration mass; measured 2.3-3.2 s across windows"),
-    "q552_retrain_pipeline" -> ("the four-gate composed decision plan " +
-      "(PSI deciles + Trigg + ensemble reselect) over the order-grain " +
-      "snapshot — ~15 stages by construction; measured 2.8-3.8 s across " +
-      "windows, sits at the 3 s line, entry guards jitter"),
     "q570_ingest_gate_pipeline" -> ("re-evaluates the FULL q552 decision " +
       "plan twice — once per snapshot (pre-drain and post-drain) — by " +
       "construction: the recompose IS two decisions; measured ~5 s " +
